@@ -1,0 +1,47 @@
+"""sparkmerge — a PySpark-native re-expression of SQLFox/SimpleMerge.
+
+The reference (``/root/reference/sp_SimpleMerge.sql``) is a metadata-driven
+T-SQL MERGE generator: it introspects two table schemas, generates one MERGE
+statement (null-safe composite key join, INTERSECT change detection,
+insert/update/delete actions, scope filter, dedup-ranking, CDC audit output,
+variance-threshold commit guard) and executes it in a transaction.
+
+This package re-expresses that as idiomatic Spark dataflow:
+
+- ``plan.MergePlan``       — schema introspection + validation
+  (replaces the ``#columnList`` catalog IR, sp_SimpleMerge.sql:151-201)
+- ``changeset``            — ONE full-outer join producing a typed changeset
+  (replaces the generated MERGE text, sp_SimpleMerge.sql:202-412)
+- ``table.SnapshotTable``  — versioned-parquet snapshots with an atomic
+  pointer swap (replaces begin/commit/rollback, sp_SimpleMerge.sql:470-479)
+- ``merge.simple_merge``   — orchestration: threshold guard, audit append,
+  debug dry-run, lastUpdate property (sp_SimpleMerge.sql:57-67 surface)
+- ``ext/``                 — LLM-data-pipeline operators (dedup, similarity
+  search, text analysis, multimodal columns, streaming) mandated by the
+  build contract; designed for 100 TB scale.
+"""
+
+from sparkmerge.errors import (
+    MergeError,
+    MergeThresholdExceeded,
+    MergeValidationError,
+)
+from sparkmerge.plan import MergePlan
+from sparkmerge.changeset import Changeset, build_changeset
+from sparkmerge.table import SnapshotTable
+from sparkmerge.merge import MergeReport, MergeResult, simple_merge
+
+__all__ = [
+    "Changeset",
+    "MergeError",
+    "MergePlan",
+    "MergeReport",
+    "MergeResult",
+    "MergeThresholdExceeded",
+    "MergeValidationError",
+    "SnapshotTable",
+    "build_changeset",
+    "simple_merge",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,273 @@
+"""Changeset — ONE full-outer join that classifies every row.
+
+This re-expresses the generated MERGE (sp_SimpleMerge.sql:243-346) as a single
+Spark dataflow.  The reference's MERGE is full-outer-join semantics: one
+statement/one scan classifies every (target ∪ source) row as
+matched / not-matched-by-target / not-matched-by-source and applies
+update/insert/delete (SURVEY.md §4 'single-pass MERGE').  Here the same single
+pass produces a *changeset* DataFrame:
+
+    _action: INSERT | UPDATE | DELETE | SOFT_DELETE | KEEP
+    <key columns, flat>         (coalesce(target.k, source.k) — :356)
+    _old: struct<target row>    (null for INSERT)
+    _new: struct<new row state> (null for DELETE)
+
+from which the new snapshot (``apply_changes``), the CDC audit record
+(``audit``) and the threshold guard counts (``action_counts``) all derive.
+
+Scale notes (100 TB posture):
+- The join shuffles both sides by the key once; everything downstream reuses
+  that partitioning.  A full-outer join cannot be broadcast in Spark, so this
+  is a sort-merge/shuffled-hash join by design; AQE skew-join splitting
+  handles hot keys.
+- Nothing here collects to the driver; action counts ride on an
+  ``Observation`` in merge.py where possible.
+- Change detection and null-safe key equality are plain codegen'd column
+  expressions (whole-stage codegen, no UDFs).
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkmerge.errors import MergeValidationError
+from sparkmerge.plan import MergePlan
+
+ACTION_INSERT = "INSERT"
+ACTION_UPDATE = "UPDATE"
+ACTION_DELETE = "DELETE"
+ACTION_SOFT_DELETE = "SOFT_DELETE"
+ACTION_KEEP = "KEEP"
+
+_ACTION = "_action"
+_OLD = "_old"
+_NEW = "_new"
+_RESERVED = {_ACTION, _OLD, _NEW, "__t_present", "__s_present", "__t_rn", "__s_rn"}
+
+_SRC = "__s_"  # prefix applied to source columns before the join so that
+#                bare identifiers (e.g. in a soft-delete SET expression)
+#                resolve unambiguously to the TARGET side.
+
+
+@dataclass(frozen=True)
+class DeleteMode:
+    """Parsed ``@delete`` parameter (sp_SimpleMerge.sql:339-346, README.md:32-36).
+
+    - 'YES' (default, :61)      → hard delete unmatched target rows
+    - 'set <assignments>'       → soft delete: UPDATE unmatched rows
+    - anything else             → keep unmatched rows untouched
+    """
+
+    raw: str
+    action: str  # ACTION_DELETE | ACTION_SOFT_DELETE | ACTION_KEEP
+    assignments: list[tuple[str, str]]  # (column, sql_expr) for SOFT_DELETE
+
+    @staticmethod
+    def parse(delete: str) -> "DeleteMode":
+        raw = delete.strip()
+        if raw.upper() == "YES":
+            return DeleteMode(raw, ACTION_DELETE, [])
+        if re.match(r"(?i)^set\s", raw):
+            body = raw[3:].strip()
+            assignments: list[tuple[str, str]] = []
+            # top-level comma split (no nesting support needed: assignments are
+            # `col = expr` pairs; parenthesised exprs keep their commas)
+            depth, start, parts = 0, 0, []
+            for i, ch in enumerate(body):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append(body[start:i])
+                    start = i + 1
+            parts.append(body[start:])
+            for part in parts:
+                if "=" not in part:
+                    raise MergeValidationError(f"Bad soft-delete assignment: {part!r}")
+                col, expr = part.split("=", 1)
+                assignments.append((col.strip().strip("`[]"), expr.strip()))
+            return DeleteMode(raw, ACTION_SOFT_DELETE, assignments)
+        return DeleteMode(raw, ACTION_KEEP, [])
+
+
+def _key_condition(plan: MergePlan, left: str, right_prefix: str) -> Column:
+    """AND-chain of per-column key equality (sp_SimpleMerge.sql:254-268).
+
+    Null-safe ``<=>`` is emitted only for nullable key columns, plain ``=``
+    otherwise — mirroring the reference's conditional codegen (:258-263).
+    Both forms are valid equi-join keys in Spark (hash/sort-merge, never
+    nested-loop), so this is a predicate-cost nicety, not a plan change.
+    """
+    conds = []
+    by_name = {c.name: c for c in plan.columns}
+    for k in plan.key_columns:
+        lcol = F.col(f"{left}.{k}") if left else F.col(k)
+        rcol = F.col(f"{right_prefix}{k}")
+        conds.append(lcol.eqNullSafe(rcol) if by_name[k].nullable else lcol == rcol)
+    return functools.reduce(operator.and_, conds)
+
+
+def _rank_duplicates(df: DataFrame, keys: list[str], order_cols: list[str] | None, rn_name: str) -> DataFrame:
+    """badKey ranking: make duplicate keys pairwise-mergeable by numbering
+    equal-key rows (sp_SimpleMerge.sql:209-241, README.md:22-23,40-41).
+
+    The reference tie-breaks on ``%%physloc%%`` (physical location — arbitrary
+    but stable within the statement).  Spark's analog of 'arbitrary but
+    run-consistent' is ``monotonically_increasing_id()``.  Callers that need
+    *deterministic* output (the DuckDB oracle) pass ``order_cols`` instead
+    (SURVEY.md §7.4).
+    """
+    order = [F.col(c) for c in order_cols] if order_cols else [F.monotonically_increasing_id()]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return df.withColumn(rn_name, F.row_number().over(w))
+
+
+@dataclass(frozen=True)
+class Changeset:
+    """The classified merge result; one row per (target ∪ source) row."""
+
+    df: DataFrame
+    plan: MergePlan
+    delete_mode: DeleteMode
+
+    def apply_changes(self) -> DataFrame:
+        """The new (in-scope) target state: drop DELETEs, take `_new` images.
+
+        Replaces executing the MERGE (sp_SimpleMerge.sql:471); the snapshot
+        commit in table.py provides the transaction (:470-479).
+        """
+        return self.df.filter(F.col(_ACTION) != ACTION_DELETE).select(F.col(f"{_NEW}.*"))
+
+    def audit(self, *, action_time: Column | None = None) -> DataFrame:
+        """CDC audit record (OUTPUT clause, sp_SimpleMerge.sql:350-410).
+
+        Columns: actionTime, action, key columns (coalesced, :356), then
+        d_*/i_* before/after images over all non-key TARGET columns —
+        including target-only columns, the reference's documented asymmetry
+        (:367-368 vs :304-305; SURVEY.md §7.4).  d_*/i_* are omitted when all
+        columns are in the key (:362,:392).  SOFT_DELETE surfaces as UPDATE
+        because the generated clause is ``THEN UPDATE`` → ``$action`` reports
+        'UPDATE' (:343-345).
+        """
+        ts = action_time if action_time is not None else F.current_timestamp()
+        action_out = (
+            F.when(F.col(_ACTION) == ACTION_SOFT_DELETE, F.lit(ACTION_UPDATE))
+            .otherwise(F.col(_ACTION))
+            .alias("action")
+        )
+        cols: list[Column] = [ts.alias("actionTime"), action_out]
+        cols += [F.col(k) for k in self.plan.key_columns]
+        for c in self.plan.non_key_target_columns:
+            cols.append(F.col(f"{_OLD}.{c}").alias(f"d_{c}"))
+        for c in self.plan.non_key_target_columns:
+            cols.append(F.col(f"{_NEW}.{c}").alias(f"i_{c}"))
+        return self.df.filter(F.col(_ACTION) != ACTION_KEEP).select(*cols)
+
+    def action_counts(self) -> dict[str, int]:
+        """Count rows per action (driver-side; small). Used by tests and the
+        threshold guard's slow path — merge.py prefers Observation metrics."""
+        rows = self.df.groupBy(_ACTION).count().collect()
+        return {r[_ACTION]: r["count"] for r in rows}
+
+
+def build_changeset(
+    target_df: DataFrame,
+    source_df: DataFrame,
+    join_columns: str | list[str],
+    *,
+    delete: str = "YES",
+    bad_key: bool = False,
+    bad_key_order: list[str] | None = None,
+    plan: MergePlan | None = None,
+) -> Changeset:
+    """Classify every row of ``target_df ⟗ source_df`` into a merge action.
+
+    Parameters mirror sp_SimpleMerge (@joinColumns :60, @delete :61,
+    @badKey :63).  ``bad_key_order`` is the deterministic-tiebreak variant of
+    the reference's %%physloc%% ordering (see ``_rank_duplicates``).
+    """
+    if plan is None:
+        plan = MergePlan.build(target_df.schema, source_df.schema, join_columns)
+    clash = _RESERVED.intersection(plan.target_columns)
+    if clash:
+        raise MergeValidationError(f"Target columns collide with reserved names: {sorted(clash)!r}")
+    mode = DeleteMode.parse(delete)
+
+    t_df = target_df.withColumn("__t_present", F.lit(True))
+    # Rename source columns so bare identifiers resolve to the target side.
+    s_df = source_df.select(
+        *[F.col(c).alias(f"{_SRC}{c}") for c in source_df.columns],
+        F.lit(True).alias("__s_present"),
+    )
+
+    join_cond = _key_condition(plan, "", _SRC)
+    if bad_key:
+        t_df = _rank_duplicates(t_df, plan.key_columns, bad_key_order, "__t_rn")
+        s_keys = [f"{_SRC}{k}" for k in plan.key_columns]
+        s_order = [f"{_SRC}{c}" for c in bad_key_order] if bad_key_order else None
+        s_df = _rank_duplicates(s_df, s_keys, s_order, "__s_rn")
+        join_cond = join_cond & (F.col("__t_rn") == F.col("__s_rn"))
+
+    joined = t_df.join(s_df, join_cond, "full_outer")
+
+    t_present = F.col("__t_present").isNotNull()
+    s_present = F.col("__s_present").isNotNull()
+
+    # Change detection: null-safe row-wise comparison of all non-key source
+    # columns — INTERSECT semantics (sp_SimpleMerge.sql:275-297).  An OR-chain
+    # of per-column ~eqNullSafe is exactly `NOT EXISTS (... INTERSECT ...)`.
+    if plan.update_suppressed:
+        changed = F.lit(False)  # no WHEN MATCHED branch at all (:275-276)
+    else:
+        changed = functools.reduce(
+            operator.or_,
+            [~F.col(c).eqNullSafe(F.col(f"{_SRC}{c}")) for c in plan.non_key_source_columns],
+        )
+
+    # The action expression is reused (as an expression tree, not a column
+    # reference) inside the _new struct below — Catalyst's subexpression
+    # elimination and whole-stage codegen keep this a single evaluation pass.
+    action_expr = (
+        F.when(~t_present, F.lit(ACTION_INSERT))
+        .when(~s_present, F.lit(mode.action))
+        .when(changed, F.lit(ACTION_UPDATE))
+        .otherwise(F.lit(ACTION_KEEP))
+    )
+
+    soft_assign = dict(mode.assignments)
+    unknown = set(soft_assign) - set(plan.target_columns)
+    if unknown:
+        raise MergeValidationError(f"Soft-delete SET references unknown columns: {sorted(unknown)!r}")
+
+    source_set = set(plan.source_columns)
+
+    def new_value(c: str) -> Column:
+        base = (
+            F.when(action_expr.isin(ACTION_INSERT, ACTION_UPDATE), F.col(f"{_SRC}{c}")).otherwise(F.col(c))
+            if c in source_set
+            else F.col(c)  # target-only columns pass through / NULL-fill on insert (:323)
+        )
+        if c in soft_assign:
+            # Soft-delete SET expr evaluates over the (unambiguous) target row.
+            base = F.when(action_expr == ACTION_SOFT_DELETE, F.expr(soft_assign[c])).otherwise(base)
+        return base.alias(c)
+
+    old_struct = F.when(
+        t_present, F.struct(*[F.col(c).alias(c) for c in plan.target_columns])
+    ).alias(_OLD)
+    new_struct = F.when(
+        action_expr != ACTION_DELETE,
+        F.struct(*[new_value(c) for c in plan.target_columns]),
+    ).alias(_NEW)
+    key_cols = [F.coalesce(F.col(k), F.col(f"{_SRC}{k}")).alias(k) for k in plan.key_columns]
+
+    cs_df = joined.select(*key_cols, action_expr.alias(_ACTION), old_struct, new_struct)
+    return Changeset(df=cs_df, plan=plan, delete_mode=mode)

@@ -1,0 +1,262 @@
+"""simple_merge — the orchestrated merge (the reference's entry point).
+
+Parameter surface mirrors ``sp_SimpleMerge`` (sp_SimpleMerge.sql:57-67):
+
+    @target       → target: SnapshotTable
+    @source       → source_df: DataFrame (any Spark-readable relation)
+    @joinColumns  → join_columns (CSV string or list, :60)
+    @delete       → delete ('YES' | 'set <expr>' | other, :61)
+    @targetFilter → target_filter (SQL predicate string, :62)
+    @badKey       → bad_key (+ bad_key_order, deterministic variant, :63)
+    @output       → audit_path (CDC append sink, :64)
+    @threshold    → threshold ('15%' or float, :65)
+    @debug        → debug (dry-run report, :66)
+
+Lifecycle (SURVEY.md §3.1): validate → plan → changeset (lazy) → [debug
+report | stage snapshot → threshold guard → commit/abort → audit append →
+stamp lastUpdate].
+
+Efficiency: the threshold guard needs (a) the pre-merge in-scope target count
+(:141-150) and (b) the number of changed rows (:472-473).  Both ride as
+``Observation`` metrics on the SAME job that writes the staged snapshot —
+zero extra passes over the data.  Only an actual audit request adds a second
+pass (and persists the changeset so badKey's arbitrary pairing stays
+consistent between the two outputs).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from sparkmerge.changeset import (
+    ACTION_KEEP,
+    Changeset,
+    DeleteMode,
+    build_changeset,
+)
+from sparkmerge.errors import MergeThresholdExceeded, MergeValidationError
+from sparkmerge.plan import MergePlan
+from sparkmerge.table import SnapshotTable
+
+
+@dataclass(frozen=True)
+class MergeResult:
+    committed: bool
+    version: int
+    changed_rows: int
+    target_rows_before: int
+    variance_pct: float | None
+    audit_rows: int | None
+
+
+@dataclass(frozen=True)
+class MergeReport:
+    """Debug dry-run output (sp_SimpleMerge.sql:422-465): the equivalent SQL,
+    the threshold, the pre-merge target rowcount, and the audit table DDL.
+    Unlike the reference — whose debug mode still creates the lastUpdate
+    extended property (:129-140 runs before the debug branch) — this report
+    has zero side effects (SURVEY.md §3.2)."""
+
+    merge_sql: str
+    physical_plan: str
+    threshold: float | None
+    target_rows: int
+    audit_ddl: str
+
+
+def _parse_threshold(threshold: str | float | None) -> float | None:
+    """'15%' → 15.0 with the reference's isnumeric guard (sp_SimpleMerge.sql:92-95)."""
+    if threshold is None:
+        return None
+    if isinstance(threshold, (int, float)):
+        return float(threshold)
+    cleaned = threshold.replace("%", "").strip()
+    try:
+        return float(cleaned)
+    except ValueError:
+        raise MergeValidationError(
+            f"Threshold: {threshold!r} is not numeric (after removing %)."
+        ) from None
+
+
+def _audit_schema_ddl(plan: MergePlan) -> str:
+    """DDL for the audit table (generated CREATE TABLE, sp_SimpleMerge.sql:432-462):
+    actionTime, action, key columns, then d_*/i_* over non-key target columns."""
+    by_name = {c.name: c for c in plan.columns}
+    parts = ["actionTime TIMESTAMP", "action STRING"]
+    parts += [f"{k} {by_name[k].data_type.simpleString().upper()}" for k in plan.key_columns]
+    parts += [f"d_{c} {by_name[c].data_type.simpleString().upper()}" for c in plan.non_key_target_columns]
+    parts += [f"i_{c} {by_name[c].data_type.simpleString().upper()}" for c in plan.non_key_target_columns]
+    return ", ".join(parts)
+
+
+def render_merge_sql(
+    plan: MergePlan,
+    *,
+    delete: str = "YES",
+    target_filter: str | None = None,
+    target_name: str = "target",
+    source_name: str = "source",
+) -> str:
+    """Render the equivalent MERGE statement as text — the debug-mode parity
+    artifact (the reference's whole output IS this string, sp_SimpleMerge.sql:
+    313-346).  Rendered in Spark-SQL dialect (what you would run on a
+    Delta/Iceberg catalog; not executable on plain parquet — SURVEY.md §7.4)."""
+    mode = DeleteMode.parse(delete)
+    by_name = {c.name: c for c in plan.columns}
+    on = " AND ".join(
+        f"t.`{k}` <=> s.`{k}`" if by_name[k].nullable else f"t.`{k}` = s.`{k}`"
+        for k in plan.key_columns
+    )
+    tgt = f"(SELECT * FROM {target_name} WHERE {target_filter}) t" if target_filter else f"{target_name} t"
+    lines = [f"MERGE INTO {tgt}", f"USING {source_name} s", f"ON {on}"]
+    non_key = plan.non_key_source_columns
+    if non_key:  # update branch suppressed when all columns are in the key (:275-276)
+        diff = " OR ".join(f"NOT (t.`{c}` <=> s.`{c}`)" for c in non_key)
+        sets = ", ".join(f"t.`{c}` = s.`{c}`" for c in non_key)
+        lines.append(f"WHEN MATCHED AND ({diff}) THEN UPDATE SET {sets}")
+    ins_cols = ", ".join(f"`{c}`" for c in plan.source_columns)
+    ins_vals = ", ".join(f"s.`{c}`" for c in plan.source_columns)
+    lines.append(f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})")
+    if mode.action == "DELETE":
+        lines.append("WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    elif mode.action == "SOFT_DELETE":
+        sets = ", ".join(f"t.`{c}` = {e}" for c, e in mode.assignments)
+        lines.append(f"WHEN NOT MATCHED BY SOURCE THEN UPDATE SET {sets}")
+    return "\n".join(lines)
+
+
+def _captured_explain(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def _scope_split(target_df: DataFrame, target_filter: str | None) -> tuple[DataFrame, DataFrame | None]:
+    """@targetFilter scoping (sp_SimpleMerge.sql:205-226, README.md:37-39).
+
+    Rows failing the filter are INVISIBLE to the merge — never updated,
+    never deleted.  SQL WHERE semantics: a NULL predicate excludes the row,
+    so the out-of-scope complement is ``NOT coalesce(pred, false)`` —
+    predicate-NULL rows are out of scope and therefore immune
+    (SURVEY.md §7.4 'NULL semantics are the crux')."""
+    if target_filter is None:
+        return target_df, None
+    pred = F.expr(target_filter)
+    in_scope = target_df.filter(pred)
+    out_scope = target_df.filter(~F.coalesce(pred, F.lit(False)))
+    return in_scope, out_scope
+
+
+def simple_merge(
+    spark: SparkSession,
+    target: SnapshotTable,
+    source_df: DataFrame,
+    join_columns: str | list[str],
+    *,
+    delete: str = "YES",
+    target_filter: str | None = None,
+    bad_key: bool = False,
+    bad_key_order: list[str] | None = None,
+    audit_path: str | None = None,
+    threshold: str | float | None = None,
+    debug: bool = False,
+) -> MergeResult | MergeReport:
+    """Merge ``source_df`` into ``target`` — see module docstring."""
+    thr = _parse_threshold(threshold)
+    target_df = target.read(spark)
+    in_scope, out_scope = _scope_split(target_df, target_filter)
+
+    plan = MergePlan.build(in_scope.schema, source_df.schema, join_columns)
+
+    if debug:
+        cs = build_changeset(in_scope, source_df, join_columns, delete=delete,
+                             bad_key=bad_key, bad_key_order=bad_key_order, plan=plan)
+        return MergeReport(
+            merge_sql=render_merge_sql(plan, delete=delete, target_filter=target_filter),
+            physical_plan=_captured_explain(cs.df),
+            threshold=thr,
+            target_rows=in_scope.count(),
+            audit_ddl=_audit_schema_ddl(plan),
+        )
+
+    # Observe the merge stats on the changeset — they materialize during the
+    # ONE job that writes the staged snapshot.  Every in-scope target row
+    # appears exactly once in the changeset (with a non-null _old image, also
+    # under badKey), so count(_old) IS the reference's pre-merge count
+    # (sp_SimpleMerge.sql:141-150) at zero extra cost.
+    cs = build_changeset(in_scope, source_df, join_columns, delete=delete,
+                         bad_key=bad_key, bad_key_order=bad_key_order, plan=plan)
+    cs_obs = Observation("sparkmerge_changeset")
+    observed = cs.df.observe(
+        cs_obs,
+        F.count(F.when(F.col("_action") != ACTION_KEEP, 1)).alias("changed"),
+        F.count(F.col("_old")).alias("before"),
+    )
+    cs = Changeset(df=observed, plan=cs.plan, delete_mode=cs.delete_mode)
+
+    want_audit = audit_path is not None
+    if want_audit:
+        # Persist so the audit pass sees the SAME changeset rows the snapshot
+        # was built from (badKey pairing via monotonically_increasing_id is
+        # only stable within a materialization).
+        cs.df.persist(StorageLevel.MEMORY_AND_DISK)
+
+    try:
+        new_state = cs.apply_changes()
+        if out_scope is not None:
+            new_state = new_state.unionByName(out_scope)
+
+        staged = target.stage(new_state)
+        try:
+            metrics = cs_obs.get
+            changed, before = int(metrics["changed"]), int(metrics["before"])
+        except Exception:
+            # Catalyst can prune the CollectMetrics node entirely when a side
+            # of the join is a provably-empty relation (PropagateEmptyRelation)
+            # — fall back to one explicit aggregation job.
+            row = cs.df.agg(
+                F.count(F.when(F.col("_action") != ACTION_KEEP, 1)).alias("changed"),
+                F.count(F.col("_old")).alias("before"),
+            ).first()
+            changed, before = int(row["changed"]), int(row["before"])
+
+        variance = None
+        if thr is not None:
+            variance = (changed / before * 100.0) if before > 0 else 0.0
+            # empty-target bypass: proceed when the target had no rows (:476)
+            if before > 0 and variance > thr:
+                target.abort(staged)
+                raise MergeThresholdExceeded(variance, thr, changed, before)
+
+        target.commit(staged)
+        # ODBC-canonical style timestamp, like convert(varchar, sysdatetime(), 121)
+        # (:488) — but only on successful commit (SURVEY.md §7.4 quirk fix).
+        now = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")[:-3]
+        target.set_property("lastUpdate", now)
+
+        audit_rows = None
+        if want_audit:
+            audit_df = cs.audit()
+            audit_df.write.mode("append").parquet(audit_path)
+            audit_rows = changed
+        return MergeResult(
+            committed=True,
+            version=staged,
+            changed_rows=changed,
+            target_rows_before=before,
+            variance_pct=variance,
+            audit_rows=audit_rows,
+        )
+    finally:
+        if want_audit:
+            cs.df.unpersist()

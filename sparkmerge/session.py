@@ -1,0 +1,39 @@
+"""SparkSession builder with scale-oriented defaults.
+
+Tuned for the driver's local[32] container but with settings that carry to a
+real cluster: AQE on (runtime partition coalescing + skew-join splitting —
+matters for badkey_rank windows over skewed keys), shuffle partitions sized to
+the parallelism, Arrow enabled for the few pandas_udf paths (MinHash).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "sparkmerge", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    At 100 TB scale ``shuffle_partitions`` should be ~2-3x total executor
+    cores; AQE coalesces the excess at runtime, so we set the static number
+    from the local parallelism and let AQE do the rest.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
