@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+``cosine`` is a left-fold of double products in array order — an exactly
+specified FP evaluation that the DuckDB oracle mirrors term-by-term, so
+results are bit-identical (no tolerance needed).
+
+Scale path: brute-force top-k is O(|queries|·|corpus|) with the query set
+BROADCAST — correct baseline at any corpus size when |queries| is modest.
+``lsh_topk`` adds random-hyperplane LSH bucketing so each query only scores
+its bucket's candidates; hyperplanes are derived deterministically from
+xxhash64 so runs are reproducible without a stored model.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold double dot product in array order (bit-deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    The query set is broadcast (small side), so the corpus is scanned once
+    with no shuffle until the final per-query top-k (rank window keyed on the
+    query id — as many groups as queries, AQE-friendly).  Ties broken by
+    neighbor id for determinism.
+    """
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1), derived
+    from a splitmix-style integer mix of (plane, dim index) — reproducible
+    across runs with no stored model."""
+    comps = []
+    for j in range(dim):
+        x = (plane * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 29
+        comps.append((x / 2**63) - 1.0)
+    return comps
+
+
+def lsh_bucket(vec: Column, dim: int, *, planes: int = 12) -> Column:
+    """Random-hyperplane LSH: sign bit per plane → integer bucket id."""
+    bits = []
+    for p in range(planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        bits.append(F.when(dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return functools.reduce(lambda a, b: a + b, bits).cast("long")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's LSH bucket.
+    At scale this turns the all-pairs scan into a bucket-local join keyed on
+    the bucket id (one shuffle, prunable)."""
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        lsh_bucket(F.col(vec_col), dim, planes=planes).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), dim, planes=planes).alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a_id < b_id) above threshold,
+    optionally blocked by ``group_col`` to bound the pair space."""
+    cols = [F.col(id_col), F.col(vec_col)]
+    if group_col:
+        cols.append(F.col(group_col).alias("_grp"))
+    base = df.select(*cols)
+    a = base.select(
+        *([F.col("_grp")] if group_col else []),
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+    )
+    b = base.select(
+        *([F.col("_grp")] if group_col else []),
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+    )
+    joined = a.join(b, "_grp") if group_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

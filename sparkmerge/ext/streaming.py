@@ -1,0 +1,137 @@
+"""Streaming operators (Structured Streaming) + their batch equivalents.
+
+The reference is batch-only (SURVEY.md §2.C), but incremental upsert is the
+canonical streaming-sink pattern, so the engine ships:
+
+- windowed aggregations (tumbling / sliding / session) — with batch-SQL
+  formulations used by both the oracle checks and the streaming path;
+- watermark-based late-data dropping;
+- ``foreachBatch`` merge sink: replay a stream of upserts into a
+  SnapshotTable via simple_merge (stream-batch equivalence is a pytest
+  property, SURVEY.md §5.5).
+
+Aggregates avoid order-dependent double sums (count/min/max only) so the
+oracle hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkmerge.merge import simple_merge
+from sparkmerge.table import SnapshotTable
+
+
+def tumbling_counts(events: DataFrame, *, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window per-event-type stats; works identically on a batch or
+    streaming DataFrame (F.window is supported in both)."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("min_value"), F.max("value").alias("max_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "min_value", "max_value")
+    )
+
+
+def sliding_counts(events: DataFrame, *, width: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_windows(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap to the
+    previous event (per user) exceeds ``gap_minutes``.  Formulated with
+    lag + cumulative sum so the DuckDB oracle can express it identically;
+    the streaming path would use F.session_window instead."""
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval arithmetic works for both TIMESTAMP and TIMESTAMP_NTZ columns
+    gap_flag = (
+        F.when(
+            F.col("ts") - F.lag(F.col("ts")).over(w_user) > F.expr(f"INTERVAL {gap_minutes * 60} SECONDS"),
+            1,
+        )
+        .otherwise(0)
+    )
+    with_session = events.withColumn(
+        "session_id",
+        F.sum(gap_flag).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def watermark_tumbling_stream(
+    spark: SparkSession, events_path: str, *, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Run a real Structured Streaming job (availableNow trigger) over the
+    events parquet with a watermark, returning the completed aggregation.
+    Demonstrates readStream → withWatermark → window agg → memory sink."""
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        # watermarks require TIMESTAMP (with local tz); the corpus stores NTZ
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"), "event_type", "n")
+    )
+    name = "sparkmerge_wm_agg"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sm_ckpt_"))
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def foreachbatch_merge_replay(
+    spark: SparkSession,
+    events_path: str,
+    table_path: str,
+    *,
+    key: str = "user_id",
+    num_batches: int = 4,
+) -> SnapshotTable:
+    """Replay events in ts-order micro-batches as upserts into a
+    SnapshotTable — the foreachBatch(merge) sink pattern.  Each batch keeps
+    the latest event per key (dedup within batch), then merges with
+    delete='NO' (streams never delete)."""
+    events = spark.read.parquet(events_path)
+    state_cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    # bootstrap an empty table with the right schema
+    empty = events.select(state_cols).limit(0)
+    table = SnapshotTable.create(spark, table_path, empty)
+
+    bounds = events.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) / num_batches
+    for i in range(num_batches):
+        start = lo + span * i
+        end = hi if i == num_batches - 1 else lo + span * (i + 1)
+        upper = events.ts <= end if i == num_batches - 1 else events.ts < end
+        batch = events.filter((events.ts >= start) & upper).select(state_cols)
+        w = Window.partitionBy(key).orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = batch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        simple_merge(spark, table, latest, key, delete="NO")
+    return table

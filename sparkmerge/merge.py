@@ -157,6 +157,29 @@ def _scope_split(target_df: DataFrame, target_filter: str | None) -> tuple[DataF
     return in_scope, out_scope
 
 
+def merge_preview(
+    target_df: DataFrame,
+    source_df: DataFrame,
+    join_columns: str | list[str],
+    *,
+    delete: str = "YES",
+    target_filter: str | None = None,
+    bad_key: bool = False,
+    bad_key_order: list[str] | None = None,
+) -> DataFrame:
+    """Pure-DataFrame merge: the final target state as a lazy plan, no
+    storage involved.  This is the engine's composable form — usable on any
+    two relations (and inside ``foreachBatch`` for streaming upserts); the
+    SnapshotTable path in ``simple_merge`` adds transactionality on top."""
+    in_scope, out_scope = _scope_split(target_df, target_filter)
+    cs = build_changeset(in_scope, source_df, join_columns, delete=delete,
+                         bad_key=bad_key, bad_key_order=bad_key_order)
+    new_state = cs.apply_changes()
+    if out_scope is not None:
+        new_state = new_state.unionByName(out_scope)
+    return new_state
+
+
 def simple_merge(
     spark: SparkSession,
     target: SnapshotTable,

@@ -1,0 +1,182 @@
+"""TPC-H-style analytics smoke queries (SURVEY.md §5.4) — exercise the
+join/aggregation/window surface the merge engine is built from, and serve as
+the bench headliners.
+
+FP determinism: every sum over doubles goes through exact DECIMAL
+accumulation (order-independent) and is cast back to double at the end.  The
+corpus's monetary columns are exact 2-decimal values (verified), so products
+of two/three such values are exact at 4/6 decimals — DECIMAL(18,4)/(18,6)
+represents them exactly and both engines round the (bit-identical) double
+products to the same decimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkmerge.queries import load, register
+
+
+def _dec_sum(col, scale: int):
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+@register(
+    "tpch_q1",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+  FROM lineitem
+ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+ GROUP BY l_returnflag, l_linestatus
+""",
+    description="TPC-H Q1 pricing summary: wide aggregation over lineitem",
+)
+def tpch_q1(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.expr("TIMESTAMP '1998-09-02 00:00:00'")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+        _dec_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+        _dec_sum(disc_price, 4).alias("sum_disc_price"),
+        _dec_sum(charge, 6).alias("sum_charge"),
+        (_dec_sum(F.col("l_quantity"), 2) / n).alias("avg_qty"),
+        (_dec_sum(F.col("l_extendedprice"), 2) / n).alias("avg_price"),
+        (_dec_sum(F.col("l_discount"), 2) / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+ WHERE c.c_mktsegment = 'BUILDING'
+   AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+   AND l.l_shipdate > TIMESTAMP '1996-06-01 00:00:00'
+ GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ ORDER BY revenue DESC, o_orderkey
+ LIMIT 10
+""",
+    description="TPC-H Q3 shipping priority: 3-way join, agg, deterministic top-10",
+)
+def tpch_q3(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP '1997-01-01 00:00:00'")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP '1996-06-01 00:00:00'")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dec_sum(revenue, 4).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5",
+    oracle="""
+SELECT n.n_name,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+ WHERE r.r_name = 'ASIA'
+   AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+   AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+ GROUP BY n.n_name
+""",
+    description="TPC-H Q5 local-supplier volume: 6-way join with broadcast dims",
+)
+def tpch_q5(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dec_sum(revenue, 4).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q6",
+    oracle="""
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM lineitem
+ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+   AND l_discount BETWEEN 0.03 AND 0.07
+   AND l_quantity < 24.0
+""",
+    description="TPC-H Q6 revenue forecast: scan-heavy filter + single agg",
+)
+def tpch_q6(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(_dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM orders
+ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    description="rollup/grouping-sets aggregation (Catalyst built-in surface)",
+)
+def agg_grouping_sets(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), _dec_sum(F.col("o_totalprice"), 2).alias("total")
+    )

@@ -1,0 +1,349 @@
+"""§2.A core merge-dataflow operators — each runs the ENGINE (build_changeset
+/ merge_preview), projected to a flat, oracle-hashable result.
+
+Reference citations per op are in SURVEY.md §2.A; the oracle SQL mirrors the
+T-SQL the reference would generate (null-safe join → IS NOT DISTINCT FROM,
+INTERSECT change detection → OR-of-IS-DISTINCT-FROM, etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkmerge.changeset import build_changeset
+from sparkmerge.merge import merge_preview
+from sparkmerge.queries import load, register
+from sparkmerge.queries.fixtures import (
+    CUST_NULL_SRC_SQL,
+    CUST_NULL_TGT_SQL,
+    LINEITEM_MUT_SQL,
+    ORDERS_COLS,
+    ORDERS_MUT_SQL,
+    PART_MUT_SQL,
+    classify_sql,
+    customer_nullkey,
+    lineitem_source,
+    orders_source,
+    part_source,
+)
+
+# --- merge_full: the full-outer classification (sp_SimpleMerge.sql:243-346) ---
+
+
+@register(
+    "merge_full",
+    oracle=f"{classify_sql()}\nSELECT o_orderkey, action FROM cls",
+    description="one full-outer join classifies every row as INSERT/UPDATE/DELETE/KEEP",
+)
+def merge_full(spark, sf_dir):
+    cs = build_changeset(load(spark, sf_dir, "orders"), orders_source(spark, sf_dir), "o_orderkey")
+    return cs.df.select("o_orderkey", F.col("_action").alias("action"))
+
+
+# --- join_null_safe_eq: NULL keys match (sp_SimpleMerge.sql:254-268) ---
+
+
+@register(
+    "join_null_safe_eq",
+    oracle=f"""
+WITH tgt AS ({CUST_NULL_TGT_SQL}), src AS ({CUST_NULL_SRC_SQL})
+SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+       coalesce(t.c_nationkey, s.c_nationkey) AS c_nationkey,
+       CASE WHEN t.c_custkey IS NULL THEN 'INSERT'
+            WHEN s.c_custkey IS NULL THEN 'DELETE'
+            WHEN t.c_name IS DISTINCT FROM s.c_name
+              OR t.c_acctbal IS DISTINCT FROM s.c_acctbal
+              OR t.c_mktsegment IS DISTINCT FROM s.c_mktsegment THEN 'UPDATE'
+            ELSE 'KEEP' END AS action
+  FROM tgt t
+  FULL OUTER JOIN src s
+    ON t.c_custkey = s.c_custkey
+   AND t.c_nationkey IS NOT DISTINCT FROM s.c_nationkey
+""",
+    description="null-safe composite-key equality: NULL=NULL matches (<=> / IS NOT DISTINCT FROM)",
+)
+def join_null_safe_eq(spark, sf_dir):
+    tgt, src = customer_nullkey(spark, sf_dir)
+    cs = build_changeset(tgt, src, "c_custkey, c_nationkey")
+    return cs.df.select("c_custkey", "c_nationkey", F.col("_action").alias("action"))
+
+
+# --- join_composite_key: AND-chain over ordered multi-column key ---
+
+
+@register(
+    "join_composite_key",
+    oracle=f"""
+WITH src AS ({LINEITEM_MUT_SQL})
+SELECT coalesce(t.l_orderkey, s.l_orderkey) AS l_orderkey,
+       coalesce(t.l_linenumber, s.l_linenumber) AS l_linenumber,
+       CASE WHEN t.l_orderkey IS NULL THEN 'INSERT'
+            WHEN s.l_orderkey IS NULL THEN 'DELETE'
+            WHEN t.l_partkey IS DISTINCT FROM s.l_partkey
+              OR t.l_suppkey IS DISTINCT FROM s.l_suppkey
+              OR t.l_quantity IS DISTINCT FROM s.l_quantity
+              OR t.l_extendedprice IS DISTINCT FROM s.l_extendedprice
+              OR t.l_discount IS DISTINCT FROM s.l_discount
+              OR t.l_tax IS DISTINCT FROM s.l_tax
+              OR t.l_returnflag IS DISTINCT FROM s.l_returnflag
+              OR t.l_linestatus IS DISTINCT FROM s.l_linestatus
+              OR t.l_shipdate IS DISTINCT FROM s.l_shipdate THEN 'UPDATE'
+            ELSE 'KEEP' END AS action
+  FROM lineitem t
+  FULL OUTER JOIN src s
+    ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+""",
+    description="composite equi-join key (ordered AND-chain, up to 100 columns)",
+)
+def join_composite_key(spark, sf_dir):
+    cs = build_changeset(
+        load(spark, sf_dir, "lineitem"), lineitem_source(spark, sf_dir), "l_orderkey, l_linenumber"
+    )
+    return cs.df.select("l_orderkey", "l_linenumber", F.col("_action").alias("action"))
+
+
+# --- change_detect_intersect: null-safe row-wise change predicate ---
+
+
+@register(
+    "change_detect_intersect",
+    oracle=f"""
+WITH src AS ({ORDERS_MUT_SQL})
+SELECT t.o_orderkey,
+       (t.o_custkey IS DISTINCT FROM s.o_custkey
+        OR t.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+        OR t.o_totalprice IS DISTINCT FROM s.o_totalprice
+        OR t.o_orderdate IS DISTINCT FROM s.o_orderdate
+        OR t.o_orderpriority IS DISTINCT FROM s.o_orderpriority) AS changed
+  FROM orders t
+  JOIN src s ON t.o_orderkey = s.o_orderkey
+""",
+    description="update only rows that actually changed: INTERSECT-equivalent null-safe comparison",
+)
+def change_detect_intersect(spark, sf_dir):
+    cs = build_changeset(load(spark, sf_dir, "orders"), orders_source(spark, sf_dir), "o_orderkey")
+    matched = cs.df.filter(F.col("_action").isin("UPDATE", "KEEP"))
+    return matched.select("o_orderkey", (F.col("_action") == "UPDATE").alias("changed"))
+
+
+# --- update_changed: new images of UPDATE rows (ordered by source ordinal) ---
+
+
+@register(
+    "update_changed",
+    oracle=f"""
+WITH src AS ({ORDERS_MUT_SQL})
+SELECT s.*
+  FROM orders t
+  JOIN src s ON t.o_orderkey = s.o_orderkey
+ WHERE t.o_custkey IS DISTINCT FROM s.o_custkey
+    OR t.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+    OR t.o_totalprice IS DISTINCT FROM s.o_totalprice
+    OR t.o_orderdate IS DISTINCT FROM s.o_orderdate
+    OR t.o_orderpriority IS DISTINCT FROM s.o_orderpriority
+""",
+    description="THEN UPDATE SET t.c = s.c for every non-key source column",
+)
+def update_changed(spark, sf_dir):
+    cs = build_changeset(load(spark, sf_dir, "orders"), orders_source(spark, sf_dir), "o_orderkey")
+    return cs.df.filter(F.col("_action") == "UPDATE").select("_new.*")
+
+
+# --- update_suppressed_all_key: no UPDATE branch when all columns are keys ---
+
+
+@register(
+    "update_suppressed_all_key",
+    oracle=f"""
+WITH src AS ({PART_MUT_SQL})
+SELECT coalesce(t.p_partkey, s.p_partkey) AS p_partkey,
+       CASE WHEN t.p_partkey IS NULL THEN 'INSERT'
+            WHEN s.p_partkey IS NULL THEN 'DELETE'
+            ELSE 'KEEP' END AS action
+  FROM part t
+  FULL OUTER JOIN src s
+    ON t.p_partkey = s.p_partkey AND t.p_name = s.p_name AND t.p_brand = s.p_brand
+   AND t.p_type = s.p_type AND t.p_size = s.p_size AND t.p_retailprice = s.p_retailprice
+""",
+    description="WHEN MATCHED omitted entirely when every source column is in the key",
+)
+def update_suppressed_all_key(spark, sf_dir):
+    cs = build_changeset(
+        load(spark, sf_dir, "part"),
+        part_source(spark, sf_dir),
+        "p_partkey, p_name, p_brand, p_type, p_size, p_retailprice",
+    )
+    # UPDATE is impossible here — the engine suppressed the branch (:275-276)
+    return cs.df.select("p_partkey", F.col("_action").alias("action"))
+
+
+# --- insert_unmatched / delete_unmatched: the two anti-join sides ---
+
+
+@register(
+    "insert_unmatched",
+    oracle=f"""
+WITH src AS ({ORDERS_MUT_SQL})
+SELECT s.* FROM src s
+ WHERE NOT EXISTS (SELECT 1 FROM orders t WHERE t.o_orderkey = s.o_orderkey)
+""",
+    description="WHEN NOT MATCHED BY TARGET THEN INSERT — source anti-join target",
+)
+def insert_unmatched(spark, sf_dir):
+    cs = build_changeset(load(spark, sf_dir, "orders"), orders_source(spark, sf_dir), "o_orderkey")
+    return cs.df.filter(F.col("_action") == "INSERT").select("_new.*")
+
+
+@register(
+    "delete_unmatched",
+    oracle=f"""
+WITH src AS ({ORDERS_MUT_SQL})
+SELECT t.* FROM orders t
+ WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+""",
+    description="WHEN NOT MATCHED BY SOURCE THEN DELETE — target anti-join source",
+)
+def delete_unmatched(spark, sf_dir):
+    cs = build_changeset(load(spark, sf_dir, "orders"), orders_source(spark, sf_dir), "o_orderkey")
+    return cs.df.filter(F.col("_action") == "DELETE").select("_old.*")
+
+
+# --- softdelete / keep: the other two @delete modes (final state) ---
+
+
+@register(
+    "softdelete_unmatched",
+    oracle=f"""
+WITH src AS ({ORDERS_MUT_SQL})
+SELECT * FROM src
+UNION ALL
+SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice, t.o_orderdate,
+       'GONE' AS o_orderpriority
+  FROM orders t
+ WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+""",
+    description="@delete='set <expr>': unmatched target rows soft-deleted via UPDATE",
+)
+def softdelete_unmatched(spark, sf_dir):
+    return merge_preview(
+        load(spark, sf_dir, "orders"),
+        orders_source(spark, sf_dir),
+        "o_orderkey",
+        delete="set o_orderpriority = 'GONE'",
+    )
+
+
+@register(
+    "keep_unmatched",
+    oracle=f"""
+WITH src AS ({ORDERS_MUT_SQL})
+SELECT * FROM src
+UNION ALL
+SELECT t.* FROM orders t
+ WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+""",
+    description="@delete=other: unmatched target rows pass through untouched",
+)
+def keep_unmatched(spark, sf_dir):
+    return merge_preview(
+        load(spark, sf_dir, "orders"), orders_source(spark, sf_dir), "o_orderkey", delete="NO"
+    )
+
+
+# --- target_filter_scope: rows failing the filter are invisible to the merge ---
+
+
+@register(
+    "target_filter_scope",
+    oracle=f"""
+WITH src AS ({ORDERS_MUT_SQL})
+SELECT * FROM src
+UNION ALL
+SELECT t.* FROM orders t
+ WHERE NOT coalesce(t.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00', false)
+""",
+    description="@targetFilter: out-of-scope target rows are never updated nor deleted",
+)
+def target_filter_scope(spark, sf_dir):
+    return merge_preview(
+        load(spark, sf_dir, "orders"),
+        orders_source(spark, sf_dir),
+        "o_orderkey",
+        target_filter="o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'",
+    )
+
+
+# --- badkey_rank: duplicate-key dedup ranking (deterministic-tiebreak form) ---
+
+
+@register(
+    "badkey_rank",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+  FROM lineitem
+""",
+    description="@badKey: row_number over the key makes duplicate keys pairwise-mergeable",
+)
+def badkey_rank(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select("l_orderkey", "l_linenumber", F.row_number().over(w).alias("rn"))
+
+
+# --- output_audit: the CDC record (fixed actionTime for determinism) ---
+
+_AUDIT_TS = "TIMESTAMP '2024-01-01 00:00:00'"
+_D_COLS = ", ".join(f"t_{c} AS d_{c}" for c in ORDERS_COLS[1:])
+_I_COLS = ", ".join(
+    f"CASE WHEN action = 'DELETE' THEN NULL ELSE s_{c} END AS i_{c}" for c in ORDERS_COLS[1:]
+)
+
+
+@register(
+    "output_audit",
+    oracle=f"""
+{classify_sql()}
+SELECT {_AUDIT_TS} AS actionTime, action, o_orderkey,
+       {_D_COLS},
+       {_I_COLS}
+  FROM cls
+ WHERE action <> 'KEEP'
+""",
+    description="OUTPUT clause: actionTime, action, key, d_*/i_* before/after images",
+)
+def output_audit(spark, sf_dir):
+    cs = build_changeset(load(spark, sf_dir, "orders"), orders_source(spark, sf_dir), "o_orderkey")
+    return cs.audit(action_time=F.expr(_AUDIT_TS))
+
+
+# --- threshold_guard: the variance computation (decision inputs) ---
+
+
+@register(
+    "threshold_guard",
+    oracle=f"""
+{classify_sql()}
+SELECT count(*) FILTER (WHERE action <> 'KEEP') AS changed,
+       (SELECT count(*) FROM orders) AS target_rows,
+       count(*) FILTER (WHERE action <> 'KEEP') * 100.0
+         / (SELECT count(*) FROM orders) AS variance_pct,
+       count(*) FILTER (WHERE action <> 'KEEP') * 100.0
+         / (SELECT count(*) FROM orders) <= 15.0 AS within_threshold
+  FROM cls
+""",
+    description="variance = changed/target*100; abort when above threshold (15% here)",
+)
+def threshold_guard(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cs = build_changeset(orders, orders_source(spark, sf_dir), "o_orderkey")
+    changed = F.count(F.when(F.col("_action") != "KEEP", 1))
+    total = orders.count()  # pre-count, sp_SimpleMerge.sql:141-150
+    total_col = F.lit(total).cast("long")
+    return cs.df.agg(
+        changed.alias("changed"),
+        total_col.alias("target_rows"),
+        (changed * 100.0 / total_col).alias("variance_pct"),
+        (changed * 100.0 / total_col <= 15.0).alias("within_threshold"),
+    )

@@ -1,0 +1,103 @@
+"""[EXT] streaming operators over events (SURVEY.md §2.C streaming row).
+
+Tumbling/sliding/session have batch-SQL formulations (identical semantics),
+so they carry real oracle checks; the two genuinely-streaming ops
+(watermark, foreachBatch merge sink) run actual Structured Streaming jobs
+and get rows-only checks + pytest equivalence properties.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from sparkmerge.ext.streaming import (
+    foreachbatch_merge_replay,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+    watermark_tumbling_stream,
+)
+from sparkmerge.queries import events_path, load, register
+
+
+@register(
+    "window_tumbling",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n, min(value) AS min_value, max(value) AS max_value
+  FROM events GROUP BY 1, 2
+""",
+    description="tumbling 1h windows per event type (F.window ≙ time_bucket)",
+)
+def window_tumbling(spark, sf_dir):
+    return tumbling_counts(load(spark, sf_dir, "events"), width="1 hour")
+
+
+@register(
+    "window_sliding",
+    oracle="""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' FROM events
+)
+SELECT window_start, count(*) AS n FROM assigned GROUP BY 1
+""",
+    description="sliding 2h windows every 1h (each event lands in 2 windows)",
+)
+def window_sliding(spark, sf_dir):
+    return sliding_counts(load(spark, sf_dir, "events"), width="2 hours", slide="1 hour")
+
+
+@register(
+    "window_session",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+    FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+  FROM sessions GROUP BY user_id, session_id
+""",
+    description="session windows (30-min gap) via lag + cumulative sum — batch ≙ session_window",
+)
+def window_session(spark, sf_dir):
+    return session_windows(load(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register(
+    "watermark_late_drop",
+    oracle=None,
+    description="Structured Streaming: readStream → withWatermark(2h) → tumbling agg (availableNow)",
+)
+def watermark_late_drop(spark, sf_dir):
+    return watermark_tumbling_stream(spark, events_path(sf_dir), width="1 hour", watermark="2 hours")
+
+
+@register(
+    "stream_merge_foreachbatch",
+    oracle=None,
+    description="foreachBatch merge sink: ts-ordered micro-batch upserts into a SnapshotTable",
+)
+def stream_merge_foreachbatch(spark, sf_dir):
+    path = os.path.join(tempfile.mkdtemp(prefix="sm_stream_"), "state")
+    try:
+        table = foreachbatch_merge_replay(spark, events_path(sf_dir), path, num_batches=4)
+        # materialize before the temp dir is removed
+        rows = table.read(spark).collect()
+        return spark.createDataFrame(rows, table.read(spark).schema)
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)

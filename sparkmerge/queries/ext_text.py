@@ -1,0 +1,149 @@
+"""[EXT] text-analysis operators over documents/events (SURVEY.md §2.D)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkmerge.ext.text import (
+    LANG_MARKERS,
+    TOKEN_REGEX,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    regex_token_count,
+    stopword_ratio,
+    text_stats,
+    token_count,
+)
+from sparkmerge.queries import load, register
+
+_WS = r"\s+"
+_TOKS = f"list_filter(string_split_regex(lower(text), '{_WS}'), x -> x <> '')"
+_TOKS_RAW = f"list_filter(string_split_regex(text, '{_WS}'), x -> x <> '')"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(len({_TOKS_RAW})) AS BIGINT) AS total_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_lexer_tokens,
+       min(CAST(length(text) AS INT)) AS min_chars,
+       max(CAST(length(text) AS INT)) AS max_chars
+  FROM documents
+ GROUP BY lang
+""",
+    description="per-language corpus stats: docs, chars, whitespace + lexer token counts",
+)
+def q_text_stats(spark, sf_dir):
+    return text_stats(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_tokens",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_TOKS_RAW}) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_lexer_tokens
+  FROM documents
+""",
+    description="per-document token counting: whitespace + BPE-ish lexer regex",
+)
+def text_tokens(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_ws_tokens"),
+        regex_token_count(t).alias("n_lexer_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+SELECT doc_id,
+       CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+         / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+       CAST(len(list_filter({_TOKS}, t -> t IN ('the','and','of','to','in'))) AS DOUBLE)
+         / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) AS en_stopword_ratio,
+       (CASE WHEN len({_TOKS_RAW}) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END * 0.4
+        + CASE WHEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+                    / CAST(greatest(length(text), 1) AS DOUBLE) <= 0.2 THEN 1.0 ELSE 0.0 END * 0.3
+        + CASE WHEN len(list_filter({_TOKS}, t -> t IN ('the','and','of','to','in'))) > 0
+               THEN 1.0 ELSE 0.0 END * 0.3) AS quality
+  FROM documents
+""",
+    description="per-document quality scoring: punctuation/stopword ratios + composite score",
+)
+def text_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t, LANG_MARKERS["en"]).alias("en_stopword_ratio"),
+        quality_score(t).alias("quality"),
+    )
+
+
+def _langid_sql() -> str:
+    score = {
+        lang: f"len(list_filter({_TOKS}, t -> t IN ({', '.join(repr(m) for m in LANG_MARKERS[lang])})))"
+        for lang in sorted(LANG_MARKERS)
+    }
+    best = f"greatest({', '.join(score.values())})"
+    pick = "'und'"
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pick = f"CASE WHEN {score[lang]} = {best} AND {best} > 0 THEN '{lang}' ELSE {pick} END"
+    return f"SELECT doc_id, lang, {pick} AS predicted_lang FROM documents"
+
+
+@register(
+    "text_langid",
+    oracle=_langid_sql(),
+    description="language-ID heuristic: stopword-marker hit argmax with deterministic tiebreak",
+)
+def text_langid(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("predicted_lang"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+  FROM documents
+""",
+    description="document fingerprint: polynomial rolling hash over char codes (mod 1e9+7)",
+)
+def text_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+       (json_extract_string(props, '$.missing') IS NULL) AS missing_is_null
+  FROM events
+""",
+    description="typed field extraction from JSON event payloads",
+)
+def json_extract_props(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+    )

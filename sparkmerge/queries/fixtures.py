@@ -1,0 +1,187 @@
+"""Shared derived fixtures — identical derivations in both dialects.
+
+Every merge operator needs a (target, source) pair; FIXTURES.md §B defines
+the canonical recipes.  Each fixture exists twice — a PySpark builder and a
+DuckDB SQL fragment — and the two MUST stay textually in sync.
+
+FP-determinism rules used throughout (the oracle hash requires bit-equal
+values from both engines):
+- mutations use single IEEE ops (``x + 10.0``) — identical bits everywhere;
+  never ``round()`` on arbitrary doubles (engines differ at half-way reprs);
+- aggregate sums over doubles go through exact DECIMAL accumulation and are
+  cast back to double at the end (order-independent, bit-equal);
+- dedup/rank tiebreaks are total orders over deterministic columns — never
+  ``monotonically_increasing_id`` in oracle-checked queries (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkmerge.queries import load
+
+# ---------------------------------------------------------------------------
+# orders_mut (FIXTURES.md §B): UPDATEs via %5, DELETEs via %7, INSERTs via %11
+# ---------------------------------------------------------------------------
+
+ORDERS_MUT_SQL = """
+SELECT o_orderkey,
+       o_custkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
+       o_orderdate,
+       o_orderpriority
+  FROM orders
+ WHERE o_orderkey % 7 <> 0
+UNION ALL
+SELECT o_orderkey + 1000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority
+  FROM orders
+ WHERE o_orderkey % 11 = 0
+""".strip()
+
+ORDERS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+ORDERS_NONKEY = ORDERS_COLS[1:]
+
+
+def orders_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    mut = F.col("o_orderkey") % 5 == 0
+    base = o.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(mut, F.lit("X")).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.when(mut, F.col("o_totalprice") + 10.0).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    extra = o.where(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    return base.unionAll(extra)
+
+
+def classify_sql(action_alias: str = "action") -> str:
+    """DuckDB fragment: the full-outer classification of orders × orders_mut
+    (must mirror changeset.py's action logic exactly)."""
+    diff = " OR ".join(f"t.{c} IS DISTINCT FROM s.{c}" for c in ORDERS_NONKEY)
+    return f"""
+WITH src AS ({ORDERS_MUT_SQL}),
+cls AS (
+  SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+         CASE WHEN t.o_orderkey IS NULL THEN 'INSERT'
+              WHEN s.o_orderkey IS NULL THEN 'DELETE'
+              WHEN {diff} THEN 'UPDATE'
+              ELSE 'KEEP' END AS {action_alias},
+         {', '.join(f't.{c} AS t_{c}' for c in ORDERS_COLS)},
+         {', '.join(f's.{c} AS s_{c}' for c in ORDERS_COLS)}
+    FROM orders t
+    FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# customer_nullkey (FIXTURES.md §B): composite key with NULLs on both sides
+# ---------------------------------------------------------------------------
+
+CUST_NULL_TGT_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_nationkey END AS c_nationkey,
+       c_name, c_acctbal, c_mktsegment
+  FROM customer
+""".strip()
+
+# source: same null pattern (so NULL keys MATCH null-safely), mutate acctbal
+# via an exact FP op, drop %13 rows (DELETEs), no inserts.
+CUST_NULL_SRC_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_nationkey END AS c_nationkey,
+       c_name,
+       CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 5.0 ELSE c_acctbal END AS c_acctbal,
+       c_mktsegment
+  FROM customer
+ WHERE c_custkey % 13 <> 0
+""".strip()
+
+
+def customer_nullkey(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    c = load(spark, sf_dir, "customer")
+    nullkey = F.when(F.col("c_custkey") % 10 == 0, F.lit(None)).otherwise(F.col("c_nationkey"))
+    tgt = c.select("c_custkey", nullkey.alias("c_nationkey"), "c_name", "c_acctbal", "c_mktsegment")
+    src = (
+        c.where(F.col("c_custkey") % 13 != 0)
+        .select(
+            "c_custkey",
+            nullkey.alias("c_nationkey"),
+            "c_name",
+            F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 5.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            "c_mktsegment",
+        )
+    )
+    return tgt, src
+
+
+# ---------------------------------------------------------------------------
+# lineitem_mut: composite natural key (l_orderkey, l_linenumber)
+# ---------------------------------------------------------------------------
+
+LINEITEM_MUT_SQL = """
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+       CASE WHEN l_orderkey % 4 = 0 THEN l_quantity + 1.0 ELSE l_quantity END AS l_quantity,
+       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+  FROM lineitem
+ WHERE l_orderkey % 9 <> 0
+""".strip()
+
+
+def lineitem_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_orderkey") % 9 != 0).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        F.when(F.col("l_orderkey") % 4 == 0, F.col("l_quantity") + 1.0)
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity"),
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# part_allkey (FIXTURES.md §B): every column is in the key
+# ---------------------------------------------------------------------------
+
+PART_COLS = ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"]
+
+PART_MUT_SQL = """
+SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+  FROM part
+ WHERE p_partkey % 3 <> 0
+UNION ALL
+SELECT p_partkey + 100000, p_name, p_brand, p_type, p_size, p_retailprice
+  FROM part
+ WHERE p_partkey % 5 = 0
+""".strip()
+
+
+def part_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    base = p.where(F.col("p_partkey") % 3 != 0)
+    extra = p.where(F.col("p_partkey") % 5 == 0).select(
+        (F.col("p_partkey") + 100000).alias("p_partkey"), *PART_COLS[1:]
+    )
+    return base.unionAll(extra)

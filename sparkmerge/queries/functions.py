@@ -1,0 +1,163 @@
+"""Scalar-function surface (SURVEY.md §2.B function table): every T-SQL
+function the reference uses, re-expressed with built-in pyspark.sql.functions
+(JVM-side, whole-stage-codegen'd — no Python UDFs) and grouped into oracle
+queries by category."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkmerge.queries import load, register
+
+# --- string functions: replace, substring, charindex, trim, stuff, quotename, len ---
+
+
+@register(
+    "fn_string_ops",
+    oracle="""
+SELECT n_name,
+       replace(n_name, 'A', '_') AS replaced,
+       substring(n_name, 2, 3) AS sub,
+       CAST(strpos(n_name, 'AN') AS INT) AS charindex_an,
+       ltrim(concat('  ', n_name)) AS ltrimmed,
+       rtrim(concat(n_name, '  ')) AS rtrimmed,
+       concat(substring(n_name, 1, 1), 'XX', substring(n_name, 4)) AS stuffed,
+       concat('[', n_name, ']') AS quoted,
+       CAST(length(n_name) AS INT) AS name_len
+  FROM nation
+""",
+    description="replace/substring/charindex/ltrim/rtrim/stuff/quotename/len",
+)
+def fn_string_ops(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    name = F.col("n_name")
+    return n.select(
+        name,
+        F.replace(name, F.lit("A"), F.lit("_")).alias("replaced"),
+        F.substring(name, 2, 3).alias("sub"),
+        F.instr(name, "AN").cast("int").alias("charindex_an"),
+        F.ltrim(F.concat(F.lit("  "), name)).alias("ltrimmed"),
+        F.rtrim(F.concat(name, F.lit("  "))).alias("rtrimmed"),
+        # stuff(name, 2, 2, 'XX'): delete 2 chars at pos 2, insert 'XX'
+        F.concat(F.substring(name, 1, 1), F.lit("XX"), F.substring(name, 4, 1000)).alias("stuffed"),
+        F.concat(F.lit("["), name, F.lit("]")).alias("quoted"),
+        F.length(name).cast("int").alias("name_len"),
+    )
+
+
+# --- null handling: isnull/coalesce, nullif ---
+
+
+@register(
+    "fn_null_ops",
+    oracle="""
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
+       coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS nonneg_bal,
+       (nullif(c_custkey % 3, 0) IS NULL) AS div3
+  FROM customer
+""",
+    description="isnull/coalesce + nullif (sp_SimpleMerge.sql:94,146,171,473)",
+)
+def fn_null_ops(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_or_other"
+        ),
+        F.coalesce(
+            F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal")), F.lit(0.0)
+        ).alias("nonneg_bal"),
+        F.nullif(F.col("c_custkey") % 3, F.lit(0)).isNull().alias("div3"),
+    )
+
+
+# --- conversion: cast, convert(...,121), isnumeric ---
+
+
+@register(
+    "fn_conversion_ops",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odbc_canonical,
+       (TRY_CAST(o_orderpriority AS DOUBLE) IS NOT NULL) AS priority_isnumeric
+  FROM orders
+""",
+    description="cast / convert(...,121) ODBC canonical / isnumeric (try_cast)",
+)
+def fn_conversion_ops(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_totalprice").cast("bigint").alias("price_int"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("odbc_canonical"),
+        F.expr("try_cast(o_orderpriority AS double)").isNotNull().alias("priority_isnumeric"),
+    )
+
+
+# --- window: row_number over composite partitions (sp_SimpleMerge.sql:210-239) ---
+
+
+@register(
+    "fn_window_rownum",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders) t
+ WHERE rn <= 3
+""",
+    description="row_number() over partition with deterministic tiebreak; top-3 per group",
+)
+def fn_window_rownum(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- set operations: INTERSECT (change-detection core) + UNION ALL ---
+
+
+@register(
+    "fn_setop_intersect",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+    description="INTERSECT — null-safe set semantics (the change-detection primitive)",
+)
+def fn_setop_intersect(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_side = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_side.intersect(o_side)
+
+
+@register(
+    "fn_setop_unionall",
+    oracle="""
+SELECT 'F' AS bucket, o_orderkey FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 100 = 0
+UNION ALL
+SELECT 'O' AS bucket, o_orderkey FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 100 = 0
+""",
+    description="UNION ALL (tally assembly pattern, sp_SimpleMerge.sql:164-170)",
+)
+def fn_setop_unionall(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    f_side = o.filter(F.col("o_orderstatus") == "F").select(
+        F.lit("F").alias("bucket"), "o_orderkey"
+    )
+    o_side = o.filter(F.col("o_orderstatus") == "O").select(
+        F.lit("O").alias("bucket"), "o_orderkey"
+    )
+    return f_side.unionAll(o_side)
