@@ -87,11 +87,12 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return comps
 
 
-def lsh_bucket(vec: Column, dim: int, *, planes: int = 12) -> Column:
-    """Random-hyperplane LSH: sign bit per plane → integer bucket id."""
+def lsh_bucket(vec: Column, dim: int, *, planes: int = 12, table: int = 0) -> Column:
+    """Random-hyperplane LSH: sign bit per plane → integer bucket id.
+    ``table`` selects an independent plane set (multi-table LSH)."""
     bits = []
     for p in range(planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, table * 1009 + p)])
         bits.append(F.when(dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
     return functools.reduce(lambda a, b: a + b, bits).cast("long")
 
@@ -104,26 +105,34 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 10,
     dim: int = 64,
-    planes: int = 8,
+    planes: int = 6,
+    tables: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the query's LSH bucket.
-    At scale this turns the all-pairs scan into a bucket-local join keyed on
-    the bucket id (one shuffle, prunable)."""
-    c = corpus.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("n_vec"),
-        lsh_bucket(F.col(vec_col), dim, planes=planes).alias("_bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), dim, planes=planes).alias("_bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "_bucket")
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"))
-    )
+    """Approximate top-k: score only candidates that share an LSH bucket with
+    the query in ANY of ``tables`` independent hash tables (multi-table LSH —
+    the standard recall lever; single-probe recall is poor on unclustered
+    data).  At scale each table's lookup is a bucket-keyed equi-join (one
+    shuffle per table on small uniform keys); candidates are unioned and
+    deduped before scoring, so each pair's cosine is computed once."""
+    cand_frames = []
+    for t in range(tables):
+        c = corpus.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("n_vec"),
+            lsh_bucket(F.col(vec_col), dim, planes=planes, table=t).alias("_bucket"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            lsh_bucket(F.col(vec_col), dim, planes=planes, table=t).alias("_bucket"),
+        )
+        cand_frames.append(
+            c.join(F.broadcast(q), "_bucket")
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "q_vec", "n_id", "n_vec")
+        )
+    cands = functools.reduce(DataFrame.unionAll, cand_frames).dropDuplicates(["q_id", "n_id"])
+    scored = cands.select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

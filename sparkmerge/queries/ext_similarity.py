@@ -75,7 +75,7 @@ def topk_similarity(spark, sf_dir):
 )
 def ann_lsh(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dim=DIM, planes=6)
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dim=DIM, planes=6, tables=8)
 
 
 @register(

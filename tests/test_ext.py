@@ -1,0 +1,143 @@
+"""[EXT] operator tests: dedup recall, ANN recall vs brute force,
+stream-batch equivalence, multimodal plumbing (SURVEY.md §5.5)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sparkmerge.ext.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from sparkmerge.ext.multimodal import attach_binary_payload, extract_features
+from sparkmerge.ext.similarity import brute_force_topk, lsh_topk
+from sparkmerge.ext.streaming import foreachbatch_merge_replay, session_windows
+from sparkmerge.merge import merge_preview
+from sparkmerge.queries import events_path, load
+from tests.conftest import SF_DIR
+
+
+def _docs_with_near_dups(spark):
+    d = load(spark, SF_DIR, "documents").limit(200)
+    # plant near-duplicates: copy of each %10 doc with one appended token
+    dups = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+                "lang", "source", "n_chars")
+    )
+    return d.unionByName(dups)
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    docs = _docs_with_near_dups(spark)
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = minhash_lsh_pairs(sigs, "doc_id").filter(F.col("est_jaccard") >= 0.5)
+    found = {(r.a_id, r.b_id) for r in pairs.collect()}
+    planted = {(r.doc_id, r.doc_id + 100000) for r in docs.filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)).collect()}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"minhash recall {recall} over {len(planted)} planted pairs"
+
+
+def test_simhash_finds_exact_copies(spark):
+    d = load(spark, SF_DIR, "documents").limit(100)
+    copies = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    sim = simhash(d.unionByName(copies), "doc_id", "text")
+    pairs = simhash_pairs(sim, "doc_id", max_hamming=3)
+    found = {(r.a_id, r.b_id) for r in pairs.collect()}
+    planted = {(r.doc_id, r.doc_id + 100000) for r in d.collect()}
+    assert planted <= found  # identical text → identical simhash → hamming 0
+
+
+def test_ngram_jaccard_exact_on_planted_pair(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d", lang="en"),
+            Row(doc_id=2, text="a b c e", lang="en"),
+            Row(doc_id=3, text="x y", lang="en"),
+        ]
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5)
+    got = {(r.a_id, r.b_id): r.jaccard for r in pairs.collect()}
+    assert got == {(1, 2): 3 / 5}
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = lsh_topk(emb, queries, k=10, dim=64, planes=4, tables=8)
+    e = {(r.q_id, r.n_id) for r in exact.collect()}
+    a = {(r.q_id, r.n_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # multi-table LSH (8 tables × 4 planes) over 500 random vectors: the
+    # corpus has no cluster structure, so this bounds the honest recall
+    assert recall >= 0.5, f"ann recall {recall}"
+    # and every approx result must be a genuine corpus neighbor pair
+    assert all(q != n for q, n in a)
+
+
+def test_stream_batch_equivalence(spark, tmp_path):
+    """foreachBatch replay in ts order ≡ one-shot batch merge of latest-per-key
+    (SURVEY.md §5.5)."""
+    table = foreachbatch_merge_replay(
+        spark, events_path(SF_DIR), str(tmp_path / "state"), num_batches=4
+    )
+    streamed = table.read(spark)
+
+    events = spark.read.parquet(events_path(SF_DIR))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    batch_latest = (
+        events.select("user_id", "event_id", "ts", "event_type", "value")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    assert streamed.exceptAll(batch_latest).count() == 0
+    assert batch_latest.exceptAll(streamed).count() == 0
+
+
+def test_session_windows_gap_semantics(spark):
+    rows = [
+        Row(event_id=1, ts="2024-01-01 10:00:00", user_id=1, event_type="a", value=1.0, props="{}"),
+        Row(event_id=2, ts="2024-01-01 10:10:00", user_id=1, event_type="a", value=1.0, props="{}"),
+        Row(event_id=3, ts="2024-01-01 11:10:00", user_id=1, event_type="a", value=1.0, props="{}"),
+    ]
+    events = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    sess = session_windows(events, gap_minutes=30).collect()
+    assert len(sess) == 2
+    by_id = {r.session_id: r.n_events for r in sess}
+    assert by_id == {0: 2, 1: 1}
+
+
+def test_multimodal_binary_roundtrip_and_merge(spark):
+    d = attach_binary_payload(load(spark, SF_DIR, "documents").limit(50))
+    feats = extract_features(d)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(r.n_bytes > 0 and 16 <= r.width < 80 for r in rows)
+    # binary columns survive a merge untouched and change-detect correctly
+    src = d.withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 7 == 0, F.encode(F.lit("changed"), "UTF-8")).otherwise(
+            F.col("payload")
+        ),
+    )
+    final = merge_preview(d, src, "doc_id")
+    changed = final.filter(F.col("doc_id") % 7 == 0).select("payload").first()[0]
+    assert bytes(changed) == b"changed"
+
+
+def test_events_cache_is_reused(spark):
+    p1 = events_path(SF_DIR)
+    p2 = events_path(SF_DIR)
+    assert p1 == p2 and os.path.isdir(p1)

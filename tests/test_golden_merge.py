@@ -1,0 +1,175 @@
+"""Golden merge scenarios (SURVEY.md §5.2) — one hand-built micro-fixture per
+reference edge case (FIXTURES.md §D)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sparkmerge import (
+    MergeThresholdExceeded,
+    MergeValidationError,
+    SnapshotTable,
+    build_changeset,
+    simple_merge,
+)
+
+
+def counts(cs):
+    return cs.action_counts()
+
+
+def test_nullable_key_matches(spark):
+    """NULL=NULL matches in the key (sp_SimpleMerge.sql:258-263, README.md:20-21)."""
+    schema = "k int, k2 string, v1 string, v2 double"
+    t = spark.createDataFrame([(1, None, "a", 1.0)], schema)
+    s = spark.createDataFrame([(1, None, "a2", 1.0)], schema)
+    cs = build_changeset(t, s, "k, k2")
+    assert counts(cs) == {"UPDATE": 1}
+
+
+def test_null_safe_change_detection(spark):
+    """NULL→NULL is KEEP (not UPDATE); NULL→'x' is UPDATE (sp_SimpleMerge.sql:277-297)."""
+    schema = "k int, v1 string, v2 double"
+    t = spark.createDataFrame([(1, None, 1.0), (2, None, 2.0)], schema)
+    s = spark.createDataFrame([(1, None, 1.0), (2, "x", 2.0)], schema)
+    cs = build_changeset(t, s, "k")
+    got = {r["k"]: r["_action"] for r in cs.df.collect()}
+    assert got == {1: "KEEP", 2: "UPDATE"}
+
+
+def test_all_columns_in_key_suppresses_update(spark):
+    """No UPDATE action possible when every source column is a key (README.md:18-19)."""
+    t = spark.createDataFrame([Row(k=1, k2="a"), Row(k=2, k2="b")])
+    s = spark.createDataFrame([Row(k=1, k2="a"), Row(k=3, k2="c")])
+    cs = build_changeset(t, s, "k, k2")
+    assert counts(cs) == {"KEEP": 1, "DELETE": 1, "INSERT": 1}
+    assert cs.plan.update_suppressed
+
+
+def test_badkey_swapped_values_converge(spark):
+    """Duplicate keys with swapped values merge; final multiset equals source
+    (README.md:22-23: equal-key rows 'may swap places')."""
+    t = spark.createDataFrame([Row(k=1, v="x"), Row(k=1, v="y")])
+    s = spark.createDataFrame([Row(k=1, v="y"), Row(k=1, v="x")])
+    cs = build_changeset(t, s, "k", bad_key=True)
+    final = cs.apply_changes()
+    assert sorted((r.k, r.v) for r in final.collect()) == [(1, "x"), (1, "y")]
+
+
+def test_badkey_unequal_cardinality(spark):
+    """More dups on one side: extras insert/delete (generated rn join)."""
+    t = spark.createDataFrame([Row(k=1, v="a")])
+    s = spark.createDataFrame([Row(k=1, v="a"), Row(k=1, v="b")])
+    cs = build_changeset(t, s, "k", bad_key=True, bad_key_order=["v"])
+    assert counts(cs) == {"KEEP": 1, "INSERT": 1}
+
+
+def test_delete_modes(spark):
+    """delete='YES' | 'set ...' | other (sp_SimpleMerge.sql:339-346)."""
+    t = spark.createDataFrame([Row(k=1, v="a", dead=False), Row(k=2, v="b", dead=False)])
+    s = spark.createDataFrame([Row(k=1, v="a", dead=False)])
+
+    hard = build_changeset(t, s, "k", delete="YES")
+    assert counts(hard) == {"KEEP": 1, "DELETE": 1}
+    assert hard.apply_changes().count() == 1
+
+    soft = build_changeset(t, s, "k", delete="set dead = true")
+    rows = {r.k: r.dead for r in soft.apply_changes().collect()}
+    assert rows == {1: False, 2: True}
+
+    keep = build_changeset(t, s, "k", delete="NO")
+    rows = {r.k: r.dead for r in keep.apply_changes().collect()}
+    assert rows == {1: False, 2: False}
+
+
+def test_soft_delete_expression_over_target_row(spark):
+    """SET expr may reference target columns (evaluated on the old row)."""
+    t = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    s = spark.createDataFrame([Row(k=1, v="a")])
+    cs = build_changeset(t, s, "k", delete="set v = concat(v, '_gone')")
+    rows = {r.k: r.v for r in cs.apply_changes().collect()}
+    assert rows == {1: "a", 2: "b_gone"}
+
+
+def test_target_filter_null_predicate_immune(spark, tmp_table_dir):
+    """Filter-NULL rows are out of scope and immune (SURVEY.md §7.4)."""
+    t = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 1), (3, "c", None)], "k int, v string, f int"
+    )
+    tbl = SnapshotTable.create(spark, tmp_table_dir, t)
+    src = spark.createDataFrame([], "k bigint, v string, f int")
+    simple_merge(spark, tbl, src, "k", target_filter="f >= 5")
+    left = sorted(r.k for r in tbl.read(spark).collect())
+    assert left == [2, 3]  # k=1 (in scope) deleted; false + NULL rows immune
+
+
+def test_threshold_abort_and_empty_target_bypass(spark, tmp_path):
+    t = spark.createDataFrame([Row(k=i, v=str(i)) for i in range(10)])
+    tbl = SnapshotTable.create(spark, str(tmp_path / "a"), t)
+    src = spark.createDataFrame([Row(k=1, v="CHANGED")] + [Row(k=i, v=str(i)) for i in range(2, 10)])
+    # 2 changes / 10 rows = 20% > 15% → abort
+    with pytest.raises(MergeThresholdExceeded):
+        simple_merge(spark, tbl, src, "k", threshold="15%")
+    assert tbl.current_version() == 1
+    assert tbl.read(spark).count() == 10
+    # within threshold commits
+    res = simple_merge(spark, tbl, src, "k", threshold="25%")
+    assert res.committed and res.changed_rows == 2
+    # empty target bypasses the guard entirely (sp_SimpleMerge.sql:476)
+    empty = SnapshotTable.create(
+        spark, str(tmp_path / "b"), spark.createDataFrame([], "k bigint, v string")
+    )
+    res2 = simple_merge(spark, empty, src, "k", threshold="1%")
+    assert res2.committed and res2.target_rows_before == 0
+
+
+def test_audit_record_shape(spark, tmp_path):
+    """Audit carries actionTime, action, key, d_*/i_* including target-only
+    columns (sp_SimpleMerge.sql:350-410, :367-368)."""
+    t = spark.createDataFrame([Row(k=1, v="a", extra="t-only"), Row(k=2, v="b", extra="x")])
+    s = spark.createDataFrame([Row(k=2, v="B"), Row(k=3, v="c")])
+    tbl = SnapshotTable.create(spark, str(tmp_path / "t"), t)
+    audit_path = str(tmp_path / "audit")
+    simple_merge(spark, tbl, s, "k", audit_path=audit_path)
+    audit = spark.read.parquet(audit_path)
+    assert set(audit.columns) == {"actionTime", "action", "k", "d_v", "d_extra", "i_v", "i_extra"}
+    by_action = {r["action"]: r for r in audit.collect()}
+    assert set(by_action) == {"INSERT", "UPDATE", "DELETE"}
+    assert by_action["UPDATE"]["d_v"] == "b" and by_action["UPDATE"]["i_v"] == "B"
+    # target-only column appears in both images; insert's d_* is NULL
+    assert by_action["UPDATE"]["d_extra"] == "x" and by_action["UPDATE"]["i_extra"] == "x"
+    assert by_action["INSERT"]["d_v"] is None and by_action["INSERT"]["i_v"] == "c"
+    assert by_action["DELETE"]["i_v"] is None
+
+
+def test_source_subset_of_target_preserves_extras(spark, tmp_table_dir):
+    """Source may omit target columns; updates leave them untouched, inserts
+    NULL-fill them (sp_SimpleMerge.sql:200-201,:303-305,:323)."""
+    t = spark.createDataFrame([Row(k=1, v="a", extra="keepme")])
+    s = spark.createDataFrame([Row(k=1, v="A"), Row(k=2, v="b")])
+    tbl = SnapshotTable.create(spark, tmp_table_dir, t)
+    simple_merge(spark, tbl, s, "k")
+    rows = {r.k: (r.v, r.extra) for r in tbl.read(spark).collect()}
+    assert rows == {1: ("A", "keepme"), 2: ("b", None)}
+
+
+def test_validation_errors(spark):
+    t = spark.createDataFrame([], "k bigint, v string")
+    with pytest.raises(MergeValidationError):
+        build_changeset(t, spark.createDataFrame([], "x bigint, v string"), "k")
+    with pytest.raises(MergeValidationError):
+        build_changeset(t, spark.createDataFrame([], "k bigint, v string, z int"), "k")
+    with pytest.raises(MergeValidationError):
+        build_changeset(t, spark.createDataFrame([], "k bigint, v string"), " , ")
+
+
+def test_debug_report_no_side_effects(spark, tmp_table_dir):
+    t = spark.createDataFrame([Row(k=1, v="a")])
+    tbl = SnapshotTable.create(spark, tmp_table_dir, t)
+    rep = simple_merge(spark, tbl, t, "k", debug=True, threshold="15%")
+    assert "MERGE INTO" in rep.merge_sql and "WHEN NOT MATCHED" in rep.merge_sql
+    assert rep.target_rows == 1 and rep.threshold == 15.0
+    assert "d_v" in rep.audit_ddl
+    assert tbl.current_version() == 1 and tbl.properties() == {}
