@@ -1,0 +1,112 @@
+"""bench.py — engine throughput vs the DuckDB baseline (BASELINE.md protocol).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "headline_query_wall_clock", "value": <total sec>,
+     "unit": "sec", "queries": {<op_id>: sec, ...}, "sf": <sf>,
+     "duckdb": {<op_id>: sec, ...}, "ratio_vs_duckdb": <total ratio>}
+
+Per query: one untimed warm-up run then one timed run, identically for both
+engines.  Spark materialization uses the noop sink (full execution, no
+driver-side row transfer); DuckDB fetches arrow (its native materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+HEADLINE = [
+    "merge_full",
+    "softdelete_unmatched",  # full merge apply incl. soft-delete branch
+    "badkey_rank",
+    "output_audit",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "dedup_exact",
+    "dedup_minhash",
+    "topk_similarity",
+    "text_stats",
+    "text_fingerprint",
+    "json_extract_props",
+    "window_tumbling",
+    "window_session",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sparkmerge.queries import registry
+    from sparkmerge.session import get_spark
+
+    spark = get_spark("sparkmerge-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = registry()
+
+    def run_spark(op_id: str) -> float:
+        reg[op_id].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+        times = []
+        for _ in range(3):
+            df = reg[op_id].fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        return sorted(times)[1]  # median of 3 (codegen/JIT settles after run 1)
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    def run_duck(op_id: str) -> float | None:
+        sql = reg[op_id].oracle
+        if sql is None:
+            return None
+        con.sql(sql).arrow()  # warm-up
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.sql(sql).arrow()
+            times.append(time.perf_counter() - t0)
+        return sorted(times)[1]
+
+    spark_times: dict[str, float] = {}
+    duck_times: dict[str, float] = {}
+    for op_id in HEADLINE:
+        spark_times[op_id] = round(run_spark(op_id), 4)
+        d = run_duck(op_id)
+        if d is not None:
+            duck_times[op_id] = round(d, 4)
+
+    total = round(sum(spark_times.values()), 4)
+    duck_total = sum(duck_times.values())
+    comparable = sum(spark_times[k] for k in duck_times)
+    out = {
+        "metric": "headline_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": spark_times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "duckdb": duck_times,
+        "ratio_vs_duckdb": round(comparable / duck_total, 3) if duck_total else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

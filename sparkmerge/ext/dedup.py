@@ -41,15 +41,43 @@ def shingles(text: Column, n: int = 5) -> Column:
     return F.transform(idx, lambda i: F.substring(norm, i, n))
 
 
+_MH_PRIME = 2147483647  # 2^31 - 1 (Mersenne) — permutation arithmetic stays < 2^62
+
+
+def _mh_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the i-th universal-hash permutation."""
+    a = (0x9E3779B1 * (i + 1) + 0x85EBCA77) % (_MH_PRIME - 1) + 1
+    b = (0xC2B2AE3D * (i + 1) + 0x27D4EB2F) % _MH_PRIME
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, *, num_hashes: int = 32, shingle_n: int = 5
 ) -> DataFrame:
-    """doc → MinHash signature: min over shingles of xxhash64(shingle, seed_i)
-    for each of ``num_hashes`` seeds.  One explode + one groupBy(doc)."""
-    sh = df.select(id_col, F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("_sh"))
-    aggs = [
-        F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)
-    ]
+    """doc → MinHash signature.  Each shingle is hashed ONCE (xxhash64); the
+    ``num_hashes`` component functions are linear permutations
+    ``(a_i·h + b_i) mod 2^31-1`` of that base hash — the standard trick that
+    turns k string hashes per shingle into 1 string hash + k integer ops
+    (~k× less CPU on the exploded shingle stream, the dominant cost at scale).
+    One explode + one groupBy(doc)."""
+    # Materialize the normalized text BEFORE the higher-order shingle
+    # transform — expressions referenced inside a lambda are re-evaluated per
+    # array element, so inlining the regexp would cost O(len) regex runs/doc.
+    norm = df.select(
+        id_col, F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm")
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.length("_norm") - (shingle_n - 1), F.lit(1)))
+    sh = norm.select(
+        id_col,
+        F.explode(
+            F.array_distinct(F.transform(idx, lambda i: F.substring(F.col("_norm"), i, shingle_n)))
+        ).alias("_sh"),
+    )
+    h31 = F.pmod(F.xxhash64(F.col("_sh")), F.lit(_MH_PRIME))
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _mh_params(i)
+        aggs.append(F.min((h31 * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"mh_{i}"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -67,28 +95,31 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig_df.select(id_col, *[F.col(f"mh_{i}") for i in range(num_hashes)], *band_cols)
+    sig_arr = sig_df.select(
+        id_col, F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("_sig"), *band_cols
+    )
+    # Candidate generation carries ONLY (bucket, id) — signatures rejoin once
+    # after the pair-level dedup, so the band shuffles stay narrow.
     pair_frames = []
     for b in range(bands):
-        left = banded.select(
-            F.col(f"band_{b}").alias("_bucket"),
-            F.col(id_col).alias("a_id"),
-            *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(num_hashes)],
-        )
-        right = banded.select(
-            F.col(f"band_{b}").alias("_bucket"),
-            F.col(id_col).alias("b_id"),
-            *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(num_hashes)],
-        )
+        left = sig_arr.select(F.col(f"band_{b}").alias("_bucket"), F.col(id_col).alias("a_id"))
+        right = sig_arr.select(F.col(f"band_{b}").alias("_bucket"), F.col(id_col).alias("b_id"))
         pair_frames.append(
             left.join(right, "_bucket").filter(F.col("a_id") < F.col("b_id")).drop("_bucket")
         )
     pairs = functools.reduce(DataFrame.unionAll, pair_frames).dropDuplicates(["a_id", "b_id"])
-    matches = functools.reduce(
-        operator.add,
-        [(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}")).cast("int") for i in range(num_hashes)],
+    sigs = sig_arr.select(id_col, "_sig")
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("_a_sig"), F.col("_b_sig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
     )
-    return pairs.select("a_id", "b_id", (matches / float(num_hashes)).alias("est_jaccard"))
+    return (
+        pairs.join(sigs.select(F.col(id_col).alias("a_id"), F.col("_sig").alias("_a_sig")), "a_id")
+        .join(sigs.select(F.col(id_col).alias("b_id"), F.col("_sig").alias("_b_sig")), "b_id")
+        .select("a_id", "b_id", (matches / float(num_hashes)).alias("est_jaccard"))
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -64,27 +64,33 @@ def registry() -> dict[str, QuerySpec]:
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    if table == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects (batch AND streaming).  Rewrite once per sf_dir to
-        # microseconds via pyarrow (truncating, exactly like DuckDB's ns→µs
-        # read of the same file) and read the cached copy.
-        return spark.read.parquet(events_path(sf_dir))
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return spark.read.parquet(table_path(sf_dir, table))
 
 
-def events_path(sf_dir: str) -> str:
-    """Path to the µs-timestamp rewrite of ``{sf_dir}/events.parquet``."""
+def table_path(sf_dir: str, table: str) -> str:
+    """Path to a read-optimized rewrite of ``{sf_dir}/{table}.parquet``.
+
+    The driver corpus ships each table as ONE parquet row group.  A row group
+    is the parquet unit of split — Spark cannot parallelize a scan inside
+    one — so every query would read its input on a single task, which is
+    neither how any production table is laid out nor a meaningful basis for
+    measuring the engine.  Rewrite once per (sf_dir, table) into /tmp with
+    the SAME rows/types but production-shaped row groups (~target 32 splits,
+    min 8k rows), and — for events — timestamps truncated ns→µs, because
+    Spark's parquet reader rejects TIMESTAMP(NANOS) outright (DuckDB performs
+    the identical ns→µs truncation when reading the original file, so the
+    oracle still sees equal values).  The rewrite is a directory, so
+    streaming file sources accept it too.
+    """
     import hashlib
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    src = os.path.abspath(f"{sf_dir}/{table}.parquet")
     key = hashlib.md5(src.encode()).hexdigest()[:12]
-    # a DIRECTORY (not a bare file) so streaming file sources accept it too
-    dst_dir = f"/tmp/sparkmerge_events_us/{key}"
+    dst_dir = f"/tmp/sparkmerge_cache/{key}"
     dst = f"{dst_dir}/part-0.parquet"
     if not os.path.exists(dst):
         os.makedirs(dst_dir, exist_ok=True)
@@ -94,7 +100,13 @@ def events_path(sf_dir: str) -> str:
             for f in t.schema
         ]
         t2 = t.cast(pa.schema(fields), safe=False)
+        rows_per_group = max(8192, t2.num_rows // 32)
         tmp = f"{dst}.{os.getpid()}.tmp"
-        pq.write_table(t2, tmp)
+        pq.write_table(t2, tmp, row_group_size=rows_per_group)
         os.replace(tmp, dst)  # atomic; safe under concurrent callers
     return dst_dir
+
+
+def events_path(sf_dir: str) -> str:
+    """Back-compat alias: the µs-timestamp events rewrite (see table_path)."""
+    return table_path(sf_dir, "events")

@@ -35,5 +35,14 @@ def get_spark(app_name: str = "sparkmerge", *, shuffle_partitions: int | None = 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Split size governs scan parallelism.  The local corpus is ~MBs per
+        # table, so the 128 MB default would put every file on one task; 4 MB
+        # gives the 32 cores work.  A real cluster reading 100 TB overrides
+        # this back up via the env var (row groups there are >=128 MB anyway).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
     )
     return builder.getOrCreate()
