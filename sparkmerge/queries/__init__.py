@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MODULES = [
     "sparkmerge.queries.core",
+    "sparkmerge.queries.lifecycle",
+    "sparkmerge.queries.sources",
     "sparkmerge.queries.support",
     "sparkmerge.queries.functions",
     "sparkmerge.queries.analytics",

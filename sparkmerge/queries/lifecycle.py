@@ -1,0 +1,227 @@
+"""Lifecycle/orchestration operators (SURVEY.md §2.A/§2.B rows that exercise
+the storage + transaction machinery rather than pure dataflow).  Each runs a
+REAL merge against a scratch SnapshotTable under /tmp and returns the
+observable outcome as a DataFrame."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from sparkmerge.errors import MergeThresholdExceeded, MergeValidationError
+from sparkmerge.merge import simple_merge
+from sparkmerge.queries import load, register
+from sparkmerge.queries.fixtures import classify_sql, orders_source
+from sparkmerge.table import SnapshotTable
+
+
+def _scratch():
+    return tempfile.mkdtemp(prefix="sparkmerge_op_")
+
+
+@register(
+    "lastupdate_prop",
+    oracle=None,
+    description="lastUpdate table property stamped on successful commit only "
+    "(sp_SimpleMerge.sql:129-140,:485-491; rollback quirk fixed per SURVEY §7.4)",
+)
+def lastupdate_prop(spark, sf_dir):
+    d = _scratch()
+    try:
+        orders = load(spark, sf_dir, "orders").limit(500)
+        tbl = SnapshotTable.create(spark, os.path.join(d, "t"), orders)
+        stamped_initial = "lastUpdate" in tbl.properties()
+        # aborted merge must NOT stamp
+        try:
+            simple_merge(spark, tbl, orders.limit(0), "o_orderkey", threshold="1%")
+        except MergeThresholdExceeded:
+            pass
+        stamped_after_abort = "lastUpdate" in tbl.properties()
+        simple_merge(spark, tbl, orders, "o_orderkey")
+        stamped_after_commit = "lastUpdate" in tbl.properties()
+        fmt_ok = False
+        if stamped_after_commit:
+            v = tbl.properties()["lastUpdate"]
+            # ODBC-canonical style: 'YYYY-MM-DD hh:mm:ss.mmm' (convert(...,121))
+            fmt_ok = len(v) == 23 and v[4] == "-" and v[10] == " " and v[19] == "."
+        return spark.createDataFrame(
+            [
+                ("stamped_on_create", stamped_initial),
+                ("stamped_after_abort", stamped_after_abort),
+                ("stamped_after_commit", stamped_after_commit),
+                ("odbc_canonical_format", fmt_ok),
+            ],
+            "checked_case string, value boolean",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "debug_dry_run",
+    oracle=None,
+    description="@debug=1 dry-run: generated MERGE SQL, threshold, rowcount, audit DDL — "
+    "zero side effects (sp_SimpleMerge.sql:422-465)",
+)
+def debug_dry_run(spark, sf_dir):
+    d = _scratch()
+    try:
+        orders = load(spark, sf_dir, "orders").limit(500)
+        tbl = SnapshotTable.create(spark, os.path.join(d, "t"), orders)
+        v_before = tbl.current_version()
+        rep = simple_merge(
+            spark, tbl, orders_source(spark, sf_dir), "o_orderkey", debug=True, threshold="15%"
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    rep.merge_sql,
+                    float(rep.threshold),
+                    rep.target_rows,
+                    rep.audit_ddl,
+                    tbl.current_version() == v_before and tbl.properties() == {},
+                )
+            ],
+            "merge_sql string, threshold double, target_rows bigint, audit_ddl string, side_effect_free boolean",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "schema_align_fullouter",
+    oracle="""
+WITH t_cols AS (
+  SELECT column_name, row_number() OVER () AS ordinal
+    FROM (DESCRIBE SELECT * FROM customer)
+),
+s_cols AS (
+  SELECT column_name FROM (DESCRIBE SELECT c_custkey, c_name, c_acctbal FROM customer)
+)
+SELECT coalesce(t.column_name, s.column_name) AS column_name,
+       (s.column_name IS NOT NULL) AS in_source,
+       (t.column_name IS NOT NULL) AS in_target,
+       (coalesce(t.column_name, s.column_name) = 'c_custkey') AS is_key
+  FROM t_cols t FULL OUTER JOIN s_cols s USING (column_name)
+""",
+    description="full-outer alignment of source × target × key column sets "
+    "(the #columnList build, sp_SimpleMerge.sql:187-191)",
+)
+def schema_align_fullouter(spark, sf_dir):
+    from sparkmerge.plan import MergePlan
+
+    c = load(spark, sf_dir, "customer")
+    src = c.select("c_custkey", "c_name", "c_acctbal")
+    plan = MergePlan.build(c.schema, src.schema, "c_custkey")
+    rows = [(col.name, col.in_source, col.in_target, col.is_key) for col in plan.columns]
+    return spark.createDataFrame(
+        rows, "column_name string, in_source boolean, in_target boolean, is_key boolean"
+    )
+
+
+@register(
+    "txn_commit_rollback",
+    oracle=None,
+    description="snapshot-pointer transaction: staged version invisible until commit, "
+    "abort leaves pointer untouched (sp_SimpleMerge.sql:470-479)",
+)
+def txn_commit_rollback(spark, sf_dir):
+    d = _scratch()
+    try:
+        orders = load(spark, sf_dir, "orders").limit(500)
+        tbl = SnapshotTable.create(spark, os.path.join(d, "t"), orders)
+        staged = tbl.stage(orders.limit(100))
+        invisible = tbl.read(spark).count() == 500  # staged not visible
+        tbl.abort(staged)
+        after_abort = tbl.current_version() == 1 and tbl.read(spark).count() == 500
+        staged2 = tbl.stage(orders.limit(100))
+        tbl.commit(staged2)
+        after_commit = tbl.current_version() == staged2 and tbl.read(spark).count() == 100
+        return spark.createDataFrame(
+            [
+                ("staged_invisible_to_readers", invisible),
+                ("abort_preserves_pointer", after_abort),
+                ("commit_swaps_pointer", after_commit),
+            ],
+            "checked_case string, value boolean",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "error_raise",
+    oracle="""
+SELECT * FROM (VALUES
+  ('validation_error_on_bad_key', 'MergeValidationError'),
+  ('threshold_error_on_variance', 'MergeThresholdExceeded'),
+  ('validation_error_on_bad_threshold', 'MergeValidationError')
+) AS v(checked_case, raised)
+""",
+    description="typed error surface: throw 50000 → MergeValidationError, "
+    "variance raiserror → MergeThresholdExceeded (sp_SimpleMerge.sql:128,:483)",
+)
+def error_raise(spark, sf_dir):
+    d = _scratch()
+    try:
+        orders = load(spark, sf_dir, "orders").limit(100)
+        tbl = SnapshotTable.create(spark, os.path.join(d, "t"), orders)
+        rows = []
+
+        def attempt(name, fn):
+            try:
+                fn()
+                rows.append((name, "no_error"))
+            except (MergeValidationError, MergeThresholdExceeded) as e:
+                rows.append((name, type(e).__name__))
+
+        attempt(
+            "validation_error_on_bad_key",
+            lambda: simple_merge(spark, tbl, orders, "nonexistent_col"),
+        )
+        attempt(
+            "threshold_error_on_variance",
+            lambda: simple_merge(spark, tbl, orders.limit(0), "o_orderkey", threshold="5%"),
+        )
+        attempt(
+            "validation_error_on_bad_threshold",
+            lambda: simple_merge(spark, tbl, orders, "o_orderkey", threshold="NaNpct"),
+        )
+        return spark.createDataFrame(rows, "checked_case string, raised string")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "sink_audit_append",
+    oracle=f"""
+{classify_sql()}
+SELECT action, count(*) * 2 AS n FROM cls WHERE action <> 'KEEP' GROUP BY action
+""",
+    description="audit sink is append-mode CDC: two identical merges → doubled audit rows "
+    "(OUTPUT INTO, sp_SimpleMerge.sql:350-410)",
+)
+def sink_audit_append(spark, sf_dir):
+    d = _scratch()
+    try:
+        orders = load(spark, sf_dir, "orders")
+        audit_path = os.path.join(d, "audit")
+        for _ in range(2):
+            tbl = SnapshotTable.create(spark, os.path.join(d, f"t{_}"), orders)
+            simple_merge(
+                spark, tbl, orders_source(spark, sf_dir), "o_orderkey", audit_path=audit_path
+            )
+        counts = (
+            spark.read.parquet(audit_path)
+            .groupBy("action")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        # materialize before the scratch dir is removed (the returned plan
+        # must not reference the deleted audit path)
+        return spark.createDataFrame(counts, "action string, n bigint")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,118 @@
+"""Source/sink format surface beyond parquet (SURVEY.md §2.C scans row):
+CSV and JSON readers with explicit schemas, and partitioned parquet writes.
+
+The driver corpus is parquet-only, so the CSV/JSON fixtures are derived
+once per sf_dir under /tmp (same rows, exact text serialization of int/str
+columns — no FP round-trip risk); the oracle reads the ORIGINAL parquet, so
+a hash match proves the format readers reproduce the source of truth."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from sparkmerge.queries import load, register, table_path
+
+
+def _derived(sf_dir: str, name: str) -> str:
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"/tmp/sparkmerge_formats/{key}/{name}"
+
+
+def _ensure_nation_csv(sf_dir: str) -> str:
+    import pyarrow.parquet as pq
+
+    dst = _derived(sf_dir, "nation_csv/part-0.csv")
+    if not os.path.exists(dst):
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        rows = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+        tmp = f"{dst}.{os.getpid()}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("n_nationkey,n_name,n_regionkey\n")
+            for r in sorted(rows, key=lambda r: r["n_nationkey"]):
+                f.write(f"{r['n_nationkey']},{r['n_name']},{r['n_regionkey']}\n")
+        os.replace(tmp, dst)
+    return os.path.dirname(dst)
+
+
+def _ensure_region_json(sf_dir: str) -> str:
+    import json
+
+    import pyarrow.parquet as pq
+
+    dst = _derived(sf_dir, "region_json/part-0.json")
+    if not os.path.exists(dst):
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        rows = pq.read_table(f"{sf_dir}/region.parquet").to_pylist()
+        tmp = f"{dst}.{os.getpid()}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for r in sorted(rows, key=lambda r: r["r_regionkey"]):
+                f.write(json.dumps(r) + "\n")
+        os.replace(tmp, dst)
+    return os.path.dirname(dst)
+
+
+@register(
+    "scan_csv",
+    oracle="SELECT * FROM nation",
+    description="CSV source with explicit schema (header, typed columns)",
+)
+def scan_csv(spark, sf_dir):
+    path = _ensure_nation_csv(sf_dir)
+    return spark.read.csv(
+        path, header=True, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+
+
+@register(
+    "scan_json",
+    oracle="SELECT * FROM region",
+    description="JSON-lines source with explicit schema",
+)
+def scan_json(spark, sf_dir):
+    path = _ensure_region_json(sf_dir)
+    return spark.read.schema("r_regionkey int, r_name string").json(path)
+
+
+@register(
+    "sink_partitioned_parquet",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n
+  FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY o_orderstatus
+""",
+    description="partitionBy parquet sink + partition-pruned readback "
+    "(the layout the 100 TB snapshot store uses)",
+)
+def sink_partitioned_parquet(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sparkmerge_part_")
+    try:
+        orders = load(spark, sf_dir, "orders")
+        orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+        back = spark.read.parquet(out).filter(F.col("o_orderstatus").isin("F", "O"))
+        # partition pruning: only the two matching partition dirs are read
+        result = back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+        result = spark.createDataFrame(result.collect(), "o_orderstatus string, n bigint")
+        return result
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "dedup_fuzzy",
+    oracle=None,
+    description="SURVEY §2.D dedup_fuzzy: the MinHash+LSH near-dup pipeline "
+    "(shingle → minhash → band → bucket-join), threshold 0.5",
+)
+def dedup_fuzzy(spark, sf_dir):
+    from sparkmerge.ext.dedup import minhash_lsh_pairs, minhash_signatures
+
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=32, shingle_n=5)
+    return minhash_lsh_pairs(sigs, "doc_id", num_hashes=32, bands=8).filter(
+        F.col("est_jaccard") >= 0.5
+    )
