@@ -14,8 +14,13 @@ This package re-expresses that as idiomatic Spark dataflow:
   (replaces the generated MERGE text, sp_SimpleMerge.sql:202-412)
 - ``table.SnapshotTable``  — versioned-parquet snapshots with an atomic
   pointer swap (replaces begin/commit/rollback, sp_SimpleMerge.sql:470-479)
+- ``ptable.PartitionedSnapshotTable`` — manifest-based partitioned snapshots:
+  merges rewrite only touched partitions, the rest carry forward by
+  reference (the 100 TB layout, SURVEY.md §7.2)
 - ``merge.simple_merge``   — orchestration: threshold guard, audit append,
   debug dry-run, lastUpdate property (sp_SimpleMerge.sql:57-67 surface)
+- ``merge.merge_partitioned`` — the same orchestration over a partitioned
+  table, with write pruning and optional key-sound scan pruning
 - ``ext/``                 — LLM-data-pipeline operators (dedup, similarity
   search, text analysis, multimodal columns, streaming) mandated by the
   build contract; designed for 100 TB scale.
@@ -29,7 +34,8 @@ from sparkmerge.errors import (
 from sparkmerge.plan import MergePlan
 from sparkmerge.changeset import Changeset, build_changeset
 from sparkmerge.table import SnapshotTable
-from sparkmerge.merge import MergeReport, MergeResult, simple_merge
+from sparkmerge.ptable import PartitionedSnapshotTable
+from sparkmerge.merge import MergeReport, MergeResult, merge_partitioned, simple_merge
 
 __all__ = [
     "Changeset",
@@ -39,8 +45,10 @@ __all__ = [
     "MergeResult",
     "MergeThresholdExceeded",
     "MergeValidationError",
+    "PartitionedSnapshotTable",
     "SnapshotTable",
     "build_changeset",
+    "merge_partitioned",
     "simple_merge",
 ]
 

@@ -43,7 +43,7 @@ from sparkmerge.changeset import (
     build_changeset,
 )
 from sparkmerge.errors import MergeThresholdExceeded, MergeValidationError
-from sparkmerge.plan import MergePlan
+from sparkmerge.plan import MergePlan, split_csv
 from sparkmerge.table import SnapshotTable
 
 
@@ -178,6 +178,122 @@ def merge_preview(
     if out_scope is not None:
         new_state = new_state.unionByName(out_scope)
     return new_state
+
+
+def merge_partitioned(
+    spark: SparkSession,
+    target: "PartitionedSnapshotTable",
+    source_df: DataFrame,
+    join_columns: str | list[str],
+    *,
+    delete: str = "YES",
+    prune_scan: bool = False,
+    bad_key: bool = False,
+    bad_key_order: list[str] | None = None,
+    audit_path: str | None = None,
+    threshold: str | float | None = None,
+) -> MergeResult:
+    """Merge into a :class:`~sparkmerge.ptable.PartitionedSnapshotTable`,
+    rewriting ONLY the partitions the changeset touches (SURVEY.md §7.2's
+    100 TB design; the plain ``simple_merge`` rewrites the full snapshot,
+    like the reference's in-place MERGE at sp_SimpleMerge.sql:471).
+
+    Two independent prunings:
+
+    - **Write pruning** (always on, always semantics-preserving): after the
+      changeset is classified, only partitions containing a non-KEEP row —
+      under their old OR new partition value — are rewritten; every other
+      partition is carried forward by manifest reference, zero bytes moved.
+    - **Scan pruning** (``prune_scan=True``): the target scan itself is
+      pruned to the partitions present in the source.  Sound only when the
+      partition column is part of the join key (then a source row can never
+      match a target row in another partition); rows in unscanned partitions
+      are implicitly out of scope — the partition-level analog of
+      ``@targetFilter`` (sp_SimpleMerge.sql:205-226), and the standard
+      incremental-merge contract on partitioned lakehouse tables.  With
+      ``delete='YES'`` this means unmatched rows are deleted only *within
+      scanned partitions* — exactly the behavior you want when a daily
+      source covers a date partition of a 100 TB table.
+
+    The threshold variance (sp_SimpleMerge.sql:473-477) is computed over the
+    scanned scope, mirroring how ``@targetFilter`` scopes the reference's
+    pre-count (:141-150).
+    """
+    from sparkmerge.ptable import canon_col, canon_value
+
+    thr = _parse_threshold(threshold)
+    pcol = target.partition_by
+    keys = split_csv(join_columns) if isinstance(join_columns, str) else list(join_columns)
+
+    if prune_scan:
+        if pcol not in keys:
+            raise MergeValidationError(
+                f"prune_scan requires the partition column {pcol!r} in the join "
+                f"key {keys!r} — otherwise a source row could match a target row "
+                "in an unscanned partition."
+            )
+        src_vals = [
+            canon_value(r[0]) for r in source_df.select(pcol).distinct().collect()
+        ]
+        in_scope = target.read_partitions(spark, src_vals)
+    else:
+        in_scope = target.read(spark)
+
+    cs = build_changeset(in_scope, source_df, join_columns, delete=delete,
+                         bad_key=bad_key, bad_key_order=bad_key_order)
+    # The changeset feeds ≥3 jobs (changed-partition discovery, snapshot
+    # write, counts/audit); persist so badKey's arbitrary pairing — and the
+    # join itself — happen once.
+    cs.df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        non_keep = cs.df.filter(F.col("_action") != ACTION_KEEP)
+        # Changed partitions under their OLD value (updates/deletes in place)
+        # and NEW value (inserts, or updates that move a row across
+        # partitions).  `_old`/`_new` struct nullity distinguishes "no row on
+        # that side" from "partition value is NULL".
+        old_vals = non_keep.filter(F.col("_old").isNotNull()).select(
+            canon_col(f"_old.{pcol}").alias("p")
+        )
+        new_vals = non_keep.filter(F.col("_new").isNotNull()).select(
+            canon_col(f"_new.{pcol}").alias("p")
+        )
+        changed_vals = {r["p"] for r in old_vals.union(new_vals).distinct().collect()}
+
+        row = cs.df.agg(
+            F.count(F.when(F.col("_action") != ACTION_KEEP, 1)).alias("changed"),
+            F.count(F.col("_old")).alias("before"),
+        ).first()
+        changed, before = int(row["changed"]), int(row["before"])
+
+        new_state = cs.apply_changes()
+        changed_state = new_state.filter(canon_col(pcol).isin(*changed_vals)) if changed_vals else new_state.limit(0)
+        staged = target.stage_merge(changed_state, changed_vals)
+
+        variance = None
+        if thr is not None:
+            variance = (changed / before * 100.0) if before > 0 else 0.0
+            if before > 0 and variance > thr:
+                target.abort(staged)
+                raise MergeThresholdExceeded(variance, thr, changed, before)
+
+        target.commit(staged)
+        now = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")[:-3]
+        target.set_property("lastUpdate", now)
+
+        audit_rows = None
+        if audit_path is not None:
+            cs.audit().write.mode("append").parquet(audit_path)
+            audit_rows = changed
+        return MergeResult(
+            committed=True,
+            version=staged,
+            changed_rows=changed,
+            target_rows_before=before,
+            variance_pct=variance,
+            audit_rows=audit_rows,
+        )
+    finally:
+        cs.df.unpersist()
 
 
 def simple_merge(

@@ -196,6 +196,71 @@ def error_raise(spark, sf_dir):
 
 
 @register(
+    "merge_partition_pruned",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+         CAST(o_orderkey AS DOUBLE), o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 50 = 0
+)
+SELECT * FROM orders WHERE o_orderstatus <> 'O'
+UNION ALL
+SELECT * FROM src
+""",
+    description="partition-pruned merge on a PartitionedSnapshotTable: source "
+    "touches only the 'O' partition; 'F'/'P' carried forward by manifest "
+    "reference, zero bytes rewritten (SURVEY.md §7.2 100 TB design)",
+)
+def merge_partition_pruned(spark, sf_dir):
+    from sparkmerge.merge import merge_partitioned
+    from sparkmerge.ptable import PartitionedSnapshotTable
+
+    d = _scratch()
+    try:
+        orders = load(spark, sf_dir, "orders")
+        tbl = PartitionedSnapshotTable.create(
+            spark, os.path.join(d, "t"), orders, "o_orderstatus"
+        )
+        o_part = orders.filter(F.col("o_orderstatus") == "O")
+        upd = F.col("o_orderkey") % 3 == 0
+        src = o_part.where(F.col("o_orderkey") % 10 != 0).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.when(upd, F.col("o_orderkey").cast("double"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        ).unionAll(
+            o_part.where(F.col("o_orderkey") % 50 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_custkey",
+                "o_orderstatus",
+                F.col("o_orderkey").cast("double").alias("o_totalprice"),
+                "o_orderdate",
+                "o_orderpriority",
+            )
+        )
+        merge_partitioned(
+            spark, tbl, src, ["o_orderkey", "o_orderstatus"], prune_scan=True
+        )
+        untouched = tbl.partitions()["F"].startswith(os.path.join("files", "v1"))
+        if not untouched:
+            raise AssertionError("copy-forward failed: 'F' partition was rewritten")
+        rows = tbl.read(spark).collect()
+        return spark.createDataFrame(rows, tbl.schema())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "sink_audit_append",
     oracle=f"""
 {classify_sql()}

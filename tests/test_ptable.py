@@ -1,0 +1,148 @@
+"""PartitionedSnapshotTable + merge_partitioned (SURVEY.md §7.2 100 TB design).
+
+The load-bearing claims under test:
+1. write pruning is invisible: merge_partitioned ≡ simple_merge on the same
+   inputs (row-for-row);
+2. untouched partitions are carried forward BY REFERENCE (same manifest
+   paths, files physically untouched), not rewritten;
+3. an idempotent merge is a metadata-only commit (zero data written);
+4. scan pruning with the partition column in the key ≡ partition-scoped
+   merge semantics;
+5. threshold abort never publishes the staged version.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkmerge.errors import MergeError, MergeThresholdExceeded, MergeValidationError
+from sparkmerge.merge import merge_partitioned, merge_preview
+from sparkmerge.ptable import HIVE_NULL, PartitionedSnapshotTable
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def mutated(orders):
+    """Deterministic source: updates (%3), deletes (%10), inserts (%50)."""
+    upd = F.col("o_orderkey") % 3 == 0
+    base = orders.where(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.when(upd, F.col("o_orderkey").cast("double")).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+    )
+    ins = orders.where(F.col("o_orderkey") % 50 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus",
+        F.col("o_orderkey").cast("double").alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+    )
+    return base.unionAll(ins)
+
+
+def same_rows(a, b):
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_create_read_roundtrip(spark, orders, tmp_path):
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "o_orderstatus")
+    assert same_rows(t.read(spark), orders)
+    assert sorted(t.partitions()) == ["F", "O", "P"]
+    # pruned read only lists the requested partition's directory
+    o_only = t.read_partitions(spark, ["O"])
+    assert o_only.count() == orders.filter("o_orderstatus = 'O'").count()
+
+
+def test_partitioned_merge_matches_full_merge(spark, orders, tmp_path):
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "o_orderstatus")
+    src = mutated(orders)
+    res = merge_partitioned(spark, t, src, "o_orderkey")
+    expected = merge_preview(orders, src, "o_orderkey")
+    assert same_rows(t.read(spark), expected)
+    assert res.committed and res.version == 2
+    assert res.changed_rows == res.audit_rows or res.audit_rows is None
+
+
+def test_untouched_partitions_carried_by_reference(spark, orders, tmp_path):
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "o_orderstatus")
+    v1_parts = t.partitions()
+    # source touches ONLY the 'O' partition (status is in the key → prunable)
+    src = mutated(orders.filter("o_orderstatus = 'O'"))
+    merge_partitioned(spark, t, src, ["o_orderkey", "o_orderstatus"], prune_scan=True)
+    v2_parts = t.partitions()
+    assert v2_parts["F"] == v1_parts["F"] and v2_parts["P"] == v1_parts["P"]
+    assert v2_parts["O"] != v1_parts["O"] and v2_parts["O"].startswith(os.path.join("files", "v2"))
+    # scan-pruned semantics: 'F'/'P' rows byte-identical, 'O' converged to src
+    final = t.read(spark)
+    assert same_rows(final.filter("o_orderstatus <> 'O'"),
+                     orders.filter("o_orderstatus <> 'O'"))
+    assert same_rows(final.filter("o_orderstatus = 'O'"), src)
+
+
+def test_idempotent_merge_is_metadata_only(spark, orders, tmp_path):
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "o_orderstatus")
+    res = merge_partitioned(spark, t, orders, "o_orderkey")
+    assert res.changed_rows == 0 and res.committed and t.current_version() == 2
+    # nothing rewritten: every manifest entry still points at v1 data
+    assert all(d.startswith(os.path.join("files", "v1")) for d in t.partitions().values())
+    assert not os.path.exists(str(tmp_path / "t" / "files" / "v2"))
+
+
+def test_emptied_partition_dropped_from_manifest(spark, orders, tmp_path):
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "o_orderstatus")
+    src = orders.filter("o_orderstatus <> 'P'")  # delete every 'P' row
+    merge_partitioned(spark, t, src, "o_orderkey")
+    assert sorted(t.partitions()) == ["F", "O"]
+    assert t.read(spark).filter("o_orderstatus = 'P'").count() == 0
+
+
+def test_null_partition_values(spark, orders, tmp_path):
+    with_null = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 4 == 0, None).otherwise(F.col("o_orderstatus")),
+    )
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), with_null, "o_orderstatus")
+    assert HIVE_NULL in t.partitions()
+    assert same_rows(t.read(spark), with_null)
+    src = mutated(with_null)
+    merge_partitioned(spark, t, src, "o_orderkey")
+    assert same_rows(t.read(spark), merge_preview(with_null, src, "o_orderkey"))
+
+
+def test_threshold_abort_leaves_table_untouched(spark, orders, tmp_path):
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "o_orderstatus")
+    with pytest.raises(MergeThresholdExceeded):
+        merge_partitioned(spark, t, orders.limit(3), "o_orderkey", threshold="1%")
+    assert t.current_version() == 1
+    assert not os.path.exists(str(tmp_path / "t" / "v=2.json"))
+    assert same_rows(t.read(spark), orders)
+    assert "lastUpdate" not in t.properties()
+
+
+def test_prune_scan_requires_partition_col_in_key(spark, orders, tmp_path):
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "o_orderstatus")
+    with pytest.raises(MergeValidationError):
+        merge_partitioned(spark, t, orders, "o_orderkey", prune_scan=True)
+
+
+def test_vacuum_keeps_referenced_dirs(spark, orders, tmp_path):
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "o_orderstatus")
+    src = mutated(orders.filter("o_orderstatus = 'O'"))
+    merge_partitioned(spark, t, src, ["o_orderkey", "o_orderstatus"], prune_scan=True)
+    merge_partitioned(spark, t, src, ["o_orderkey", "o_orderstatus"], prune_scan=True)
+    removed = t.vacuum(keep=1)
+    assert removed  # old manifests dropped
+    # v1 dirs still referenced by the current manifest must survive
+    assert same_rows(t.read(spark).filter("o_orderstatus <> 'O'"),
+                     orders.filter("o_orderstatus <> 'O'"))
+
+
+def test_full_stage_rejected(spark, orders, tmp_path):
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "o_orderstatus")
+    with pytest.raises(MergeError):
+        t.stage(orders)
