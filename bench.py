@@ -54,7 +54,12 @@ def main() -> None:
     from sparkmerge.queries import registry
     from sparkmerge.session import get_spark
 
-    spark = get_spark("sparkmerge-bench")
+    input_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    spark = get_spark("sparkmerge-bench", input_bytes=input_bytes)
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
 

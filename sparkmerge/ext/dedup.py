@@ -24,6 +24,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives in
+    fewer partitions (e.g. one small parquet file → one task).  The heavy
+    map-side stages below (shingle/token explode) are CPU-bound, so running
+    them on one task serializes the whole operator.  At scale the input
+    already has ≥ parallelism partitions and this is a no-op — no shuffle is
+    added on the 100 TB path."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
     """Keep exactly one row per key, preferring the lowest ``order_cols``
     (deterministic — usable under the DuckDB oracle, unlike dropDuplicates
@@ -63,8 +76,10 @@ def minhash_signatures(
     # Materialize the normalized text BEFORE the higher-order shingle
     # transform — expressions referenced inside a lambda are re-evaluated per
     # array element, so inlining the regexp would cost O(len) regex runs/doc.
-    norm = df.select(
-        id_col, F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm")
+    norm = _spread(
+        df.select(
+            id_col, F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm")
+        )
     )
     idx = F.sequence(F.lit(1), F.greatest(F.length("_norm") - (shingle_n - 1), F.lit(1)))
     sh = norm.select(
@@ -87,28 +102,31 @@ def minhash_lsh_pairs(
     """LSH banding: hash each band of the signature into a bucket; docs
     sharing any (band, bucket) become a candidate pair (a_id < b_id).
     Returns candidates with their estimated Jaccard (fraction of matching
-    minhash components)."""
+    minhash components).
+
+    One ``posexplode`` over the band array feeds a single self-join keyed on
+    (band index, bucket) — ONE shuffle for all bands, versus the naive
+    per-band join which costs ``bands`` shuffles (and ``bands``× the task
+    overhead).  Signatures ride through the band rows so the estimated
+    Jaccard needs no rejoin; that multiplies the shuffle payload by the
+    signature width — for corpora where the signature dominates the row,
+    project it out here and rejoin on id after the pair dedup instead."""
     rows_per_band = num_hashes // bands
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
-    sig_arr = sig_df.select(
-        id_col, F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("_sig"), *band_cols
+    sig = F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)])
+    sig_arr = sig_df.select(F.col(id_col), sig.alias("_sig"))
+    bands_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)),
     )
-    # Candidate generation carries ONLY (bucket, id) — signatures rejoin once
-    # after the pair-level dedup, so the band shuffles stay narrow.
-    pair_frames = []
-    for b in range(bands):
-        left = sig_arr.select(F.col(f"band_{b}").alias("_bucket"), F.col(id_col).alias("a_id"))
-        right = sig_arr.select(F.col(f"band_{b}").alias("_bucket"), F.col(id_col).alias("b_id"))
-        pair_frames.append(
-            left.join(right, "_bucket").filter(F.col("a_id") < F.col("b_id")).drop("_bucket")
-        )
-    pairs = functools.reduce(DataFrame.unionAll, pair_frames).dropDuplicates(["a_id", "b_id"])
-    sigs = sig_arr.select(id_col, "_sig")
+    banded = sig_arr.select(
+        id_col, "_sig", F.posexplode(bands_arr).alias("_band", "_bucket")
+    )
+    left = banded.select(
+        "_band", "_bucket", F.col(id_col).alias("a_id"), F.col("_sig").alias("_a_sig")
+    )
+    right = banded.select(
+        "_band", "_bucket", F.col(id_col).alias("b_id"), F.col("_sig").alias("_b_sig")
+    )
     matches = F.size(
         F.filter(
             F.zip_with(F.col("_a_sig"), F.col("_b_sig"), lambda x, y: x == y),
@@ -116,8 +134,9 @@ def minhash_lsh_pairs(
         )
     )
     return (
-        pairs.join(sigs.select(F.col(id_col).alias("a_id"), F.col("_sig").alias("_a_sig")), "a_id")
-        .join(sigs.select(F.col(id_col).alias("b_id"), F.col("_sig").alias("_b_sig")), "b_id")
+        left.join(right, ["_band", "_bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
         .select("a_id", "b_id", (matches / float(num_hashes)).alias("est_jaccard"))
     )
 
@@ -126,7 +145,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over word tokens: per bit b, sum ±1 weighted by token
     hash bit b; sign → bit.  Emitted as four 16-bit blocks (for the
     hamming≤3 ⟹ one-block-equal candidate join)."""
-    toks = df.select(
+    toks = _spread(df.select(id_col, F.col(text_col))).select(
         id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_tok")
     ).filter(F.col("_tok") != "")
     h = F.xxhash64(F.col("_tok"))
@@ -153,27 +172,32 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def simhash_pairs(sim_df: DataFrame, id_col: str, *, max_hamming: int = 3) -> DataFrame:
     """Candidate pairs whose SimHashes differ in ≤ max_hamming bits (exact
-    post-filter after the 4-block band join)."""
-    frames = []
-    for blk in range(4):
-        left = sim_df.select(
-            F.col(f"blk_{blk}").alias("_bucket"),
-            F.col(id_col).alias("a_id"),
-            *[F.col(f"blk_{i}").alias(f"a_blk_{i}") for i in range(4)],
-        )
-        right = sim_df.select(
-            F.col(f"blk_{blk}").alias("_bucket"),
-            F.col(id_col).alias("b_id"),
-            *[F.col(f"blk_{i}").alias(f"b_blk_{i}") for i in range(4)],
-        )
-        frames.append(left.join(right, "_bucket").filter(F.col("a_id") < F.col("b_id")).drop("_bucket"))
-    pairs = functools.reduce(DataFrame.unionAll, frames).dropDuplicates(["a_id", "b_id"])
-    hamming = functools.reduce(
-        operator.add,
-        [F.bit_count(F.col(f"a_blk_{i}").bitwiseXOR(F.col(f"b_blk_{i}"))) for i in range(4)],
+    post-filter after the block band join).  Like ``minhash_lsh_pairs``, the
+    4 block-equality joins are folded into ONE self-join on
+    (block index, block value) via ``posexplode`` — one shuffle total."""
+    blocks = F.array(*[F.col(f"blk_{i}") for i in range(4)])
+    banded = sim_df.select(
+        F.col(id_col), blocks.alias("_blks"), F.posexplode(blocks).alias("_band", "_bucket")
     )
-    return pairs.select("a_id", "b_id", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    left = banded.select(
+        "_band", "_bucket", F.col(id_col).alias("a_id"), F.col("_blks").alias("_a_blks")
+    )
+    right = banded.select(
+        "_band", "_bucket", F.col(id_col).alias("b_id"), F.col("_blks").alias("_b_blks")
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("_a_blks"), F.col("_b_blks"), lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        operator.add,
+    )
+    return (
+        left.join(right, ["_band", "_bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -190,7 +214,7 @@ def ngram_jaccard_pairs(
     """Exact token-set Jaccard over candidate pairs blocked by ``group_col``
     (e.g. language).  |A∩B| and |A∪B| are integer cardinalities, so the
     similarity is an exact single FP division — oracle-safe."""
-    base = df.select(
+    base = _spread(df.select(id_col, group_col, text_col)).select(
         F.col(id_col), F.col(group_col).alias("_grp"), token_set(F.col(text_col)).alias("_toks")
     )
     a = base.select(F.col("_grp"), F.col(id_col).alias("a_id"), F.col("_toks").alias("_a_toks"))

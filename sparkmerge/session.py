@@ -13,21 +13,37 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "sparkmerge", *, shuffle_partitions: int | None = None) -> SparkSession:
+_SMALL_INPUT_BYTES = 2 * 1024**3  # < 2 GiB → the lean profile wins
+
+
+def get_spark(
+    app_name: str = "sparkmerge",
+    *,
+    shuffle_partitions: int | None = None,
+    input_bytes: int | None = None,
+) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
     At 100 TB scale ``shuffle_partitions`` should be ~2-3x total executor
     cores; AQE coalesces the excess at runtime, so we set the static number
     from the local parallelism and let AQE do the rest.
+
+    ``input_bytes`` (when the caller knows the workload size, e.g. bench.py
+    sums its scale dir) switches a sub-``_SMALL_INPUT_BYTES`` workload to a
+    lean profile: 8 shuffle partitions, AQE off.  AQE's per-query-stage
+    materialization barrier costs more than it saves when every shuffle fits
+    in one task's memory — measured 2× end-to-end at sf0.1 (BASELINE.md).
+    The default (no hint) keeps the scale posture: AQE on.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    small = input_bytes is not None and input_bytes < _SMALL_INPUT_BYTES
     if shuffle_partitions is None:
-        shuffle_partitions = cpus
+        shuffle_partitions = 8 if small else cpus
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "false" if small else "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -37,11 +53,15 @@ def get_spark(app_name: str = "sparkmerge", *, shuffle_partitions: int | None = 
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Split size governs scan parallelism.  The local corpus is ~MBs per
         # table, so the 128 MB default would put every file on one task; 4 MB
-        # gives the 32 cores work.  A real cluster reading 100 TB overrides
-        # this back up via the env var (row groups there are >=128 MB anyway).
+        # (1 MB under the lean profile) gives the 32 cores work.  A real
+        # cluster reading 100 TB overrides this back up via the env var (row
+        # groups there are >=128 MB anyway).
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+            os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES",
+                str(1024 * 1024 if small else 4 * 1024 * 1024),
+            ),
         )
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
     )
