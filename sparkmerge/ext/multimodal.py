@@ -79,4 +79,93 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "media_type", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
-__all__ = ["FEATURE_SCHEMA", "attach_binary_payload", "decode_stub", "extract_features", "BinaryType"]
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, target_bytes: int) -> bytes:
+    """STUB — deterministic fake resize (truncate/cycle-pad to target size).
+    A real deployment decodes, resamples (PIL ``Image.resize`` / librosa
+    ``resample``) and re-encodes; the Spark plumbing is unchanged."""
+    if not payload:
+        return b"\x00" * target_bytes
+    reps = (target_bytes // len(payload)) + 1
+    return (payload * reps)[:target_bytes]
+
+
+def resize_media(df: DataFrame, *, target_bytes: int = 256) -> DataFrame:
+    """Arrow-batched payload transform (resize/transcode shape): binary in →
+    binary out, schema explicit, executed streaming per record batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [resize_stub(p, target_bytes) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out,
+                    "n_bytes": [len(p) for p in out],
+                }
+            )
+
+    return df.select("doc_id", "media_type", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, *, n_frames: int = 4) -> DataFrame:
+    """Frame sampling (video → n frames): ONE input row fans out to
+    ``n_frames`` output rows — the flat-map shape ``mapInPandas`` supports
+    natively (output row count is independent of input row count).  The
+    frame extraction is a STUB (fixed-stride byte slices standing in for
+    ffmpeg keyframe decode); partitioning and the 1→n row contract are the
+    real, tested plumbing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                stride = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(payload[i * stride : i * stride + stride]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame": frames,
+                    "n_bytes": [len(f) for f in frames],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+__all__ = [
+    "FEATURE_SCHEMA",
+    "FRAME_SCHEMA",
+    "RESIZE_SCHEMA",
+    "attach_binary_payload",
+    "decode_stub",
+    "extract_features",
+    "frame_sample",
+    "resize_media",
+    "resize_stub",
+    "BinaryType",
+]

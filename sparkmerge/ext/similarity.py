@@ -141,6 +141,70 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    ``nlist`` cells around coarse centroids; each query scores only the
+    ``nprobe`` nearest cells.
+
+    The coarse quantizer is deterministic (no stored model, no iterative
+    fit): centroids are the ``nlist`` lowest-id corpus vectors — one Lloyd
+    assignment pass over sampled seeds, the standard cheap IVF bootstrap.
+    At scale: centroids are tiny and broadcast; cell assignment is a
+    map-side argmin (no shuffle); the probe join shuffles on cell id — at
+    most ``nprobe``× the query count, independent of corpus size.  Recall
+    is tuned by ``nprobe`` (``nprobe = nlist`` degrades to brute force).
+    """
+    centroids = [
+        (r[0], r[1])
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(nlist).collect()
+    ]
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        """Array of the n nearest centroid indexes (by cosine, descending)."""
+        scored = F.array(
+            *[
+                F.struct(
+                    cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("sim"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, (_, cvec) in enumerate(centroids)
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+        return F.transform(top, lambda s: s["cell"])
+
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.element_at(nearest_cells(F.col(vec_col), 1), 1).alias("_cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(nearest_cells(F.col(vec_col), nprobe)).alias("_cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,

@@ -20,6 +20,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 from pyspark.sql.window import Window
 
 from sparkmerge.merge import simple_merge
@@ -101,6 +102,84 @@ def watermark_tumbling_stream(
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+def stateful_user_counts(
+    spark: SparkSession, events_path: str, *, timeout_s: int = 120
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (event count, value sum, last event ts) maintained as
+    explicit GroupState across micro-batches — the shape any bespoke
+    stateful aggregation (session carts, rate limiters, dedup-by-key caches)
+    plugs into.  State lives in the state store keyed by user_id (one shuffle
+    to co-locate each key's events); executors stream Arrow batches, nothing
+    reaches the driver.  Runs the stream to completion (availableNow) and
+    returns the final per-user rows from the memory sink."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("value_sum", DoubleType()),
+            StructField("last_ts", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("vsum", DoubleType()),
+            StructField("last", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, vsum, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            vsum += float(pdf["value"].sum())
+            last = max(last, int(pdf["ts_us"].max()))
+        state.update((n, vsum, last))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_sum": [vsum], "last_ts": [last]}
+        )
+
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .select(
+            "user_id",
+            F.col("value").cast("double").alias("value"),
+            # NTZ → epoch seconds needs the two-step cast (NTZ has no direct
+            # numeric cast)
+            F.col("ts").cast("timestamp").cast("long").alias("ts_us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    name = "sparkmerge_stateful_counts"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sm_state_ckpt_"))
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    # update mode may emit a row per key per batch; the LAST row per key is
+    # the final state
+    latest = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(latest))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def foreachbatch_merge_replay(

@@ -6,7 +6,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sparkmerge.changeset import build_changeset
-from sparkmerge.ext.multimodal import attach_binary_payload, extract_features
+from sparkmerge.ext.multimodal import (
+    attach_binary_payload,
+    extract_features,
+    frame_sample,
+    resize_media,
+)
 from sparkmerge.queries import load, register
 
 # deterministic embedding-table mutation: exercises array-valued change
@@ -69,3 +74,37 @@ SELECT doc_id,
 def multimodal_binary(spark, sf_dir):
     d = attach_binary_payload(load(spark, sf_dir, "documents"))
     return extract_features(d)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+       CAST(256 AS BIGINT) AS n_bytes
+  FROM documents
+""",
+    description="binary resize/transcode plumbing: mapInPandas payload transform "
+    "(resample stubbed; output sizes oracle-checked)",
+)
+def multimodal_resize(spark, sf_dir):
+    d = attach_binary_payload(load(spark, sf_dir, "documents"))
+    return resize_media(d, target_bytes=256).select("doc_id", "media_type", "n_bytes")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       CAST(greatest(length(text) // 4, 1) AS BIGINT) AS n_bytes
+  FROM documents, generate_series(0, 3) AS t(f)
+ WHERE length(text) >= 4
+""",
+    description="video frame-sampling plumbing: 1 row -> n frame rows via mapInPandas "
+    "flat-map (keyframe decode stubbed; fan-out + sizes oracle-checked)",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    d = attach_binary_payload(load(spark, sf_dir, "documents")).filter(
+        F.length("text") >= 4
+    )
+    return frame_sample(d, n_frames=4).select("doc_id", "frame_idx", "n_bytes")

@@ -18,6 +18,7 @@ from sparkmerge.ext.streaming import (
     foreachbatch_merge_replay,
     session_windows,
     sliding_counts,
+    stateful_user_counts,
     tumbling_counts,
     watermark_tumbling_stream,
 )
@@ -85,6 +86,16 @@ def window_session(spark, sf_dir):
 )
 def watermark_late_drop(spark, sf_dir):
     return watermark_tumbling_stream(spark, events_path(sf_dir), width="1 hour", watermark="2 hours")
+
+
+@register(
+    "stream_stateful_counts",
+    oracle=None,
+    description="applyInPandasWithState: per-user running (count, value sum, last ts) "
+    "GroupState across micro-batches (equivalence vs batch agg in tests)",
+)
+def stream_stateful_counts(spark, sf_dir):
+    return stateful_user_counts(spark, events_path(sf_dir))
 
 
 @register(

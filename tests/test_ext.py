@@ -84,6 +84,27 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert all(q != n for q, n in a)
 
 
+def test_ann_ivf_recall_vs_brute_force(spark):
+    from sparkmerge.ext.similarity import ivf_topk
+
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ivf_topk(emb, queries, k=10, nlist=16, nprobe=8)
+    e = {(r.q_id, r.n_id) for r in exact.collect()}
+    a = {(r.q_id, r.n_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probing half the cells of an unclustered random corpus: honest bound
+    assert recall >= 0.4, f"ivf recall {recall}"
+    assert all(q != n for q, n in a)
+    # nprobe = nlist degrades to exact brute force — the recall dial's end point
+    full = ivf_topk(emb, queries.limit(3), k=10, nlist=8, nprobe=8)
+    fe = brute_force_topk(emb, queries.limit(3), k=10)
+    assert {(r.q_id, r.n_id) for r in full.collect()} == {
+        (r.q_id, r.n_id) for r in fe.collect()
+    }
+
+
 def test_stream_batch_equivalence(spark, tmp_path):
     """foreachBatch replay in ts order ≡ one-shot batch merge of latest-per-key
     (SURVEY.md §5.5)."""
@@ -104,6 +125,25 @@ def test_stream_batch_equivalence(spark, tmp_path):
     )
     assert streamed.exceptAll(batch_latest).count() == 0
     assert batch_latest.exceptAll(streamed).count() == 0
+
+
+def test_stateful_counts_match_batch_agg(spark):
+    from sparkmerge.ext.streaming import stateful_user_counts
+    from sparkmerge.queries import events_path
+
+    path = events_path(SF_DIR)
+    got = stateful_user_counts(spark, path)
+    expected = (
+        spark.read.parquet(path)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.col("ts").cast("timestamp").cast("long")).alias("last_ts"),
+        )
+    )
+    g = {(r.user_id): (r.n_events, r.last_ts) for r in got.collect()}
+    e = {(r.user_id): (r.n_events, r.last_ts) for r in expected.collect()}
+    assert g == e
 
 
 def test_session_windows_gap_semantics(spark):
