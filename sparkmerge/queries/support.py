@@ -281,3 +281,72 @@ def join_cross(spark, sf_dir):
 )
 def tally_generate(spark, sf_dir):
     return spark.range(1, 101).select(F.col("id").alias("n"))
+
+
+# --- scale-pattern joins: bucketed co-location and skew salting ---
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_items
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+ GROUP BY o.o_orderkey
+""",
+    description="bucketed co-located join: both sides bucketBy(8, key) -> SortMergeJoin "
+    "with ZERO shuffle exchanges (the 100 TB co-location pattern; no-Exchange "
+    "property asserted in tests)",
+)
+def join_bucketed_colocated(spark, sf_dir):
+    import hashlib
+    import os
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    o_tbl, l_tbl = f"smb_orders_{key}", f"smb_lineitem_{key}"
+    base = f"/tmp/sparkmerge_buckets/{key}"
+    if not spark.catalog.tableExists(o_tbl):
+        (load(spark, sf_dir, "orders")
+         .write.mode("overwrite").option("path", f"{base}/orders")
+         .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(o_tbl))
+    if not spark.catalog.tableExists(l_tbl):
+        (load(spark, sf_dir, "lineitem")
+         .write.mode("overwrite").option("path", f"{base}/lineitem")
+         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(l_tbl))
+    o, li = spark.table(o_tbl), spark.table(l_tbl)
+    # MERGE hint: at the corpus SF the planner would broadcast the small
+    # side; the pattern under demonstration is the big-big case where both
+    # sides' bucket partitioning satisfies the SortMergeJoin's distribution
+    # with ZERO exchanges — and the partial agg reuses it too.
+    return (
+        o.hint("merge")
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+""",
+    description="skew-salted join: big side salted by deterministic hash mod 8, small side "
+    "replicated x8 -> join on (key, salt) splits any hot key across 8 tasks; "
+    "result identical to the plain join (oracle-checked)",
+)
+def join_salted_skew(spark, sf_dir):
+    SALTS = 8
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALTS)).alias("_salt"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.explode(F.sequence(F.lit(0), F.lit(SALTS - 1))).alias("_salt"),
+    )
+    return li.join(
+        o, (li.l_orderkey == o.o_orderkey) & (li._salt == o._salt)
+    ).select("l_orderkey", "l_linenumber", "o_orderstatus")
