@@ -182,6 +182,51 @@ def stateful_user_counts(
     )
 
 
+def foreachbatch_merge_stream(
+    spark: SparkSession,
+    events_path: str,
+    table_path: str,
+    *,
+    key: str = "user_id",
+    timeout_s: int = 180,
+) -> SnapshotTable:
+    """The REAL Structured Streaming upsert sink: ``readStream`` over the
+    events files → ``writeStream.foreachBatch(merge)`` — each micro-batch is
+    deduped to its latest row per key and merged into the SnapshotTable with
+    ``delete='NO'``.  ``maxFilesPerTrigger=1`` makes every input file its own
+    micro-batch, so multi-batch state evolution is exercised for real.
+    (``foreachbatch_merge_replay`` below is the deterministic ts-ordered
+    batch-replay twin used by the oracle check — same merge per batch,
+    driver-controlled batch boundaries.)"""
+    schema = spark.read.parquet(events_path).schema
+    state_cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    table = SnapshotTable.create(
+        spark, table_path, spark.read.parquet(events_path).select(state_cols).limit(0)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(key).orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = (
+            batch_df.select(state_cols)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        simple_merge(spark, table, latest, key, delete="NO")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sm_feb_ckpt_"))
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return table
+
+
 def foreachbatch_merge_replay(
     spark: SparkSession,
     events_path: str,

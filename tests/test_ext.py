@@ -7,6 +7,7 @@ import os
 
 from pyspark.sql import Row
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sparkmerge.ext.dedup import (
     minhash_lsh_pairs,
@@ -125,6 +126,30 @@ def test_stream_batch_equivalence(spark, tmp_path):
     )
     assert streamed.exceptAll(batch_latest).count() == 0
     assert batch_latest.exceptAll(streamed).count() == 0
+
+
+def test_foreachbatch_stream_sink_converges(spark, tmp_path):
+    from sparkmerge.ext.streaming import foreachbatch_merge_stream
+    from sparkmerge.queries import events_path
+
+    # split events into 4 ts-range files so maxFilesPerTrigger=1 yields real
+    # multi-batch evolution in ts order (part file order == range order)
+    src = spark.read.parquet(events_path(SF_DIR))
+    multi = str(tmp_path / "events_multi")
+    src.repartitionByRange(4, "ts").write.parquet(multi)
+
+    table = foreachbatch_merge_stream(spark, multi, str(tmp_path / "state"))
+    final = table.read(spark)
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    expected = (
+        src.select("user_id", "event_id", "ts", "event_type", "value")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    assert final.count() == expected.count()
+    assert final.exceptAll(expected).count() == 0
 
 
 def test_stateful_counts_match_batch_agg(spark):
