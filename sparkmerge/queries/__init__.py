@@ -25,6 +25,7 @@ _MODULES = [
     "sparkmerge.queries.lifecycle",
     "sparkmerge.queries.sources",
     "sparkmerge.queries.support",
+    "sparkmerge.queries.temporal",
     "sparkmerge.queries.functions",
     "sparkmerge.queries.analytics",
     "sparkmerge.queries.ext_dedup",

@@ -137,6 +137,12 @@ def test_foreachbatch_stream_sink_converges(spark, tmp_path):
     src = spark.read.parquet(events_path(SF_DIR))
     multi = str(tmp_path / "events_multi")
     src.repartitionByRange(4, "ts").write.parquet(multi)
+    # FileStreamSource orders files by modification time; parallel part-file
+    # writes get arbitrary mtimes, so pin them to range (= name) order to
+    # make the micro-batch sequence deterministic ts-order
+    parts = sorted(p for p in os.listdir(multi) if p.endswith(".parquet"))
+    for i, p in enumerate(parts):
+        os.utime(os.path.join(multi, p), (1_700_000_000 + i, 1_700_000_000 + i))
 
     table = foreachbatch_merge_stream(spark, multi, str(tmp_path / "state"))
     final = table.read(spark)
