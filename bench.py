@@ -32,6 +32,7 @@ HEADLINE = [
     "tpch_q6",
     "dedup_exact",
     "dedup_minhash",
+    "join_asof",
     "topk_similarity",
     "text_stats",
     "text_fingerprint",

@@ -1,0 +1,70 @@
+"""Hypothesis-driven metamorphic merge properties (SURVEY.md §5.3).
+
+Random (target, source) pairs — nullable keys, null values, disjoint and
+overlapping key ranges — must satisfy the MERGE invariants for EVERY input,
+not just the golden fixtures:
+
+- convergence: delete='YES' ⇒ final state ≡ source (on source columns)
+- idempotence: re-merging the converged state produces zero non-KEEP actions
+- keep-mode conservation: delete='NO' ⇒ final ≡ source ∪ unmatched target
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sparkmerge.changeset import ACTION_KEEP, build_changeset
+from sparkmerge.merge import merge_preview
+
+# rows: (key, value) — keys may be NULL (null-safe join must treat NULL=NULL
+# as a match), values may be NULL (change detection must be null-safe)
+_key = st.one_of(st.none(), st.integers(min_value=0, max_value=6))
+_val = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+
+
+@st.composite
+def _pair(draw):
+    return draw(st.lists(st.tuples(_key, _val), min_size=0, max_size=8)), draw(
+        st.lists(st.tuples(_key, _val), min_size=0, max_size=8)
+    )
+
+
+def _dedupe(rows):
+    seen, uniq = set(), []
+    for k, v in rows:
+        if k not in seen:
+            seen.add(k)
+            uniq.append((k, v))
+    return uniq
+
+
+def _same(a, b) -> bool:
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pair=_pair())
+def test_merge_invariants_hold_for_random_tables(spark, pair):
+    t_rows, s_rows = (_dedupe(r) for r in pair)
+    target = spark.createDataFrame(t_rows, "k int, v int")
+    source = spark.createDataFrame(s_rows, "k int, v int")
+
+    # convergence under hard delete
+    merged = merge_preview(target, source, "k", delete="YES")
+    assert _same(merged, source)
+
+    # idempotence: merging the converged state again changes nothing
+    cs2 = build_changeset(merged, source, "k")
+    non_keep = cs2.df.filter(F.col("_action") != ACTION_KEEP).count()
+    assert non_keep == 0
+
+    # keep-mode conservation: final = source rows + unmatched target rows
+    kept = merge_preview(target, source, "k", delete="NO")
+    unmatched = target.join(source, target.k.eqNullSafe(source.k), "left_anti")
+    assert _same(kept, source.unionByName(unmatched))
