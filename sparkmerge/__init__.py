@@ -27,6 +27,7 @@ This package re-expresses that as idiomatic Spark dataflow:
 """
 
 from sparkmerge.errors import (
+    MergeConflictError,
     MergeError,
     MergeThresholdExceeded,
     MergeValidationError,
@@ -39,6 +40,7 @@ from sparkmerge.merge import MergeReport, MergeResult, merge_partitioned, simple
 
 __all__ = [
     "Changeset",
+    "MergeConflictError",
     "MergeError",
     "MergePlan",
     "MergeReport",

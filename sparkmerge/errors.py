@@ -19,6 +19,22 @@ class MergeValidationError(MergeError):
     sp_SimpleMerge.sql:82-128 and :194-201)."""
 
 
+class MergeConflictError(MergeError):
+    """Optimistic-concurrency failure: another writer committed a version
+    after this merge read its snapshot, so publishing would silently drop
+    the other writer's changes.  The analog of a serialization failure in
+    the reference's transaction (sp_SimpleMerge.sql:470-479); retry the
+    merge against the new current version."""
+
+    def __init__(self, expected: int, found: int):
+        self.expected = expected
+        self.found = found
+        super().__init__(
+            f"Commit conflict: expected current version {expected}, found "
+            f"{found} — a concurrent writer committed first. Retry the merge."
+        )
+
+
 class MergeThresholdExceeded(MergeError):
     """Variance guard tripped: the merge changed more rows than the caller's
     threshold allows; the snapshot pointer was NOT swapped (reference:

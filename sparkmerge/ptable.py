@@ -58,7 +58,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from sparkmerge.errors import MergeError
+from sparkmerge.errors import MergeConflictError, MergeError
 from sparkmerge.table import SnapshotTable
 
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -173,8 +173,13 @@ class PartitionedSnapshotTable(SnapshotTable):
         return v
 
     def commit(self, version: int) -> None:
+        """Publish a staged manifest; same optimistic-concurrency contract as
+        :meth:`SnapshotTable.commit` (conflict ⇒ MergeConflictError)."""
         if not os.path.exists(self._manifest_path(version)):
             raise MergeError(f"Version {version} was never staged at {self.path!r}")
+        current = self.current_version()
+        if current != version - 1:
+            raise MergeConflictError(expected=version - 1, found=current)
         self._swap_pointer(version)
 
     def abort(self, version: int) -> None:
@@ -218,6 +223,31 @@ class PartitionedSnapshotTable(SnapshotTable):
         os.replace(tmp, self._manifest_path(version))
 
     # ---- maintenance ----
+
+    def compact(self, spark: SparkSession, *, values: list[str] | None = None) -> int:
+        """Rewrite the selected partitions' data into ONE file each and
+        commit the result as a new version (untouched partitions carry
+        forward by reference, as in a merge).
+
+        This is the small-file compaction every incrementally-merged 100 TB
+        table eventually needs: frequent small merges each write small files
+        into their touched partitions; readers then pay per-file open cost.
+        ``repartition(n, partition_col)`` hashes every value's rows into one
+        task, so each partition directory receives exactly one file.
+        Compaction is a data-identical merge commit — MVCC readers of older
+        versions are unaffected, and the commit conflict check serializes it
+        against concurrent merges."""
+        parts = self.partitions()
+        chosen = set(parts) if values is None else {v for v in values if v in parts}
+        if not chosen:
+            return self.current_version()
+        pcol = self.partition_by
+        data = self.read_partitions(spark, sorted(chosen)).repartition(
+            len(chosen), F.col(pcol)
+        )
+        staged = self.stage_merge(data, chosen)
+        self.commit(staged)
+        return staged
 
     def vacuum(self, keep: int = 2) -> list[int]:
         """Drop manifests (and any data dirs no surviving manifest

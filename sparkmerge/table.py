@@ -36,7 +36,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sparkmerge.errors import MergeError
+from sparkmerge.errors import MergeConflictError, MergeError
 
 _CURRENT = "_CURRENT"
 _PROPS = "_props.json"
@@ -95,9 +95,20 @@ class SnapshotTable:
 
     def commit(self, version: int) -> None:
         """Atomically publish a staged version (the COMMIT at
-        sp_SimpleMerge.sql:477)."""
+        sp_SimpleMerge.sql:477).
+
+        Optimistic concurrency: the staged version was derived from snapshot
+        ``version - 1``; if the pointer has moved since (a concurrent writer
+        committed), publishing would silently drop that writer's changes —
+        refuse with :class:`MergeConflictError` instead.  On an object store
+        the read-check-swap window closes with a conditional PUT
+        (If-Match on the pointer object); locally it is a detection, not a
+        lock — adequate for single-writer-per-table orchestration."""
         if not os.path.isdir(self._version_dir(version)):
             raise MergeError(f"Version {version} was never staged at {self.path!r}")
+        current = self.current_version()
+        if current != version - 1:
+            raise MergeConflictError(expected=version - 1, found=current)
         self._swap_pointer(version)
 
     def abort(self, version: int) -> None:

@@ -142,6 +142,51 @@ def test_vacuum_keeps_referenced_dirs(spark, orders, tmp_path):
                      orders.filter("o_orderstatus <> 'O'"))
 
 
+def test_commit_conflict_detected(spark, orders, tmp_path):
+    from sparkmerge.errors import MergeConflictError
+    from sparkmerge.table import SnapshotTable
+
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "o_orderstatus")
+    # writer A stages against v1...
+    staged_a = t.stage_merge(orders.filter("o_orderstatus = 'O'"), {"O"})
+    # ...but writer B commits first (simulated by swapping the pointer)
+    t._swap_pointer(staged_a)
+    t._write_manifest(staged_a + 1, "o_orderstatus", orders.schema, t.partitions())
+    with pytest.raises(MergeConflictError):
+        # A's staged version now trails the pointer — publishing must refuse
+        t.commit(staged_a)
+
+    # plain SnapshotTable: same contract
+    s = SnapshotTable.create(spark, str(tmp_path / "s"), orders.limit(10))
+    v2 = s.stage(orders.limit(5))
+    s._swap_pointer(v2)  # concurrent writer took v2
+    v2b = s.stage(orders.limit(3))  # stages v3 — fine
+    s.commit(v2b)  # v3 over v2: no conflict
+    with pytest.raises(MergeConflictError):
+        s.commit(v2)  # stale staged version must refuse
+
+
+def test_compact_merges_small_files(spark, orders, tmp_path):
+    t = PartitionedSnapshotTable.create(
+        spark, str(tmp_path / "t"), orders.repartition(6), "o_orderstatus"
+    )
+    before = t.read(spark)
+
+    def files_of(val):
+        d = os.path.join(str(tmp_path / "t"), t.partitions()[val])
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(files_of("O")) > 1  # fragmented by the 6-way repartition
+    v = t.compact(spark)
+    assert v == t.current_version() == 2
+    assert len(files_of("O")) == 1
+    assert same_rows(t.read(spark), before)  # data identical
+    # partial compaction: only chosen partitions rewritten
+    t2_parts_before = t.partitions()
+    t.compact(spark, values=["F"])
+    assert t.partitions()["O"] == t2_parts_before["O"]  # untouched by reference
+
+
 def test_full_stage_rejected(spark, orders, tmp_path):
     t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "o_orderstatus")
     with pytest.raises(MergeError):
