@@ -146,6 +146,30 @@ class SnapshotTable:
             json.dump(props, f, indent=2, sort_keys=True)
         os.replace(tmp, os.path.join(self.path, _PROPS))
 
+    # ---- schema evolution ----
+
+    def add_columns(self, spark: SparkSession, columns: dict[str, str]) -> int:
+        """Widen the table: commit a new version with NULL-filled columns of
+        the given Spark DDL types (e.g. ``{"score": "double"}``).
+
+        The reference's schema rule is source ⊆ target (sp_SimpleMerge.sql:
+        200-201) — a source that grows a column fails validation until the
+        target is widened; this is the explicit widening step.  Existing
+        versions are untouched (MVCC), so readers pinned to an old version
+        still see the old schema."""
+        from pyspark.sql import functions as F
+
+        existing = set(self.read(spark).columns)
+        clash = existing.intersection(columns)
+        if clash:
+            raise MergeError(f"Columns already exist: {sorted(clash)!r}")
+        df = self.read(spark)
+        for name, ddl in columns.items():
+            df = df.withColumn(name, F.lit(None).cast(ddl))
+        staged = self.stage(df)
+        self.commit(staged)
+        return staged
+
     # ---- maintenance ----
 
     def vacuum(self, keep: int = 2) -> list[int]:

@@ -187,6 +187,61 @@ def test_compact_merges_small_files(spark, orders, tmp_path):
     assert t.partitions()["O"] == t2_parts_before["O"]  # untouched by reference
 
 
+def test_schema_evolution_widen_then_merge(spark, orders, tmp_path):
+    from sparkmerge.merge import simple_merge
+    from sparkmerge.table import SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), orders.limit(100))
+    src_wide = orders.limit(100).withColumn("o_score", F.lit(1.5))
+    # source grew a column the target lacks → reference rule rejects it
+    with pytest.raises(MergeValidationError):
+        simple_merge(spark, t, src_wide, "o_orderkey")
+    # explicit widening step, then the same merge succeeds
+    t.add_columns(spark, {"o_score": "double"})
+    assert t.read(spark).filter(F.col("o_score").isNull()).count() == 100
+    res = simple_merge(spark, t, src_wide, "o_orderkey")
+    assert res.committed
+    assert t.read(spark).filter(F.col("o_score") == 1.5).count() == 100
+
+
+def test_streaming_foreachbatch_into_partitioned_table(spark, orders, tmp_path):
+    """The full 100 TB pattern end-to-end: a stream of micro-batch upserts
+    applied with merge_partitioned — only the partitions each batch touches
+    are rewritten."""
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "o_orderstatus")
+    src = mutated(orders.filter("o_orderstatus = 'O'"))
+    multi = str(tmp_path / "src_batches")
+    src.repartitionByRange(3, "o_orderkey").write.parquet(multi)
+    v1_parts = t.partitions()
+
+    schema = spark.read.parquet(multi).schema
+
+    def sink(batch_df, batch_id):
+        merge_partitioned(
+            spark, t, batch_df, ["o_orderkey", "o_orderstatus"],
+            prune_scan=True, delete="NO",
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # untouched partitions: still the v1 directories, byte-identical
+    assert t.partitions()["F"] == v1_parts["F"]
+    assert t.partitions()["P"] == v1_parts["P"]
+    # upserts applied (delete='NO': unmatched target rows remain)
+    final = t.read(spark)
+    expected = merge_preview(orders, src, "o_orderkey", delete="NO")
+    assert same_rows(final, expected)
+
+
 def test_full_stage_rejected(spark, orders, tmp_path):
     t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "o_orderstatus")
     with pytest.raises(MergeError):
