@@ -161,3 +161,63 @@ def fn_setop_unionall(spark, sf_dir):
         F.lit("O").alias("bucket"), "o_orderkey"
     )
     return f_side.unionAll(o_side)
+
+
+# --- datetime functions: trunc/extract/interval/diff (engine surface beyond
+#     the reference's sysdatetime/convert-121, sp_SimpleMerge.sql:488) ---
+
+
+@register(
+    "fn_datetime_ops",
+    oracle="""
+SELECT o_orderkey,
+       date_trunc('month', o_orderdate) AS order_month,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(dayofweek(o_orderdate) AS INT) AS dow,
+       o_orderdate + INTERVAL 90 DAY AS due_date,
+       CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since_95,
+       strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+  FROM orders WHERE o_orderkey % 100 = 0
+""",
+    description="date_trunc/extract/interval arithmetic/datediff/format "
+    "(datetime expression surface)",
+)
+def fn_datetime_ops(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).alias("order_month"),
+        F.year(d).cast("int").alias("y"),
+        F.month(d).cast("int").alias("m"),
+        # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1
+        (F.dayofweek(d) - 1).cast("int").alias("dow"),
+        (d + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(F.to_date(d), F.lit("1995-01-01").cast("date")).cast("int").alias("days_since_95"),
+        F.date_format(d, "yyyy-MM-dd").alias("iso_day"),
+    )
+
+
+# --- distinct aggregation: exact + approximate cardinality ---
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+       count(*) AS n_orders
+  FROM orders GROUP BY o_orderstatus
+""",
+    description="count(DISTINCT) aggregation (expand-based distinct agg; the "
+    "approx_count_distinct scale path is exercised in tests)",
+)
+def agg_distinct(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
