@@ -77,6 +77,20 @@ def scan_json(spark, sf_dir):
 
 
 @register(
+    "scan_orc",
+    oracle="SELECT * FROM supplier",
+    description="ORC source/sink roundtrip (columnar format surface beyond parquet)",
+)
+def scan_orc(spark, sf_dir):
+    from sparkmerge.queries import load as _load
+
+    dst = _derived(sf_dir, "supplier_orc")
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        _load(spark, sf_dir, "supplier").write.mode("overwrite").orc(dst)
+    return spark.read.orc(dst)
+
+
+@register(
     "sink_partitioned_parquet",
     oracle="""
 SELECT o_orderstatus, count(*) AS n
