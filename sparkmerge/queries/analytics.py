@@ -180,3 +180,48 @@ def agg_grouping_sets(spark, sf_dir):
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"), _dec_sum(F.col("o_totalprice"), 2).alias("total")
     )
+
+
+@register(
+    "pivot_wide",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS F,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS O,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS P
+  FROM orders GROUP BY o_orderpriority
+""",
+    description="pivot: long->wide order counts by status (groupBy().pivot())",
+)
+def pivot_wide(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi
+  FROM orders GROUP BY o_orderstatus
+""",
+    description="exact percentile aggregation (Spark percentile == DuckDB "
+    "quantile_cont: linear interpolation between exact 2-decimal values is a "
+    "single IEEE midpoint op, bit-deterministic)",
+)
+def agg_percentiles(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )

@@ -147,3 +147,26 @@ def json_extract_props(spark, sf_dir):
         F.get_json_object("props", "$.k").cast("int").alias("k_value"),
         F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
     )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+SELECT doc_id, lang
+  FROM documents
+ WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+       < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END)
+""",
+    description="deterministic stratified sampling for training-data mixes: "
+    "per-language rates via a Knuth multiplicative hash of the doc id — "
+    "reproducible across engines and runs (no RNG), prunable, shuffle-free",
+)
+def sample_stratified(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(4294967296.0)
+    rate = (
+        F.when(F.col("lang") == "en", 0.5)
+        .when(F.col("lang") == "de", 0.25)
+        .otherwise(0.1)
+    )
+    return d.filter(u < rate).select("doc_id", "lang")
