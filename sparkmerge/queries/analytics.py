@@ -225,3 +225,80 @@ def agg_percentiles(spark, sf_dir):
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+@register(
+    "tpch_q10",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       n.n_name
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+ WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+   AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+   AND l.l_returnflag = 'R'
+ GROUP BY c.c_custkey, c.c_name, n.n_name
+ ORDER BY revenue DESC, c_custkey
+ LIMIT 20
+""",
+    description="TPC-H Q10 returned-item reporting: 4-way join, agg, deterministic top-20",
+)
+def tpch_q10(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1996-07-01 00:00:00'"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dec_sum(revenue, 4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+ WHERE o.o_orderkey IN (
+         SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+         HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+       )
+ GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+    description="TPC-H Q18 large-volume customers: IN-subquery with HAVING (left-semi join)",
+)
+def tpch_q18(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity"), 2).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
+              F.col("o_orderkey") == F.col("b_orderkey"), "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dec_sum(F.col("l_quantity"), 2).alias("total_qty"))
+    )

@@ -170,3 +170,61 @@ def sample_stratified(spark, sf_dir):
         .otherwise(0.1)
     )
     return d.filter(u < rate).select("doc_id", "lang")
+
+
+_FP_SQL = """list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 1000000007)"""
+
+_PR_SQL = """CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+         / CAST(greatest(length(text), 1) AS DOUBLE)"""
+
+
+@register(
+    "pipeline_training_mix",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len({_TOKS_RAW}) AS INT) AS n_tokens,
+         {_PR_SQL} AS pr,
+         {_FP_SQL} AS fp
+    FROM documents
+),
+filtered AS (SELECT * FROM scored WHERE n_tokens >= 10 AND pr <= 0.2),
+deduped AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM filtered
+)
+SELECT doc_id, lang, n_tokens
+  FROM deduped
+ WHERE rn = 1
+   AND ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+       < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END)
+""",
+    description="end-to-end training-data mix as ONE declarative plan: quality "
+    "filter (tokens>=10, punct<=0.2) -> exact dedup by rolling-hash fingerprint "
+    "(keep lowest doc_id) -> per-language stratified sample; one shuffle total "
+    "(the dedup window), everything else map-side",
+)
+def pipeline_training_mix(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        token_count(t).alias("n_tokens"),
+        punct_ratio(t).alias("pr"),
+        fingerprint(t).alias("fp"),
+    )
+    filtered = scored.filter((F.col("n_tokens") >= 10) & (F.col("pr") <= 0.2))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = filtered.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(4294967296.0)
+    rate = (
+        F.when(F.col("lang") == "en", 0.5)
+        .when(F.col("lang") == "de", 0.25)
+        .otherwise(0.1)
+    )
+    return deduped.filter(u < rate).select("doc_id", "lang", "n_tokens")
