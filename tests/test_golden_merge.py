@@ -173,3 +173,41 @@ def test_debug_report_no_side_effects(spark, tmp_table_dir):
     assert rep.target_rows == 1 and rep.threshold == 15.0
     assert "d_v" in rep.audit_ddl
     assert tbl.current_version() == 1 and tbl.properties() == {}
+
+
+def test_audit_replay_reconstructs_target(spark, tmp_path):
+    """The audit stream is COMPLETE: applying the CDC records (key + d_*/i_*
+    images) to the pre-merge snapshot reproduces the post-merge snapshot
+    exactly — so downstream consumers of the audit sink can maintain an
+    exact replica without ever reading the table (the point of OUTPUT INTO,
+    sp_SimpleMerge.sql:350-410)."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").limit(800)
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), orders)
+    v1 = table.read(spark)
+
+    upd = F.col("o_orderkey") % 3 == 0
+    src = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.when(upd, F.col("o_orderkey").cast("double")).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+    )
+    audit_path = str(tmp_path / "audit")
+    simple_merge(spark, table, src, "o_orderkey", audit_path=audit_path)
+    v2 = table.read(spark)
+
+    audit = spark.read.parquet(audit_path)
+    nonkey = [c for c in orders.columns if c != "o_orderkey"]
+
+    # replay: DELETE keys vanish; INSERT/UPDATE keys take their i_* images;
+    # untouched rows carry over from v1
+    deletes = audit.filter(F.col("action") == "DELETE").select("o_orderkey")
+    upserts = audit.filter(F.col("action") != "DELETE").select(
+        "o_orderkey", *[F.col(f"i_{c}").alias(c) for c in nonkey]
+    )
+    touched = audit.select("o_orderkey")
+    replica = (
+        v1.join(touched, "o_orderkey", "left_anti")
+        .unionByName(upserts.select(v1.columns))
+    )
+    _ = deletes  # deletes are implied by membership in `touched` minus upserts
+    assert replica.exceptAll(v2).count() == 0 and v2.exceptAll(replica).count() == 0
