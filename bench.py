@@ -36,6 +36,7 @@ HEADLINE = [
     "topk_similarity",
     "text_stats",
     "text_fingerprint",
+    "pipeline_training_mix",
     "json_extract_props",
     "window_tumbling",
     "window_session",

@@ -44,6 +44,13 @@ listing — the manifest never *predicts* an escape.
 On an object store the directory moves disappear (paths are just keys), and
 the ``_CURRENT`` swap becomes a conditional PUT or a metastore update —
 the manifest design itself is the same one Iceberg/Delta use for this.
+
+Multi-column partitioning: partition by a single DERIVED column, e.g.
+``df.withColumn("part_key", F.concat_ws("|", "ds", "lang"))`` — the derived
+column is a normal data column (it survives in the files), composes with
+``prune_scan`` by including it in the join key, and keeps the manifest a
+flat value → directory map.  This is deliberately simpler than nested
+partition specs and loses nothing at the manifest level.
 """
 
 from __future__ import annotations
