@@ -221,3 +221,104 @@ def agg_distinct(spark, sf_dir):
         F.countDistinct("o_orderpriority").alias("n_priorities"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --- window frames: running/sliding aggregates, lag/lead, ranks ---
+
+
+@register(
+    "fn_window_frames",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_run AS DOUBLE) AS running_total,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sliding3,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS INT) AS status_rank,
+       CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS INT) AS status_dense
+  FROM orders
+ WHERE o_custkey % 50 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+       w_run AS (PARTITION BY o_custkey ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING)
+""",
+    description="window frames: running + sliding decimal sums (rowsBetween), "
+    "lag/lead, rank/dense_rank over a deterministic total order",
+)
+def fn_window_frames(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    slide = w.rowsBetween(-2, Window.currentRow)
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    ws = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price_dec).over(run).cast("double").alias("running_total"),
+        F.sum(price_dec).over(slide).cast("double").alias("sliding3"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.rank().over(ws).cast("int").alias("status_rank"),
+        F.dense_rank().over(ws).cast("int").alias("status_dense"),
+    )
+
+
+# --- array/higher-order function surface ---
+
+
+@register(
+    "fn_array_ops",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+       CAST(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)[1] AS DOUBLE) AS first_doubled,
+       CAST(list_sort(embedding)[1] AS FLOAT) AS smallest,
+       CAST(list_sort(embedding)[len(embedding)] AS FLOAT) AS largest,
+       list_contains(embedding, embedding[1]) AS has_first
+  FROM embeddings WHERE vec_id % 20 = 0
+""",
+    description="higher-order array functions: size/filter/transform/sort/"
+    "element_at/contains over array<float>",
+)
+def fn_array_ops(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.element_at(F.transform(emb, lambda x: x.cast("double") * 2.0), 1).alias("first_doubled"),
+        F.element_at(F.array_sort(emb), 1).alias("smallest"),
+        F.element_at(F.array_sort(emb), F.size(emb)).alias("largest"),
+        F.array_contains(emb, F.element_at(emb, 1)).alias("has_first"),
+    )
+
+
+# --- correlated scalar subquery (spark.sql surface) ---
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+SELECT c_custkey, c_name,
+       (SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+  FROM customer c
+ WHERE c_custkey % 25 = 0
+""",
+    description="correlated scalar subqueries via spark.sql (Catalyst rewrites "
+    "them to aggregated left outer joins)",
+)
+def subquery_scalar(spark, sf_dir):
+    load(spark, sf_dir, "customer").createOrReplaceTempView("sm_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sm_orders")
+    return spark.sql("""
+        SELECT c_custkey, c_name,
+               (SELECT max(o_totalprice) FROM sm_orders o WHERE o.o_custkey = c.c_custkey) AS max_order,
+               (SELECT count(*) FROM sm_orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+          FROM sm_customer c
+         WHERE c_custkey % 25 = 0
+    """)

@@ -211,3 +211,19 @@ def test_audit_replay_reconstructs_target(spark, tmp_path):
     )
     _ = deletes  # deletes are implied by membership in `touched` minus upserts
     assert replica.exceptAll(v2).count() == 0 and v2.exceptAll(replica).count() == 0
+
+
+def test_hundred_column_key_capacity(spark):
+    """The reference supports keys of up to 100 columns (sp_SimpleMerge.sql:12);
+    the changeset build must handle that width (and target-extras beyond it)."""
+    n_keys = 100
+    key_cols = [f"k{i:03d}" for i in range(n_keys)]
+    schema = ", ".join(f"{k} int" for k in key_cols) + ", v string"
+    row_a = tuple(range(n_keys)) + ("a",)
+    row_b = tuple(range(1, n_keys + 1)) + ("b",)
+    t = spark.createDataFrame([row_a, row_b], schema)
+    s = spark.createDataFrame(
+        [row_a[:-1] + ("a2",), tuple(range(2, n_keys + 2)) + ("new",)], schema
+    )
+    cs = build_changeset(t, s, key_cols)
+    assert cs.action_counts() == {"UPDATE": 1, "DELETE": 1, "INSERT": 1}
