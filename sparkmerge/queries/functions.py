@@ -322,3 +322,22 @@ def subquery_scalar(spark, sf_dir):
           FROM sm_customer c
          WHERE c_custkey % 25 = 0
     """)
+
+
+# --- approximate aggregation: the scale path for cardinality/quantiles ---
+
+
+@register(
+    "agg_approx",
+    oracle=None,
+    description="approximate aggregation surface: approx_count_distinct (HLL++) "
+    "and approx_percentile sketches — the shuffle-light scale path whose error "
+    "vs the exact twins (agg_distinct, agg_percentiles) is bounded in tests",
+)
+def agg_approx(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("approx_p50"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -246,3 +246,27 @@ def test_full_stage_rejected(spark, orders, tmp_path):
     t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "o_orderstatus")
     with pytest.raises(MergeError):
         t.stage(orders)
+
+
+def test_composite_partition_via_derived_column(spark, orders, tmp_path):
+    """The documented multi-column partitioning pattern (ptable.py module
+    docstring): partition by a derived composite column, include it in the
+    join key, and scan/write pruning both apply per composite value."""
+    base = orders.withColumn(
+        "part_key",
+        F.concat_ws("|", F.col("o_orderstatus"), (F.col("o_custkey") % 2).cast("string")),
+    )
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), base, "part_key")
+    assert len(t.partitions()) == 6  # 3 statuses x 2 buckets
+    v1 = t.partitions()
+
+    src = mutated(base.filter("part_key = 'O|0'")).withColumn(
+        "part_key",
+        F.concat_ws("|", F.col("o_orderstatus"), (F.col("o_custkey") % 2).cast("string")),
+    )
+    merge_partitioned(spark, t, src, ["o_orderkey", "part_key"], prune_scan=True)
+    after = t.partitions()
+    untouched = [k for k in after if k != "O|0"]
+    assert all(after[k] == v1[k] for k in untouched)
+    assert after["O|0"] != v1["O|0"]
+    assert same_rows(t.read(spark).filter("part_key = 'O|0'"), src)

@@ -45,3 +45,18 @@ def test_salted_join_splits_keys(spark):
         "l_orderkey", "l_linenumber", "o_orderstatus"
     )
     assert df.exceptAll(plain).count() == 0 and plain.exceptAll(df).count() == 0
+
+
+def test_approx_aggs_within_error_bounds(spark):
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    row = o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("ap50"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+    # approx_percentile returns a genuine data value near the true median
+    assert abs(row.ap50 - row.p50) / row.p50 < 0.05
