@@ -341,3 +341,34 @@ def agg_approx(spark, sf_dir):
         F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("approx_p50"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --- struct/map construction + field access ---
+
+
+@register(
+    "fn_struct_map_ops",
+    oracle="""
+SELECT n_nationkey,
+       struct_pack(name := n_name, region := n_regionkey).name AS s_name,
+       CAST(struct_pack(name := n_name, region := n_regionkey).region AS BIGINT) AS s_region,
+       MAP {'name': n_name, 'upper': upper(n_name)}['upper'][1] AS m_upper,
+       CAST(cardinality(MAP {'name': n_name, 'upper': upper(n_name)}) AS INT) AS m_size
+  FROM nation
+""",
+    description="struct/map construction and field/key access (nested-type "
+    "expression surface; outputs flattened for the oracle hash)",
+)
+def fn_struct_map_ops(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    s = F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("region"))
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"), F.lit("upper"), F.upper(F.col("n_name"))
+    )
+    return n.select(
+        "n_nationkey",
+        s.getField("name").alias("s_name"),
+        s.getField("region").cast("bigint").alias("s_region"),
+        m.getItem("upper").alias("m_upper"),
+        F.size(m).alias("m_size"),
+    )
