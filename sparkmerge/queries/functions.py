@@ -372,3 +372,20 @@ def fn_struct_map_ops(spark, sf_dir):
         m.getItem("upper").alias("m_upper"),
         F.size(m).alias("m_size"),
     )
+
+
+@register(
+    "fn_setop_except",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+    description="EXCEPT — set difference (df.subtract; the bag-difference twin "
+    "exceptAll is the engine's convergence-test primitive)",
+)
+def fn_setop_except(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_side = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_side.subtract(o_side)
