@@ -261,6 +261,51 @@ def merge_partition_pruned(spark, sf_dir):
 
 
 @register(
+    "table_maintenance",
+    oracle=None,
+    description="storage lifecycle surface: compact() merges small files per "
+    "partition (data-identical commit), vacuum() drops unreferenced versions, "
+    "add_columns() widens the schema NULL-filled — each verified by outcome",
+)
+def table_maintenance(spark, sf_dir):
+    from sparkmerge.ptable import PartitionedSnapshotTable
+    from sparkmerge.table import SnapshotTable
+
+    d = _scratch()
+    try:
+        orders = load(spark, sf_dir, "orders").limit(2000)
+        pt = PartitionedSnapshotTable.create(
+            spark, os.path.join(d, "pt"), orders.repartition(6), "o_orderstatus"
+        )
+        def n_files(val):
+            p = os.path.join(pt.path, pt.partitions()[val])
+            return len([f for f in os.listdir(p) if f.endswith(".parquet")])
+
+        frag = n_files("O")
+        before = pt.read(spark).count()
+        pt.compact(spark)
+        compacted = n_files("O") == 1 and pt.read(spark).count() == before
+        removed = pt.vacuum(keep=1)
+
+        st = SnapshotTable.create(spark, os.path.join(d, "st"), orders.limit(50))
+        st.add_columns(spark, {"extra_score": "double"})
+        widened = (
+            "extra_score" in st.read(spark).columns
+            and st.read(spark).filter(F.col("extra_score").isNull()).count() == 50
+        )
+        return spark.createDataFrame(
+            [
+                ("compact_to_single_file_data_identical", compacted and frag > 1),
+                ("vacuum_removed_old_versions", bool(removed)),
+                ("add_columns_null_filled", widened),
+            ],
+            "checked_case string, value boolean",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "sink_audit_append",
     oracle=f"""
 {classify_sql()}
