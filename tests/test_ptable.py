@@ -270,3 +270,32 @@ def test_composite_partition_via_derived_column(spark, orders, tmp_path):
     assert all(after[k] == v1[k] for k in untouched)
     assert after["O|0"] != v1["O|0"]
     assert same_rows(t.read(spark).filter("part_key = 'O|0'"), src)
+
+
+def test_partitioned_merge_audit_and_threshold(spark, orders, tmp_path):
+    """merge_partitioned matrix: audit sink receives the changeset, and the
+    threshold guard aborts without publishing OR stamping."""
+    import pytest as _pytest
+
+    from sparkmerge.errors import MergeThresholdExceeded as _Thresh
+
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "o_orderstatus")
+    src = mutated(orders.filter("o_orderstatus = 'O'"))
+    audit = str(tmp_path / "audit")
+    res = merge_partitioned(
+        spark, t, src, ["o_orderkey", "o_orderstatus"],
+        prune_scan=True, audit_path=audit, threshold="99%",
+    )
+    a = spark.read.parquet(audit)
+    assert a.count() == res.changed_rows == res.audit_rows
+    assert set(r.action for r in a.select("action").distinct().collect()) <= {
+        "INSERT", "UPDATE", "DELETE"
+    }
+    # threshold abort on a second, tiny-source merge
+    v = t.current_version()
+    with _pytest.raises(_Thresh):
+        merge_partitioned(
+            spark, t, src.limit(1), ["o_orderkey", "o_orderstatus"],
+            prune_scan=True, threshold="0.0001%",
+        )
+    assert t.current_version() == v
