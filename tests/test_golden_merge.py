@@ -227,3 +227,29 @@ def test_hundred_column_key_capacity(spark):
     )
     cs = build_changeset(t, s, key_cols)
     assert cs.action_counts() == {"UPDATE": 1, "DELETE": 1, "INSERT": 1}
+
+
+def test_skewed_key_badkey_merge_converges(spark):
+    """90%-hot-key skew through the badKey window + full-outer join: the
+    machinery AQE skew-splitting protects at scale must stay CORRECT under
+    heavy skew locally (18k rows in one key group)."""
+    n = 20_000
+    skew = spark.range(n).select(
+        F.when(F.col("id") % 10 != 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    cs = build_changeset(skew, skew, "k", bad_key=True, bad_key_order=["v"])
+    assert cs.action_counts() == {"KEEP": n}
+    # and a mutation of one hot-key row surfaces as exactly one UPDATE
+    src = skew.withColumn(
+        "v", F.when(F.col("v") == 11, F.lit(-1)).otherwise(F.col("v"))
+    )
+    cs2 = build_changeset(skew, src, "k", bad_key=True, bad_key_order=["v"])
+    acts = cs2.action_counts()
+    # deterministic rank pairs rows by v-order; moving one v from sort
+    # position 11 to 1 displaces the rows in between, so the diff is a
+    # bounded run of UPDATEs (≤ the rank displacement) — and cardinalities
+    # are equal, so never an INSERT or DELETE
+    assert "DELETE" not in acts and "INSERT" not in acts
+    assert acts.get("UPDATE", 0) <= 12
+    assert acts.get("KEEP", 0) >= n - 12
