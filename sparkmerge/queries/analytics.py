@@ -302,3 +302,67 @@ def tpch_q18(spark, sf_dir):
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(_dec_sum(F.col("l_quantity"), 2).alias("total_qty"))
     )
+
+
+@register(
+    "tpch_q14",
+    oracle="""
+SELECT 100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                    THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+       AS promo_revenue
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+ WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+   AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+""",
+    description="TPC-H Q14 promotion effect: conditional decimal aggregation over a broadcast join",
+)
+def tpch_q14(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-03-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-04-01 00:00:00'"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias(
+                "promo_revenue"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q4_style",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS order_count
+  FROM orders o
+ WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+   AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+   AND EXISTS (SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+ GROUP BY o.o_orderpriority
+""",
+    description="TPC-H Q4-style order-priority checking: correlated EXISTS "
+    "(left-semi join) + agg; ship-after-order stands in for the "
+    "commit/receipt columns the corpus lacks",
+)
+def tpch_q4_style(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1996-07-01 00:00:00'"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
