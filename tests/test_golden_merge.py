@@ -253,3 +253,28 @@ def test_skewed_key_badkey_merge_converges(spark):
     assert "DELETE" not in acts and "INSERT" not in acts
     assert acts.get("UPDATE", 0) <= 12
     assert acts.get("KEEP", 0) >= n - 12
+
+
+def test_badkey_on_real_corpus_duplicates(spark, tmp_path):
+    """The driver corpus's lineitem 'natural key' (l_orderkey, l_linenumber)
+    is genuinely non-unique (~23% duplicate keys at every SF) — the exact
+    situation @badKey=1 exists for (sp_SimpleMerge.sql:209-241).  A badKey
+    merge over the real table must converge; without badKey the duplicate
+    keys would cross-multiply in the join (by MERGE semantics, both here and
+    in the reference)."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    assert li.count() > li.select("l_orderkey", "l_linenumber").distinct().count()
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), li)
+    src = li.withColumn(
+        "l_quantity",
+        F.when(F.col("l_partkey") % 5 == 0, F.col("l_quantity") + 1.0).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    res = simple_merge(
+        spark, table, src, ["l_orderkey", "l_linenumber"],
+        bad_key=True, bad_key_order=li.columns,
+    )
+    final = table.read(spark)
+    assert final.exceptAll(src).count() == 0 and src.exceptAll(final).count() == 0
+    assert res.changed_rows > 0
