@@ -112,3 +112,52 @@ def stream_merge_foreachbatch(spark, sf_dir):
         return spark.createDataFrame(rows, table.read(spark).schema)
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+    FROM events WHERE event_type = 'click'
+),
+conv AS (
+  SELECT c.user_id, c.click_id,
+         min(p.event_id) AS first_purchase_id
+    FROM clicks c
+    JOIN events p
+      ON p.user_id = c.user_id AND p.event_type = 'purchase'
+     AND p.ts > c.click_ts AND p.ts <= c.click_ts + INTERVAL 30 MINUTE
+   GROUP BY c.user_id, c.click_id
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_converted_clicks,
+       CAST(count(DISTINCT first_purchase_id) AS BIGINT) AS n_purchases_credited
+  FROM conv GROUP BY user_id
+""",
+    description="sessionized funnel: clicks converting to a purchase within 30 "
+    "minutes, per user — the event-sequence analytics shape (self range-join "
+    "bounded by the conversion window)",
+)
+def funnel_conversion(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    conv = (
+        clicks.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy("user_id", "click_id")
+        .agg(F.min("p_id").alias("first_purchase_id"))
+    )
+    return conv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_converted_clicks"),
+        F.countDistinct("first_purchase_id").alias("n_purchases_credited"),
+    )
