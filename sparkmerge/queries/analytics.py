@@ -366,3 +366,24 @@ def tpch_q4_style(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+@register(
+    "tpch_q16_style",
+    oracle="""
+SELECT p.p_brand, p.p_type, CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+  FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+ WHERE p.p_size >= 25
+ GROUP BY p.p_brand, p.p_type
+""",
+    description="TPC-H Q16-style parts/supplier relationship: distinct-count "
+    "after a broadcast join (lineitem stands in for partsupp)",
+)
+def tpch_q16_style(spark, sf_dir):
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
