@@ -266,7 +266,22 @@ def merge_partitioned(
         changed, before = int(row["changed"]), int(row["before"])
 
         new_state = cs.apply_changes()
-        changed_state = new_state.filter(canon_col(pcol).isin(*changed_vals)) if changed_vals else new_state.limit(0)
+        if not changed_vals:
+            changed_state = new_state.limit(0)
+        elif len(changed_vals) <= 64:
+            changed_state = new_state.filter(canon_col(pcol).isin(*changed_vals))
+        else:
+            # thousands of changed partitions would blow up an IN-list
+            # expression; a broadcast semi-join against the value set keeps
+            # the filter O(1) per row at any partition count
+            vals_df = spark.createDataFrame(
+                [(v,) for v in sorted(changed_vals)], "_changed_part string"
+            )
+            changed_state = new_state.join(
+                F.broadcast(vals_df),
+                canon_col(pcol) == F.col("_changed_part"),
+                "left_semi",
+            )
         staged = target.stage_merge(changed_state, changed_vals)
 
         variance = None

@@ -299,3 +299,17 @@ def test_partitioned_merge_audit_and_threshold(spark, orders, tmp_path):
             prune_scan=True, threshold="0.0001%",
         )
     assert t.current_version() == v
+
+
+def test_many_changed_partitions_semi_join_path(spark, orders, tmp_path):
+    """>64 changed partitions exercises the broadcast-semi-join filter path
+    (an IN-list over thousands of values would blow up the expression)."""
+    base = orders.withColumn("bucket", (F.col("o_custkey") % 80).cast("string"))
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), base, "bucket")
+    assert len(t.partitions()) == 80
+    src = base.withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0  # touch every partition
+    )
+    res = merge_partitioned(spark, t, src, "o_orderkey")
+    assert res.committed
+    assert same_rows(t.read(spark), src)
