@@ -137,15 +137,18 @@ SELECT event_id, event_type,
        (json_extract_string(props, '$.missing') IS NULL) AS missing_is_null
   FROM events
 """,
-    description="typed field extraction from JSON event payloads",
+    description="typed field extraction from JSON event payloads via from_json "
+    "(ONE parse per row regardless of field count — get_json_object re-parses "
+    "the document per field, the wrong shape at scale)",
 )
 def json_extract_props(spark, sf_dir):
     e = load(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT, missing STRING")
     return e.select(
         "event_id",
         "event_type",
-        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
-        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+        parsed.getField("k").alias("k_value"),
+        parsed.getField("missing").isNull().alias("missing_is_null"),
     )
 
 
