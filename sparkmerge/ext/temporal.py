@@ -40,6 +40,10 @@ def asof_join(
     """
     lk, rk = key
     lt, rt = time
+    reserved = {"_k", "_t", "_payload", "_side", "_asof"}
+    clash = reserved.intersection(left.columns).union(reserved.intersection(right_payload))
+    if clash:
+        raise ValueError(f"asof_join reserved column names in use: {sorted(clash)!r}")
     payload_struct = F.struct(*[F.col(c) for c in right_payload])
     r = right.select(
         F.col(rk).alias("_k"),
