@@ -129,21 +129,37 @@ class PartitionedSnapshotTable(SnapshotTable):
         table._swap_pointer(1)
         return table
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        return self.read_partitions(spark, None)
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read the committed snapshot, or a specific retained ``version``
+        (time travel: old manifests stay readable until vacuumed)."""
+        return self.read_partitions(spark, None, version=version)
+
+    def versions(self) -> list[int]:
+        """Retained (readable) version numbers, ascending."""
+        return sorted(
+            int(f[2:-5])
+            for f in os.listdir(self.path)
+            if f.startswith("v=") and f.endswith(".json")
+        )
 
     def read_partitions(
-        self, spark: SparkSession, values: list[str] | None
+        self,
+        spark: SparkSession,
+        values: list[str] | None,
+        *,
+        version: int | None = None,
     ) -> DataFrame:
         """Read the committed snapshot, pruned to the given canonical
         partition values (None → all).  Each manifest entry is a leaf
         directory, so the scan's file listing IS the pruning — partitions
         outside ``values`` are never even enumerated."""
-        parts = self.partitions()
+        parts = self.partitions(version)
         if values is not None:
             parts = {k: d for k, d in parts.items() if k in set(values)}
         if not parts:
-            return spark.createDataFrame([], self.schema())
+            return spark.createDataFrame(
+                [], StructType.fromJson(self.manifest(version)["schema"])
+            )
         return spark.read.parquet(*(os.path.join(self.path, d) for d in parts.values()))
 
     # ---- stage / commit / abort ----

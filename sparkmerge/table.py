@@ -78,12 +78,24 @@ class SnapshotTable:
         table._swap_pointer(1)
         return table
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Read the committed snapshot (resolves _CURRENT at call time)."""
-        v = self.current_version()
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read the committed snapshot (resolves _CURRENT at call time), or a
+        specific retained ``version`` — time travel over the MVCC history
+        (any version not yet vacuumed stays readable)."""
+        v = self.current_version() if version is None else version
         if v == 0:
             raise MergeError(f"No committed snapshot at {self.path!r}")
+        if not os.path.isdir(self._version_dir(v)):
+            raise MergeError(f"Version {v} not found at {self.path!r} (vacuumed?)")
         return spark.read.parquet(self._version_dir(v))
+
+    def versions(self) -> list[int]:
+        """Retained (readable) version numbers, ascending."""
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.path)
+            if d.startswith("v=") and os.path.isdir(os.path.join(self.path, d))
+        )
 
     def stage(self, df: DataFrame) -> int:
         """Write the next version's data WITHOUT committing it; returns the

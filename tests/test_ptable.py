@@ -313,3 +313,26 @@ def test_many_changed_partitions_semi_join_path(spark, orders, tmp_path):
     res = merge_partitioned(spark, t, src, "o_orderkey")
     assert res.committed
     assert same_rows(t.read(spark), src)
+
+
+def test_time_travel_reads(spark, orders, tmp_path):
+    """MVCC time travel: every retained version stays readable by number on
+    both table types; vacuumed versions raise/vanish."""
+    from sparkmerge.table import SnapshotTable
+
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "o_orderstatus")
+    src = mutated(orders.filter("o_orderstatus = 'O'"))
+    merge_partitioned(spark, t, src, ["o_orderkey", "o_orderstatus"], prune_scan=True)
+    assert t.versions() == [1, 2]
+    assert same_rows(t.read(spark, version=1), orders)   # pre-merge state
+    assert same_rows(t.read(spark), t.read(spark, version=2))
+
+    s = SnapshotTable.create(spark, str(tmp_path / "s"), orders.limit(100))
+    from sparkmerge.merge import simple_merge
+    simple_merge(spark, s, orders.limit(50), "o_orderkey")
+    assert s.versions() == [1, 2]
+    assert s.read(spark, version=1).count() == 100
+    assert s.read(spark).count() == 50
+    s.vacuum(keep=1)
+    with pytest.raises(MergeError):
+        s.read(spark, version=1)
