@@ -36,7 +36,13 @@ from sparkmerge.plan import MergePlan
 from sparkmerge.changeset import Changeset, build_changeset
 from sparkmerge.table import SnapshotTable
 from sparkmerge.ptable import PartitionedSnapshotTable
-from sparkmerge.merge import MergeReport, MergeResult, merge_partitioned, simple_merge
+from sparkmerge.merge import (
+    MergeReport,
+    MergeResult,
+    diff_versions,
+    merge_partitioned,
+    simple_merge,
+)
 
 __all__ = [
     "Changeset",
@@ -50,6 +56,7 @@ __all__ = [
     "PartitionedSnapshotTable",
     "SnapshotTable",
     "build_changeset",
+    "diff_versions",
     "merge_partitioned",
     "simple_merge",
 ]

@@ -180,6 +180,28 @@ def merge_preview(
     return new_state
 
 
+def diff_versions(
+    spark: SparkSession,
+    table: SnapshotTable,
+    join_columns: str | list[str],
+    *,
+    from_version: int,
+    to_version: int | None = None,
+    bad_key: bool = False,
+    bad_key_order: list[str] | None = None,
+) -> DataFrame:
+    """CDC between two retained versions: classify every row of
+    ``read(from_version) ⟗ read(to_version)`` as INSERT/UPDATE/DELETE/KEEP —
+    the audit record reconstructed after the fact from the MVCC history
+    (useful when the merge ran without an ``audit_path``).  Returns the
+    changeset frame (key columns, ``_action``, ``_old``/``_new`` images)."""
+    old = table.read(spark, version=from_version)
+    new = table.read(spark, version=to_version)
+    return build_changeset(
+        old, new, join_columns, bad_key=bad_key, bad_key_order=bad_key_order
+    ).df
+
+
 def merge_partitioned(
     spark: SparkSession,
     target: "PartitionedSnapshotTable",

@@ -336,3 +336,20 @@ def test_time_travel_reads(spark, orders, tmp_path):
     s.vacuum(keep=1)
     with pytest.raises(MergeError):
         s.read(spark, version=1)
+
+
+def test_diff_versions_reconstructs_cdc(spark, orders, tmp_path):
+    """diff_versions over the MVCC history matches the merge's own counts —
+    after-the-fact CDC without an audit sink."""
+    from sparkmerge.merge import diff_versions, simple_merge
+    from sparkmerge.table import SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), orders)
+    src = mutated(orders)
+    res = simple_merge(spark, t, src, "o_orderkey")
+    diff = diff_versions(spark, t, "o_orderkey", from_version=1, to_version=2)
+    n_changed = diff.filter(F.col("_action") != "KEEP").count()
+    assert n_changed == res.changed_rows
+    by_action = {r["_action"]: r["n"] for r in
+                 diff.groupBy("_action").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_action.get("INSERT", 0) > 0 and by_action.get("DELETE", 0) > 0
