@@ -104,6 +104,65 @@ def watermark_tumbling_stream(
     return spark.table(name)
 
 
+def incremental_rollup(
+    spark: SparkSession,
+    events_path: str,
+    table_path: str,
+    *,
+    width: str = "1 hour",
+    num_batches: int = 4,
+) -> SnapshotTable:
+    """Continuous aggregate (hypertable-rollup pattern): an hourly
+    per-event-type rollup table maintained INCREMENTALLY — each micro-batch
+    aggregates only its own events, combines those partial aggregates with
+    the current rollup rows (count adds, min/max fold), and upserts via the
+    merge engine.  After replaying every batch the table equals the full
+    batch aggregation — the materialized-view-maintenance guarantee, tested
+    and oracle-checked.
+
+    At scale the combine full-outer join touches only groups present in the
+    delta (the rollup side could additionally be partition-pruned by window
+    range on a PartitionedSnapshotTable)."""
+    events = spark.read.parquet(events_path)
+    keys = ["window_start", "event_type"]
+
+    def agg(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(F.window("ts", width).alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "min_value", "max_value")
+        )
+
+    table = SnapshotTable.create(spark, table_path, agg(events).limit(0))
+    bounds = events.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) / num_batches
+    for i in range(num_batches):
+        start = lo + span * i
+        end = hi if i == num_batches - 1 else lo + span * (i + 1)
+        upper = events.ts <= end if i == num_batches - 1 else events.ts < end
+        delta = agg(events.filter((events.ts >= start) & upper))
+        cur = table.read(spark)
+        c, d = cur.alias("c"), delta.alias("d")
+        cond = (F.col("c.window_start").eqNullSafe(F.col("d.window_start"))) & (
+            F.col("c.event_type").eqNullSafe(F.col("d.event_type"))
+        )
+        combined = c.join(d, cond, "full_outer").select(
+            F.coalesce(F.col("d.window_start"), F.col("c.window_start")).alias("window_start"),
+            F.coalesce(F.col("d.event_type"), F.col("c.event_type")).alias("event_type"),
+            (F.coalesce(F.col("c.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
+            F.least(F.col("c.min_value"), F.col("d.min_value")).alias("min_value"),
+            F.greatest(F.col("c.max_value"), F.col("d.max_value")).alias("max_value"),
+        )
+        simple_merge(spark, table, combined, keys, delete="NO")
+    return table
+
+
 def stateful_user_counts(
     spark: SparkSession, events_path: str, *, timeout_s: int = 120
 ) -> DataFrame:

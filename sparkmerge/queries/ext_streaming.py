@@ -161,3 +161,27 @@ def funnel_conversion(spark, sf_dir):
         F.count(F.lit(1)).alias("n_converted_clicks"),
         F.countDistinct("first_purchase_id").alias("n_purchases_credited"),
     )
+
+
+@register(
+    "rollup_incremental",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n, min(value) AS min_value, max(value) AS max_value
+  FROM events GROUP BY 1, 2
+""",
+    description="continuous aggregate (hypertable-rollup pattern): hourly "
+    "rollup maintained incrementally across 4 replayed batches via "
+    "combine-and-merge; final state must equal the one-shot batch aggregate "
+    "(the materialized-view-maintenance guarantee)",
+)
+def rollup_incremental(spark, sf_dir):
+    from sparkmerge.ext.streaming import incremental_rollup
+
+    path = os.path.join(tempfile.mkdtemp(prefix="sm_rollup_"), "t")
+    try:
+        table = incremental_rollup(spark, events_path(sf_dir), path, num_batches=4)
+        rows = table.read(spark).collect()
+        return spark.createDataFrame(rows, table.read(spark).schema)
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
