@@ -214,7 +214,8 @@ def merge_partitioned(
     bad_key_order: list[str] | None = None,
     audit_path: str | None = None,
     threshold: str | float | None = None,
-) -> MergeResult:
+    debug: bool = False,
+) -> MergeResult | MergeReport:
     """Merge into a :class:`~sparkmerge.ptable.PartitionedSnapshotTable`,
     rewriting ONLY the partitions the changeset touches (SURVEY.md §7.2's
     100 TB design; the plain ``simple_merge`` rewrites the full snapshot,
@@ -263,6 +264,24 @@ def merge_partitioned(
 
     cs = build_changeset(in_scope, source_df, join_columns, delete=delete,
                          bad_key=bad_key, bad_key_order=bad_key_order)
+
+    if debug:
+        # dry run, zero side effects — like simple_merge(debug=True), plus
+        # the scan-pruning detail in the SQL comment header
+        plan = cs.plan
+        scope_note = (
+            f"-- scan-pruned to source partitions of `{pcol}`"
+            if prune_scan
+            else f"-- full scan; write-pruned by `{pcol}`"
+        )
+        return MergeReport(
+            merge_sql=scope_note + "\n" + render_merge_sql(plan, delete=delete),
+            physical_plan=_captured_explain(cs.df),
+            threshold=thr,
+            target_rows=in_scope.count(),
+            audit_ddl=_audit_schema_ddl(plan),
+        )
+
     # The changeset feeds ≥3 jobs (changed-partition discovery, snapshot
     # write, counts/audit); persist so badKey's arbitrary pairing — and the
     # join itself — happen once.

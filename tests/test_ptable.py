@@ -353,3 +353,17 @@ def test_diff_versions_reconstructs_cdc(spark, orders, tmp_path):
     by_action = {r["_action"]: r["n"] for r in
                  diff.groupBy("_action").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert by_action.get("INSERT", 0) > 0 and by_action.get("DELETE", 0) > 0
+
+
+def test_partitioned_debug_dry_run(spark, orders, tmp_path):
+    from sparkmerge.merge import MergeReport
+
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "o_orderstatus")
+    src = mutated(orders.filter("o_orderstatus = 'O'"))
+    rep = merge_partitioned(
+        spark, t, src, ["o_orderkey", "o_orderstatus"], prune_scan=True, debug=True
+    )
+    assert isinstance(rep, MergeReport)
+    assert "scan-pruned" in rep.merge_sql and "MERGE INTO" in rep.merge_sql
+    assert rep.target_rows == orders.filter("o_orderstatus = 'O'").count()
+    assert t.current_version() == 1 and t.properties() == {}  # zero side effects
