@@ -68,12 +68,12 @@ def main() -> None:
     def run_spark(op_id: str) -> float:
         reg[op_id].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
         times = []
-        for _ in range(3):
+        for _ in range(5):
             df = reg[op_id].fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
-        return sorted(times)[1]  # median of 3 (codegen/JIT settles after run 1)
+        return sorted(times)[2]  # median of 5 (codegen/JIT settles after run 1)
 
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
@@ -86,11 +86,11 @@ def main() -> None:
             return None
         con.sql(sql).arrow()  # warm-up
         times = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             con.sql(sql).arrow()
             times.append(time.perf_counter() - t0)
-        return sorted(times)[1]
+        return sorted(times)[2]
 
     spark_times: dict[str, float] = {}
     duck_times: dict[str, float] = {}
