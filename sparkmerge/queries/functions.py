@@ -389,3 +389,31 @@ def fn_setop_except(spark, sf_dir):
     f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     o_side = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return f_side.subtract(o_side)
+
+
+# --- regexp surface: capture groups, counts, backreference replace ---
+
+
+@register(
+    "fn_regexp_ops",
+    oracle="""
+SELECT n_name,
+       regexp_extract(n_name, 'NATION_([0-9]+)', 1) AS num_str,
+       CAST(len(regexp_extract_all(n_name, '[0-9]')) AS INT) AS n_digits,
+       regexp_replace(n_name, '([AEIOU])', '<\\1>', 'g') AS vowels_marked,
+       regexp_matches(n_name, '^NATION_[0-9]+$') AS well_formed
+  FROM nation
+""",
+    description="regexp capture groups / match counting / backreference "
+    "replace / full-match test",
+)
+def fn_regexp_ops(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    name = F.col("n_name")
+    return n.select(
+        name,
+        F.regexp_extract(name, r"NATION_([0-9]+)", 1).alias("num_str"),
+        F.size(F.expr(r"regexp_extract_all(n_name, '[0-9]', 0)")).alias("n_digits"),
+        F.regexp_replace(name, r"([AEIOU])", r"<$1>").alias("vowels_marked"),
+        name.rlike(r"^NATION_[0-9]+$").alias("well_formed"),
+    )
