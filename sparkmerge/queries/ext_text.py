@@ -231,3 +231,48 @@ def pipeline_training_mix(spark, sf_dir):
         .otherwise(0.1)
     )
     return deduped.filter(u < rate).select("doc_id", "lang", "n_tokens")
+
+
+@register(
+    "text_ngram_profile",
+    oracle="""
+WITH sh AS (
+  SELECT lang,
+         unnest(list_transform(generate_series(1, greatest(length(lower(text)) - 2, 0)),
+                               i -> substring(lower(text), i, 3))) AS g
+    FROM documents
+),
+counted AS (
+  SELECT lang, g, count(*) AS n FROM sh GROUP BY lang, g
+)
+SELECT lang, g, n FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, g) AS rk
+    FROM counted) t
+ WHERE rk <= 5
+""",
+    description="character-trigram language profile: top-5 trigrams per language "
+    "(the n-gram statistics language-ID models are built from); map-side "
+    "shingling + one agg shuffle + per-group top-k",
+)
+def text_ngram_profile(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    norm = d.select("lang", low.alias("_low"))
+    grams = norm.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("_low") - 2, F.lit(0))),
+                lambda i: F.substring(F.col("_low"), i, 3),
+            )
+        ).alias("g"),
+    )
+    counted = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("g"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "g", "n")
+    )

@@ -417,3 +417,34 @@ def fn_regexp_ops(spark, sf_dir):
         F.regexp_replace(name, r"([AEIOU])", r"<$1>").alias("vowels_marked"),
         name.rlike(r"^NATION_[0-9]+$").alias("well_formed"),
     )
+
+
+# --- conditional expressions: CASE/IF, least/greatest, between ---
+
+
+@register(
+    "fn_conditional_ops",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 200000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       IF(o_orderstatus = 'O', 'open', 'closed') AS status_word,
+       least(o_totalprice, 150000.0) AS capped,
+       greatest(o_totalprice, 50000.0) AS floored,
+       (o_totalprice BETWEEN 50000.0 AND 150000.0) AS in_band
+  FROM orders WHERE o_orderkey % 50 = 0
+""",
+    description="CASE/IF/least/greatest/BETWEEN conditional expression surface",
+)
+def fn_conditional_ops(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(p > 200000, "high").when(p > 100000, "mid").otherwise("low").alias("price_band"),
+        F.when(F.col("o_orderstatus") == "O", "open").otherwise("closed").alias("status_word"),
+        F.least(p, F.lit(150000.0)).alias("capped"),
+        F.greatest(p, F.lit(50000.0)).alias("floored"),
+        p.between(50000.0, 150000.0).alias("in_band"),
+    )
