@@ -448,3 +448,38 @@ def fn_conditional_ops(spark, sf_dir):
         F.greatest(p, F.lit(50000.0)).alias("floored"),
         p.between(50000.0, 150000.0).alias("in_band"),
     )
+
+
+# --- math surface (the reference has only * / % arithmetic, :473) ---
+
+
+@register(
+    "fn_math_ops",
+    oracle="""
+SELECT o_orderkey,
+       abs(o_totalprice - 100000.0) AS dist_from_100k,
+       CAST(floor(o_totalprice) AS BIGINT) AS fl,
+       CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+       round(o_totalprice, 1) AS r1,
+       sqrt(CAST(o_orderkey AS DOUBLE)) AS root,
+       CAST(pow(CAST(o_orderkey % 10 AS DOUBLE), 2.0) AS DOUBLE) AS sq,
+       CAST(o_orderkey % 7 AS BIGINT) AS mod7
+  FROM orders WHERE o_orderkey % 100 = 0
+""",
+    description="abs/floor/ceil/round/sqrt/pow/mod — bit-deterministic choices "
+    "only (no libm logs; round on exact 2-decimal inputs)",
+)
+def fn_math_ops(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    p = F.col("o_totalprice")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.abs(p - 100000.0).alias("dist_from_100k"),
+        F.floor(p).cast("bigint").alias("fl"),
+        F.ceil(p).cast("bigint").alias("ce"),
+        F.round(p, 1).alias("r1"),
+        F.sqrt(k.cast("double")).alias("root"),
+        F.pow((k % 10).cast("double"), F.lit(2.0)).alias("sq"),
+        (k % 7).cast("bigint").alias("mod7"),
+    )
