@@ -77,11 +77,16 @@ class DeleteMode:
         if re.match(r"(?i)^set\s", raw):
             body = raw[3:].strip()
             assignments: list[tuple[str, str]] = []
-            # top-level comma split (no nesting support needed: assignments are
-            # `col = expr` pairs; parenthesised exprs keep their commas)
-            depth, start, parts = 0, 0, []
+            # top-level comma split: commas inside parentheses AND inside
+            # single-quoted string literals are not separators (a doubled ''
+            # escape toggles the quote state twice — net no-op, correct).
+            depth, start, parts, in_str = 0, 0, [], False
             for i, ch in enumerate(body):
-                if ch == "(":
+                if ch == "'":
+                    in_str = not in_str
+                elif in_str:
+                    continue
+                elif ch == "(":
                     depth += 1
                 elif ch == ")":
                     depth -= 1
@@ -89,6 +94,10 @@ class DeleteMode:
                     parts.append(body[start:i])
                     start = i + 1
             parts.append(body[start:])
+            if in_str:
+                raise MergeValidationError(
+                    f"Soft-delete SET has an unterminated string literal: {body!r}"
+                )
             for part in parts:
                 if "=" not in part:
                     raise MergeValidationError(f"Bad soft-delete assignment: {part!r}")

@@ -23,8 +23,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 from pyspark.sql.window import Window
 
+from sparkmerge.errors import MergeError
 from sparkmerge.merge import simple_merge
 from sparkmerge.table import SnapshotTable
+
+
+def _await_or_raise(q, timeout_s: int) -> None:
+    """awaitTermination(timeout) returns False when the timeout lapses with
+    the query still running — silently returning would hand back a
+    partially-populated sink.  Stop the query and raise instead."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise MergeError(
+            f"Streaming query {q.name or q.id} did not finish within {timeout_s}s"
+        )
 
 
 def tumbling_counts(events: DataFrame, *, width: str = "1 hour") -> DataFrame:
@@ -100,7 +112,7 @@ def watermark_tumbling_stream(
         .option("checkpointLocation", tempfile.mkdtemp(prefix="sm_ckpt_"))
         .start()
     )
-    q.awaitTermination(120)
+    _await_or_raise(q, 120)
     return spark.table(name)
 
 
@@ -229,7 +241,7 @@ def stateful_user_counts(
         .option("checkpointLocation", tempfile.mkdtemp(prefix="sm_state_ckpt_"))
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_or_raise(q, timeout_s)
     # update mode may emit a row per key per batch; the LAST row per key is
     # the final state
     latest = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
@@ -282,7 +294,7 @@ def foreachbatch_merge_stream(
         .option("checkpointLocation", tempfile.mkdtemp(prefix="sm_feb_ckpt_"))
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_or_raise(q, timeout_s)
     return table
 
 

@@ -242,7 +242,7 @@ def merge_partitioned(
     scanned scope, mirroring how ``@targetFilter`` scopes the reference's
     pre-count (:141-150).
     """
-    from sparkmerge.ptable import canon_col, canon_value
+    from sparkmerge.ptable import MAX_PARTITION_VALUES, canon_col
 
     thr = _parse_threshold(threshold)
     pcol = target.partition_by
@@ -255,10 +255,26 @@ def merge_partitioned(
                 f"key {keys!r} — otherwise a source row could match a target row "
                 "in an unscanned partition."
             )
-        src_vals = [
-            canon_value(r[0]) for r in source_df.select(pcol).distinct().collect()
-        ]
-        in_scope = target.read_partitions(spark, src_vals)
+        # Canonicalize through Spark itself (canon_col = cast-to-string +
+        # NULL sentinel) so the collected values use the SAME cast semantics
+        # that produced the manifest keys — Python str() disagrees with
+        # Spark's rendering for booleans ('True' vs 'true') and some
+        # float/double values, which would silently prune every real
+        # partition.  The limit bounds driver memory: partition VALUES (not
+        # rows) cross the driver, and a table with >MAX_PARTITION_VALUES
+        # distinct partitions is mis-partitioned — fail fast.
+        src_rows = (
+            source_df.select(canon_col(pcol).alias("p"))
+            .distinct()
+            .limit(MAX_PARTITION_VALUES + 1)
+            .collect()
+        )
+        if len(src_rows) > MAX_PARTITION_VALUES:
+            raise MergeValidationError(
+                f"prune_scan: source has >{MAX_PARTITION_VALUES} distinct "
+                f"{pcol!r} values; partition by a coarser key."
+            )
+        in_scope = target.read_partitions(spark, [r["p"] for r in src_rows])
     else:
         in_scope = target.read(spark)
 
@@ -298,7 +314,15 @@ def merge_partitioned(
         new_vals = non_keep.filter(F.col("_new").isNotNull()).select(
             canon_col(f"_new.{pcol}").alias("p")
         )
-        changed_vals = {r["p"] for r in old_vals.union(new_vals).distinct().collect()}
+        changed_rows_p = (
+            old_vals.union(new_vals).distinct().limit(MAX_PARTITION_VALUES + 1).collect()
+        )
+        if len(changed_rows_p) > MAX_PARTITION_VALUES:
+            raise MergeValidationError(
+                f"Changeset touches >{MAX_PARTITION_VALUES} distinct partitions "
+                f"of {pcol!r}; partition by a coarser key."
+            )
+        changed_vals = {r["p"] for r in changed_rows_p}
 
         row = cs.df.agg(
             F.count(F.when(F.col("_action") != ACTION_KEEP, 1)).alias("changed"),
@@ -400,10 +424,13 @@ def simple_merge(
     cs = Changeset(df=observed, plan=cs.plan, delete_mode=cs.delete_mode)
 
     want_audit = audit_path is not None
-    if want_audit:
-        # Persist so the audit pass sees the SAME changeset rows the snapshot
-        # was built from (badKey pairing via monotonically_increasing_id is
-        # only stable within a materialization).
+    # Persist when a second pass could observe the changeset: the audit read,
+    # or the Observation-fallback aggregation under nondeterministic badKey
+    # pairing (monotonically_increasing_id is only stable within a
+    # materialization — a re-executed agg could count a different pairing
+    # than the one that was staged).
+    pin_changeset = want_audit or (bad_key and not bad_key_order)
+    if pin_changeset:
         cs.df.persist(StorageLevel.MEMORY_AND_DISK)
 
     try:
@@ -453,5 +480,5 @@ def simple_merge(
             audit_rows=audit_rows,
         )
     finally:
-        if want_audit:
+        if pin_changeset:
             cs.df.unpersist()

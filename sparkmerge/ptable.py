@@ -71,6 +71,12 @@ from sparkmerge.table import SnapshotTable
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _PART = "__part"
 
+# Distinct-partition ceiling for driver-side value sets (merge_partitioned
+# collects partition VALUES, never rows).  100k string values is a few MB of
+# driver memory; a table with more distinct partitions than this is
+# mis-partitioned and every metadata operation on it would crawl — fail fast.
+MAX_PARTITION_VALUES = 100_000
+
 
 def canon_value(v) -> str:
     """Canonical string form of a partition value (manifest key)."""
@@ -98,6 +104,13 @@ class PartitionedSnapshotTable(SnapshotTable):
         v = self.current_version() if version is None else version
         if v == 0:
             raise MergeError(f"No committed snapshot at {self.path!r}")
+        if version is not None and version > self.current_version():
+            # A staged-but-uncommitted manifest (e.g. an orphan from a crash
+            # between stage and commit) must never be readable: time-travel
+            # readers would observe data that was never committed.
+            raise MergeError(
+                f"Version {version} at {self.path!r} is staged but not committed"
+            )
         with open(self._manifest_path(v), encoding="utf-8") as f:
             return json.load(f)
 
@@ -135,11 +148,16 @@ class PartitionedSnapshotTable(SnapshotTable):
         return self.read_partitions(spark, None, version=version)
 
     def versions(self) -> list[int]:
-        """Retained (readable) version numbers, ascending."""
+        """Retained COMMITTED version numbers, ascending.  Staged-but-
+        uncommitted manifests (crash orphans) are excluded — they were never
+        visible to any reader."""
+        cur = self.current_version()
         return sorted(
-            int(f[2:-5])
+            v
             for f in os.listdir(self.path)
             if f.startswith("v=") and f.endswith(".json")
+            for v in (int(f[2:-5]),)
+            if v <= cur
         )
 
     def read_partitions(
@@ -276,11 +294,9 @@ class PartitionedSnapshotTable(SnapshotTable):
         """Drop manifests (and any data dirs no surviving manifest
         references) for all but the newest ``keep`` committed versions."""
         cur = self.current_version()
-        versions = sorted(
-            int(f[2:-5])
-            for f in os.listdir(self.path)
-            if f.startswith("v=") and f.endswith(".json")
-        )
+        # committed versions only: a staged orphan must neither count toward
+        # `keep` nor be touched (it may belong to an in-flight committer)
+        versions = self.versions()
         removable = [v for v in versions if v != cur][: max(0, len(versions) - keep)]
         kept = [v for v in versions if v not in removable]
         live_dirs = {d for v in kept for d in self.manifest(v)["partitions"].values()}

@@ -85,16 +85,27 @@ class SnapshotTable:
         v = self.current_version() if version is None else version
         if v == 0:
             raise MergeError(f"No committed snapshot at {self.path!r}")
+        if version is not None and version > self.current_version():
+            # staged-but-uncommitted data (crash orphans) must never be
+            # observable through the read API
+            raise MergeError(
+                f"Version {version} at {self.path!r} is staged but not committed"
+            )
         if not os.path.isdir(self._version_dir(v)):
             raise MergeError(f"Version {v} not found at {self.path!r} (vacuumed?)")
         return spark.read.parquet(self._version_dir(v))
 
     def versions(self) -> list[int]:
-        """Retained (readable) version numbers, ascending."""
+        """Retained COMMITTED version numbers, ascending.  Staged-but-
+        uncommitted directories (crash orphans) are excluded — they were
+        never visible to any reader."""
+        cur = self.current_version()
         return sorted(
-            int(d.split("=", 1)[1])
+            v
             for d in os.listdir(self.path)
             if d.startswith("v=") and os.path.isdir(os.path.join(self.path, d))
+            for v in (int(d.split("=", 1)[1]),)
+            if v <= cur
         )
 
     def stage(self, df: DataFrame) -> int:
@@ -188,11 +199,9 @@ class SnapshotTable:
         """Drop all but the newest ``keep`` committed versions (never the
         current one).  Returns removed version numbers."""
         cur = self.current_version()
-        versions = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(self.path)
-            if d.startswith("v=") and os.path.isdir(os.path.join(self.path, d))
-        )
+        # committed versions only: staged orphans neither count toward `keep`
+        # nor get removed (one may belong to an in-flight committer)
+        versions = self.versions()
         removable = [v for v in versions if v != cur][: max(0, len(versions) - keep)]
         for v in removable:
             shutil.rmtree(self._version_dir(v))

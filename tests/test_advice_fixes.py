@@ -1,0 +1,123 @@
+"""Regression tests for the round-1 ADVICE findings.
+
+Each test pins one reported defect:
+1. prune_scan partition-value canonicalization must match Spark's
+   cast-to-string (boolean 'true', not Python 'True') — the mismatch
+   silently pruned every real partition and re-inserted matched rows.
+2. merge_partitioned fails fast above MAX_PARTITION_VALUES distinct
+   partition values instead of collecting an unbounded driver-side set.
+3. Soft-delete SET splitting must not split on commas inside single-quoted
+   string literals.
+4. versions()/read(version=...) must never expose staged-but-uncommitted
+   (crash-orphan) versions.
+5. Streaming helpers raise when awaitTermination times out instead of
+   returning a partially-populated sink.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+import sparkmerge.ptable as ptable_mod
+from sparkmerge.changeset import DeleteMode
+from sparkmerge.errors import MergeError, MergeValidationError
+from sparkmerge.ext.streaming import _await_or_raise
+from sparkmerge.merge import merge_partitioned, merge_preview
+from sparkmerge.ptable import PartitionedSnapshotTable
+from sparkmerge.table import SnapshotTable
+
+SF = "/root/testdata/sf0.001"
+
+
+def same_rows(a, b):
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_prune_scan_boolean_partition_column(spark, tmp_path):
+    """Boolean partition values render 'true'/'false' in Spark but
+    'True'/'False' via Python str(); prune_scan must use Spark's form or it
+    prunes everything and duplicates matched rows."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet").limit(200)
+    flagged = orders.withColumn("is_open", F.col("o_orderstatus") == "O")
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), flagged, "is_open")
+    # source: same keys, bumped price — every row should UPDATE, none insert
+    src = flagged.withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    before = t.read(spark).count()
+    merge_partitioned(
+        spark, t, src, ["o_orderkey", "is_open"], prune_scan=True, delete="NO"
+    )
+    after = t.read(spark)
+    assert after.count() == before  # no phantom re-inserts
+    expected = merge_preview(flagged, src, ["o_orderkey", "is_open"], delete="NO")
+    assert same_rows(after, expected)
+
+
+def test_partition_value_ceiling(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(ptable_mod, "MAX_PARTITION_VALUES", 2)
+    orders = spark.read.parquet(f"{SF}/orders.parquet").limit(50)
+    t = PartitionedSnapshotTable.create(
+        spark, str(tmp_path / "t"), orders, "o_orderstatus"
+    )
+    # >2 distinct partition values in the source → fail fast, nothing staged
+    src = orders.withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    with pytest.raises(MergeValidationError, match="distinct"):
+        merge_partitioned(
+            spark, t, src, ["o_orderkey", "o_orderstatus"], prune_scan=True
+        )
+    assert t.current_version() == 1
+
+
+def test_soft_delete_set_comma_in_literal():
+    mode = DeleteMode.parse("set note = 'a,b', status = concat('x', ',', 'y')")
+    assert mode.action == "SOFT_DELETE"
+    assert mode.assignments == [
+        ("note", "'a,b'"),
+        ("status", "concat('x', ',', 'y')"),
+    ]
+    # doubled-quote escape stays one assignment
+    mode2 = DeleteMode.parse("set note = 'it''s a,b'")
+    assert mode2.assignments == [("note", "'it''s a,b'")]
+    with pytest.raises(MergeValidationError, match="unterminated"):
+        DeleteMode.parse("set note = 'oops")
+
+
+def test_orphan_staged_version_invisible(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF}/orders.parquet").limit(100)
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), orders)
+    staged = t.stage(orders.withColumn("o_totalprice", F.lit(0.0)))
+    # crash between stage() and commit(): pointer still at 1
+    assert t.versions() == [1]
+    with pytest.raises(MergeError, match="staged but not committed"):
+        t.read(spark, version=staged)
+    # vacuum must not count or touch the orphan
+    assert t.vacuum(keep=1) == []
+    assert os.path.isdir(os.path.join(str(tmp_path / "t"), f"v={staged}"))
+    t.commit(staged)
+    assert t.versions() == [1, 2]
+
+    p = PartitionedSnapshotTable.create(
+        spark, str(tmp_path / "p"), orders, "o_orderstatus"
+    )
+    pv = p.stage_merge(orders.limit(0), set())  # metadata-only staged manifest
+    assert p.versions() == [1]
+    with pytest.raises(MergeError, match="staged but not committed"):
+        p.read(spark, version=pv)
+
+
+def test_await_or_raise_times_out():
+    class FakeQuery:
+        name, id = "q", "qid"
+        stopped = False
+
+        def awaitTermination(self, timeout):
+            return False
+
+        def stop(self):
+            self.stopped = True
+
+    q = FakeQuery()
+    with pytest.raises(MergeError, match="did not finish"):
+        _await_or_raise(q, 1)
+    assert q.stopped
