@@ -64,10 +64,50 @@ def _mh_params(i: int) -> tuple[int, int]:
     return a, b
 
 
+def _poly_hash31(col: Column, mult: int = 31) -> Column:
+    """Polynomial rolling hash of a string into [0, 2^31-1): left fold
+    ``h = (h*mult + codepoint) % (2^31-1)`` over every character.
+
+    Deliberately SQL-expressible — DuckDB replays the identical fold
+    (list_reduce over ascii(substring(...)) — see queries/ext_dedup.py), so
+    MinHash/SimHash outputs become hash-checkable against the oracle.
+    ``xxhash64`` (JVM-native, ~1 integer op/byte) remains the default base
+    hash for the scale path; the fold costs one lambda step per character,
+    which only matters on the exploded shingle/token stream.  Folding over
+    the 1..len index sequence (not the chars) keeps substring() positional —
+    ascii(substring(s, i, 1)) is the cross-engine character-code idiom."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.length(col), F.lit(1))),
+        F.lit(0).cast("long"),
+        lambda acc, i: (
+            acc * mult
+            + F.coalesce(F.ascii(F.substring(col, i, F.lit(1))), F.lit(0))
+        )
+        % F.lit(_MH_PRIME),
+    )
+
+
+def base_hash31(col: Column, method: str = "xxhash64") -> Column:
+    """Base string hash into [0, 2^31-1).  ``xxhash64`` (default, fastest) or
+    ``poly31`` (SQL-expressible, used by the oracle-checked registry ops)."""
+    if method == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(_MH_PRIME))
+    if method == "poly31":
+        return _poly_hash31(col, 31)
+    raise ValueError(f"unknown base hash {method!r}")
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, *, num_hashes: int = 32, shingle_n: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 32,
+    shingle_n: int = 5,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
-    """doc → MinHash signature.  Each shingle is hashed ONCE (xxhash64); the
+    """doc → MinHash signature.  Each shingle is hashed ONCE (xxhash64 by
+    default; ``base_hash='poly31'`` for the oracle-checkable variant); the
     ``num_hashes`` component functions are linear permutations
     ``(a_i·h + b_i) mod 2^31-1`` of that base hash — the standard trick that
     turns k string hashes per shingle into 1 string hash + k integer ops
@@ -88,7 +128,7 @@ def minhash_signatures(
             F.array_distinct(F.transform(idx, lambda i: F.substring(F.col("_norm"), i, shingle_n)))
         ).alias("_sh"),
     )
-    h31 = F.pmod(F.xxhash64(F.col("_sh")), F.lit(_MH_PRIME))
+    h31 = base_hash31(F.col("_sh"), base_hash)
     aggs = []
     for i in range(num_hashes):
         a, b = _mh_params(i)
@@ -97,7 +137,12 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    sig_df: DataFrame, id_col: str, *, num_hashes: int = 32, bands: int = 8
+    sig_df: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    band_key: str = "hash",
 ) -> DataFrame:
     """LSH banding: hash each band of the signature into a bucket; docs
     sharing any (band, bucket) become a candidate pair (a_id < b_id).
@@ -110,14 +155,26 @@ def minhash_lsh_pairs(
     overhead).  Signatures ride through the band rows so the estimated
     Jaccard needs no rejoin; that multiplies the shuffle payload by the
     signature width — for corpora where the signature dominates the row,
-    project it out here and rejoin on id after the pair dedup instead."""
+    project it out here and rejoin on id after the pair dedup instead.
+
+    ``band_key='hash'`` (default) buckets each band through xxhash64 — a
+    fixed-width shuffle key.  ``band_key='slice'`` joins on the band's raw
+    minhash slice (array<long> equality): identical pair set, engine-neutral
+    (the DuckDB oracle joins on the same lists), slightly wider shuffle rows."""
     rows_per_band = num_hashes // bands
     sig = F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)])
     sig_arr = sig_df.select(F.col(id_col), sig.alias("_sig"))
-    bands_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)),
-    )
+    if band_key == "hash":
+        bucket_of = lambda b: F.xxhash64(  # noqa: E731
+            F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+        )
+    elif band_key == "slice":
+        bucket_of = lambda b: F.slice(  # noqa: E731
+            F.col("_sig"), b * rows_per_band + 1, rows_per_band
+        )
+    else:
+        raise ValueError(f"unknown band_key {band_key!r}")
+    bands_arr = F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), bucket_of)
     banded = sig_arr.select(
         id_col, "_sig", F.posexplode(bands_arr).alias("_band", "_bucket")
     )
@@ -141,14 +198,27 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, *, base_hash: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash over word tokens: per bit b, sum ±1 weighted by token
     hash bit b; sign → bit.  Emitted as four 16-bit blocks (for the
-    hamming≤3 ⟹ one-block-equal candidate join)."""
+    hamming≤3 ⟹ one-block-equal candidate join).
+
+    ``base_hash='poly31'`` uses two independent polynomial folds (multipliers
+    31 and 37) packed as ``h_a | (h_b << 31)`` — 62 usable bits, and exactly
+    reproducible in DuckDB SQL for the oracle check."""
     toks = _spread(df.select(id_col, F.col(text_col))).select(
         id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_tok")
     ).filter(F.col("_tok") != "")
-    h = F.xxhash64(F.col("_tok"))
+    if base_hash == "xxhash64":
+        h = F.xxhash64(F.col("_tok"))
+    elif base_hash == "poly31":
+        h = _poly_hash31(F.col("_tok"), 31) + _poly_hash31(F.col("_tok"), 37) * F.lit(
+            2147483648
+        )
+    else:
+        raise ValueError(f"unknown base hash {base_hash!r}")
     bit_aggs = [
         # unsigned shift + mask (1<<63 would overflow a signed-64 literal)
         F.sum(

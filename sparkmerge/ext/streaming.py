@@ -193,27 +193,27 @@ def stateful_user_counts(
         [
             StructField("user_id", LongType()),
             StructField("n_events", LongType()),
-            StructField("value_sum", DoubleType()),
+            StructField("value_cents", LongType()),
             StructField("last_ts", LongType()),
         ]
     )
     state_schema = StructType(
         [
             StructField("n", LongType()),
-            StructField("vsum", DoubleType()),
+            StructField("vcents", LongType()),
             StructField("last", LongType()),
         ]
     )
 
     def update(key, pdfs, state: GroupState):
-        n, vsum, last = state.get if state.exists else (0, 0.0, 0)
+        n, vcents, last = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            vsum += float(pdf["value"].sum())
-            last = max(last, int(pdf["ts_us"].max()))
-        state.update((n, vsum, last))
+            vcents += int(pdf["value_cents"].sum())
+            last = max(last, int(pdf["ts_s"].max()))
+        state.update((n, vcents, last))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "value_sum": [vsum], "last_ts": [last]}
+            {"user_id": [key[0]], "n_events": [n], "value_cents": [vcents], "last_ts": [last]}
         )
 
     schema = spark.read.parquet(events_path).schema
@@ -222,10 +222,16 @@ def stateful_user_counts(
         .parquet(events_path)
         .select(
             "user_id",
-            F.col("value").cast("double").alias("value"),
+            # integer-cents accumulation is order-independent (unlike a double
+            # sum, whose result depends on batch boundaries), so the final
+            # state is exactly reproducible by any engine — the DuckDB oracle
+            # mirrors floor(value*100 + 0.5) term-for-term
+            F.floor(F.col("value").cast("double") * 100.0 + 0.5)
+            .cast("long")
+            .alias("value_cents"),
             # NTZ → epoch seconds needs the two-step cast (NTZ has no direct
             # numeric cast)
-            F.col("ts").cast("timestamp").cast("long").alias("ts_us"),
+            F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
         )
         .groupBy("user_id")
         .applyInPandasWithState(

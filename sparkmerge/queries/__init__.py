@@ -59,11 +59,47 @@ def register(op_id: str, *, oracle: str | None = None, description: str = ""):
     return deco
 
 
+# Ops the round-1 driver never reached (CORRECTNESS_r01.json covered exactly
+# the first 50 registration-order entries).  They are emitted FIRST so a
+# capped correctness run verifies the still-unverified surface before
+# re-verifying ops that already have a green row; round-1-green ops follow.
+# Drop/trim this list as driver coverage accumulates.
+_VERIFY_FIRST = [
+    # functions.py tail (after fn_window_rownum)
+    "fn_setop_intersect", "fn_setop_unionall", "fn_setop_except",
+    "fn_datetime_ops", "fn_window_frames", "fn_array_ops", "fn_struct_map_ops",
+    "fn_regexp_ops", "fn_conditional_ops", "fn_math_ops",
+    "agg_distinct", "agg_percentiles", "agg_approx", "subquery_scalar",
+    # analytics.py
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q14",
+    "tpch_q18", "tpch_q4_style", "tpch_q16_style",
+    "agg_grouping_sets", "pivot_wide",
+    # ext: dedup / similarity / text / multimodal / streaming
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+    "topk_similarity", "ann_lsh", "ann_ivf", "dedup_embedding",
+    "multimodal_array_sim",
+    "text_stats", "text_tokens", "text_quality", "text_langid",
+    "text_fingerprint", "json_extract_props", "sample_stratified",
+    "pipeline_training_mix", "text_ngram_profile",
+    "multimodal_columns", "multimodal_binary", "multimodal_resize",
+    "multimodal_frame_sample",
+    "window_tumbling", "window_sliding", "window_session",
+    "watermark_late_drop", "stream_stateful_counts", "stream_merge_foreachbatch",
+    "funnel_conversion", "rollup_incremental",
+    # round-1 `no_oracle` rows — oracles added in round 2, need a fresh check
+    "lastupdate_prop", "debug_dry_run", "txn_commit_rollback",
+    "table_maintenance", "dedup_fuzzy",
+]
+
+
 def registry() -> dict[str, QuerySpec]:
-    """Import all query modules (idempotent) and return the full registry."""
+    """Import all query modules (idempotent) and return the full registry,
+    ordered so driver-unverified ops come first (see _VERIFY_FIRST)."""
     for mod in _MODULES:
         importlib.import_module(mod)
-    return dict(_REGISTRY)
+    first = [op for op in _VERIFY_FIRST if op in _REGISTRY]
+    rest = [op for op in _REGISTRY if op not in set(first)]
+    return {op: _REGISTRY[op] for op in [*first, *rest]}
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

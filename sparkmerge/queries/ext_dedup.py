@@ -1,10 +1,24 @@
-"""[EXT] dedup operators over the documents/embeddings corpus (SURVEY.md §2.D)."""
+"""[EXT] dedup operators over the documents/embeddings corpus (SURVEY.md §2.D).
+
+Oracle strategy for the hash-based pipelines (MinHash, SimHash): the library
+default base hash is ``xxhash64`` (JVM-native — the 100 TB hot path), which no
+other engine reproduces.  The REGISTERED variants therefore run with
+``base_hash='poly31'`` — a polynomial character fold both engines express
+exactly (Spark: ``F.aggregate`` over index sequence; DuckDB: ``list_reduce``)
+— and band-join on raw signature slices instead of hashed buckets.  Same
+algorithm, same banding, same pair semantics; every stage is integer
+arithmetic, so the DuckDB reimplementation below is bit-exact and the driver
+hash-check is a REAL verification of the whole shingle→minhash→band→join
+pipeline (not just a row count).
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from sparkmerge.ext.dedup import (
+    _MH_PRIME,
+    _mh_params,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -35,32 +49,172 @@ def dedup_exact(spark, sf_dir):
     return exact_dedup(doubled, ["text", "lang", "source", "n_chars"], ["doc_id"])
 
 
-# --- dedup_minhash: MinHash+LSH candidate pairs (rows-only: xxhash64 is Spark-specific) ---
+# --- generated DuckDB mirrors of the poly31 hash pipelines ---
+
+
+def _poly31_sql(col: str, mult: int = 31) -> str:
+    """DuckDB mirror of ext/dedup._poly_hash31: fold (h*mult + code) % P over
+    character positions 1..max(len,1); out-of-range substring → code 0."""
+    codes = (
+        f"list_transform(generate_series(1, greatest(length({col}), 1)), "
+        f"i -> CAST(coalesce(ascii(substring({col}, i, 1)), 0) AS BIGINT))"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {codes}), "
+        f"(acc, c) -> (acc * {mult} + c) % {_MH_PRIME})"
+    )
+
+
+def _minhash_oracle_sql(*, num_hashes: int = 32, bands: int = 8, min_matches: int = 16) -> str:
+    """Full DuckDB reimplementation of the MinHash+LSH pipeline
+    (normalize → 5-gram shingles → poly31 → 32 permutations → 8-band
+    slice-join → est_jaccard), mirroring minhash_signatures/minhash_lsh_pairs
+    with base_hash='poly31', band_key='slice'."""
+    rows_per_band = num_hashes // bands
+    mins = ",\n         ".join(
+        f"CAST(min((h31 * {a} + {b}) % {_MH_PRIME}) AS BIGINT) AS mh_{i}"
+        for i, (a, b) in ((i, _mh_params(i)) for i in range(num_hashes))
+    )
+    sig_list = "[" + ", ".join(f"mh_{i}" for i in range(num_hashes)) + "]"
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {sig_list} AS sig, {b} AS band, "
+        f"[{', '.join(f'mh_{b * rows_per_band + j}' for j in range(rows_per_band))}] AS k FROM sig"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a_sig[{i + 1}] = b_sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i FROM norm
+),
+sh AS (SELECT DISTINCT doc_id, substring(t, i, 5) AS s FROM pos),
+h AS (SELECT doc_id, {_poly31_sql('s')} AS h31 FROM sh),
+sig AS (
+  SELECT doc_id,
+         {mins}
+    FROM h GROUP BY doc_id
+),
+banded AS (
+{band_rows}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS a_sig, b.sig AS b_sig
+    FROM banded a JOIN banded b ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST({matches} AS DOUBLE) / {num_hashes}.0 AS est_jaccard
+  FROM pairs
+ WHERE {matches} >= {min_matches}
+"""
+
+
+def _simhash_oracle_sql(*, max_hamming: int = 3) -> str:
+    """DuckDB reimplementation of the 64-bit SimHash pipeline with the
+    poly31/poly37 packed base hash and 4×16-bit block banding."""
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN ((h64 >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(64)
+    )
+    blks = ",\n       ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN s_{blk * 16 + i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+        )
+        + f" AS BIGINT) AS blk_{blk}"
+        for blk in range(4)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, blk_0, blk_1, blk_2, blk_3, {b} AS band, blk_{b} AS k FROM blocks"
+        for b in range(4)
+    )
+    hamming = " + ".join(f"bit_count(xor(a.blk_{i}, b.blk_{i}))" for i in range(4))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+    FROM documents
+),
+h AS (
+  SELECT doc_id,
+         {_poly31_sql('tok', 31)} + {_poly31_sql('tok', 37)} * 2147483648 AS h64
+    FROM toks
+),
+sums AS (
+  SELECT doc_id,
+         {sums}
+    FROM h GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id,
+       {blks}
+    FROM sums
+),
+banded AS (
+{band_rows}
+)
+SELECT a_id, b_id, hamming FROM (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST({hamming} AS INT) AS hamming
+    FROM banded a JOIN banded b ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+) p
+ WHERE hamming <= {max_hamming}
+"""
+
+
+# --- dedup_minhash / dedup_fuzzy: MinHash+LSH candidate pairs ---
+
+
+def _minhash_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        d, "doc_id", "text", num_hashes=32, shingle_n=5, base_hash="poly31"
+    )
+    pairs = minhash_lsh_pairs(sigs, "doc_id", num_hashes=32, bands=8, band_key="slice")
+    return pairs.filter(F.col("est_jaccard") >= 0.5)
 
 
 @register(
     "dedup_minhash",
-    oracle=None,
-    description="MinHash(32 hashes)+LSH(8 bands) near-dup candidate pairs; est. Jaccard >= 0.5",
+    oracle=_minhash_oracle_sql(),
+    description="MinHash(32 hashes)+LSH(8 bands) near-dup candidate pairs, est. "
+    "Jaccard >= 0.5 — poly31 base hash + slice band keys so the full pipeline "
+    "is hash-checked against a DuckDB reimplementation (xxhash64 variant is "
+    "the library default for the scale path)",
 )
 def dedup_minhash(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=32, shingle_n=5)
-    pairs = minhash_lsh_pairs(sigs, "doc_id", num_hashes=32, bands=8)
-    return pairs.filter(F.col("est_jaccard") >= 0.5)
+    return _minhash_pairs(spark, sf_dir)
 
 
-# --- dedup_simhash: SimHash hamming<=3 pairs (rows-only: xxhash64) ---
+@register(
+    "dedup_fuzzy",
+    oracle=_minhash_oracle_sql(),
+    description="SURVEY §2.D dedup_fuzzy: the MinHash+LSH near-dup pipeline "
+    "(shingle → minhash → band → bucket-join), threshold 0.5 — same dataflow "
+    "as dedup_minhash, kept as its own op id for reference parity",
+)
+def dedup_fuzzy(spark, sf_dir):
+    return _minhash_pairs(spark, sf_dir)
+
+
+# --- dedup_simhash: SimHash hamming<=3 pairs ---
 
 
 @register(
     "dedup_simhash",
-    oracle=None,
-    description="64-bit SimHash near-dup pairs within hamming distance 3 (4x16-bit banding)",
+    oracle=_simhash_oracle_sql(),
+    description="64-bit SimHash near-dup pairs within hamming distance 3 "
+    "(4x16-bit banding); poly31/37 packed base hash, hash-checked against a "
+    "DuckDB reimplementation",
 )
 def dedup_simhash(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    return simhash_pairs(simhash(d, "doc_id", "text"), "doc_id", max_hamming=3)
+    return simhash_pairs(
+        simhash(d, "doc_id", "text", base_hash="poly31"), "doc_id", max_hamming=3
+    )
 
 
 # --- dedup_ngram_jaccard: exact token-set Jaccard, blocked by language ---

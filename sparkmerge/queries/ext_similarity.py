@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sparkmerge.ext.similarity import (
+    _hyperplane,
     brute_force_topk,
     cosine,
     embedding_near_dup_pairs,
@@ -69,10 +70,90 @@ def topk_similarity(spark, sf_dir):
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def _lsh_bucket_sql(vec: str, table: int, *, planes: int = 6, dim: int = DIM) -> str:
+    """DuckDB mirror of ext/similarity.lsh_bucket for one hash table: the
+    hyperplane components are the SAME deterministic literals Spark uses
+    (repr round-trips the exact double), and the dot is the same left fold,
+    so the sign bits — and therefore the bucket ids — are bit-identical."""
+    bits = []
+    for p in range(planes):
+        comps = _hyperplane(dim, table * 1009 + p)
+        d = _fold_sql(
+            [f"(CAST({vec}[{i + 1}] AS DOUBLE) * {comps[i]!r})" for i in range(dim)]
+        )
+        bits.append(f"(CASE WHEN {d} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _ann_lsh_oracle_sql(*, tables: int = 8, planes: int = 6, k: int = 10) -> str:
+    bucket_cols = ",\n         ".join(
+        f"{_lsh_bucket_sql('embedding', t, planes=planes)} AS b{t}" for t in range(tables)
+    )
+    or_cond = " OR ".join(f"c.b{t} = q.b{t}" for t in range(tables))
+    return f"""
+WITH bkt AS (
+  SELECT vec_id, embedding,
+         {bucket_cols}
+    FROM embeddings
+),
+q AS (SELECT * FROM bkt WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, q.embedding AS q_vec,
+                  c.vec_id AS n_id, c.embedding AS n_vec
+    FROM bkt c JOIN q ON ({or_cond})
+   WHERE q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT q_id, n_id, {_cos_sql('q_vec', 'n_vec')} AS sim FROM cand
+)
+SELECT q_id, n_id, sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+    FROM scored) t
+ WHERE rank <= {k}
+"""
+
+
+def _ann_ivf_oracle_sql(*, nlist: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    # Spark's nearest_cells sorts struct(sim, cell) ascending and reverses →
+    # (sim DESC, cell DESC); the centroid set is the nlist lowest-id vectors.
+    cos_cent = _cos_sql("e.embedding", "c.c_vec")
+    return f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS c_vec
+    FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {nlist})
+),
+c_rank AS (
+  SELECT e.vec_id AS n_id, e.embedding AS n_vec, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos_cent} DESC, c.cell DESC) AS rk
+    FROM embeddings e CROSS JOIN cents c
+),
+c_assign AS (SELECT n_id, n_vec, cell FROM c_rank WHERE rk = 1),
+q_rank AS (
+  SELECT e.vec_id AS q_id, e.embedding AS q_vec, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos_cent} DESC, c.cell DESC) AS rk
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5
+),
+probes AS (SELECT q_id, q_vec, cell FROM q_rank WHERE rk <= {nprobe}),
+scored AS (
+  SELECT p.q_id, a.n_id, {_cos_sql('p.q_vec', 'a.n_vec')} AS sim
+    FROM probes p JOIN c_assign a ON a.cell = p.cell
+   WHERE p.q_id <> a.n_id
+)
+SELECT q_id, n_id, sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+    FROM scored) t
+ WHERE rank <= {k}
+"""
+
+
 @register(
     "ann_lsh",
-    oracle=None,
-    description="approximate top-10 via random-hyperplane LSH buckets (recall checked in tests)",
+    oracle=_ann_lsh_oracle_sql(),
+    description="approximate top-10 via random-hyperplane LSH buckets (8 tables × "
+    "6 planes); planes are deterministic literals, so the DuckDB oracle replays "
+    "the exact bucket assignment and candidate set (recall also checked in tests)",
 )
 def ann_lsh(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
@@ -81,9 +162,10 @@ def ann_lsh(spark, sf_dir):
 
 @register(
     "ann_ivf",
-    oracle=None,
-    description="approximate top-10 via IVF coarse quantization (nlist=16, nprobe=4; "
-    "recall vs brute force checked in tests)",
+    oracle=_ann_ivf_oracle_sql(),
+    description="approximate top-10 via IVF coarse quantization (nlist=16, nprobe=4); "
+    "deterministic centroid bootstrap, so the DuckDB oracle replays cell assignment "
+    "and probing exactly (recall vs brute force checked in tests)",
 )
 def ann_ivf(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")

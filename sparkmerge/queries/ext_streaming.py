@@ -81,8 +81,15 @@ def window_session(spark, sf_dir):
 
 @register(
     "watermark_late_drop",
-    oracle=None,
-    description="Structured Streaming: readStream → withWatermark(2h) → tumbling agg (availableNow)",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n
+  FROM events GROUP BY 1, 2
+""",
+    description="Structured Streaming: readStream → withWatermark(2h) → tumbling agg "
+    "(availableNow processes the corpus as one batch, so no row is late and the "
+    "result equals the batch aggregate — actual late-row dropping across batch "
+    "boundaries is exercised in tests/test_ext.py)",
 )
 def watermark_late_drop(spark, sf_dir):
     return watermark_tumbling_stream(spark, events_path(sf_dir), width="1 hour", watermark="2 hours")
@@ -90,9 +97,16 @@ def watermark_late_drop(spark, sf_dir):
 
 @register(
     "stream_stateful_counts",
-    oracle=None,
-    description="applyInPandasWithState: per-user running (count, value sum, last ts) "
-    "GroupState across micro-batches (equivalence vs batch agg in tests)",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(max(floor(epoch(ts))) AS BIGINT) AS last_ts
+  FROM events GROUP BY user_id
+""",
+    description="applyInPandasWithState: per-user running (count, value cents, last ts) "
+    "GroupState across micro-batches; integer-cents accumulation makes the final "
+    "state order-independent, so the batch aggregate is an exact oracle",
 )
 def stream_stateful_counts(spark, sf_dir):
     return stateful_user_counts(spark, events_path(sf_dir))
@@ -100,8 +114,17 @@ def stream_stateful_counts(spark, sf_dir):
 
 @register(
     "stream_merge_foreachbatch",
-    oracle=None,
-    description="foreachBatch merge sink: ts-ordered micro-batch upserts into a SnapshotTable",
+    oracle="""
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) t
+ WHERE rn = 1
+""",
+    description="foreachBatch merge sink: ts-ordered micro-batch upserts into a "
+    "SnapshotTable; because batches are ts-range ordered, the final table is "
+    "exactly the per-user latest event (the upsert-convergence invariant)",
 )
 def stream_merge_foreachbatch(spark, sf_dir):
     path = os.path.join(tempfile.mkdtemp(prefix="sm_stream_"), "state")

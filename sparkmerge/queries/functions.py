@@ -329,17 +329,38 @@ def subquery_scalar(spark, sf_dir):
 
 @register(
     "agg_approx",
-    oracle=None,
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       true AS approx_customers_ok,
+       true AS approx_p50_ok
+  FROM orders GROUP BY o_orderstatus
+""",
     description="approximate aggregation surface: approx_count_distinct (HLL++) "
-    "and approx_percentile sketches — the shuffle-light scale path whose error "
-    "vs the exact twins (agg_distinct, agg_percentiles) is bounded in tests",
+    "and approx_percentile sketches — sketch values are engine-specific, so the "
+    "hash-checked output is the exact twin plus bounded-error verdicts "
+    "(|approx−exact|/exact ≤ 5%; p50 sketch within the exact p25..p75 band)",
 )
 def agg_approx(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("approx_p50"),
+    agg = o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx_customers"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("_approx_p50"),
+        F.expr("percentile(o_totalprice, 0.25)").alias("_p25"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("_p75"),
+    )
+    err = F.abs(F.col("_approx_customers") - F.col("exact_customers")) / F.col(
+        "exact_customers"
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n_orders",
+        "exact_customers",
+        (err <= 0.05).alias("approx_customers_ok"),
+        F.col("_approx_p50").between(F.col("_p25"), F.col("_p75")).alias("approx_p50_ok"),
     )
 
 

@@ -24,7 +24,14 @@ def _scratch():
 
 @register(
     "lastupdate_prop",
-    oracle=None,
+    oracle="""
+SELECT * FROM (VALUES
+  ('stamped_on_create', false),
+  ('stamped_after_abort', false),
+  ('stamped_after_commit', true),
+  ('odbc_canonical_format', true)
+) AS v(checked_case, value)
+""",
     description="lastUpdate table property stamped on successful commit only "
     "(sp_SimpleMerge.sql:129-140,:485-491; rollback quirk fixed per SURVEY §7.4)",
 )
@@ -60,9 +67,33 @@ def lastupdate_prop(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+# The dry-run report is fully deterministic for a fixed input schema, so the
+# oracle is the report itself as literals (golden values — a rendering change
+# is SUPPOSED to break this check).
+_DEBUG_MERGE_SQL = """MERGE INTO target t
+USING source s
+ON t.`o_orderkey` <=> s.`o_orderkey`
+WHEN MATCHED AND (NOT (t.`o_custkey` <=> s.`o_custkey`) OR NOT (t.`o_orderstatus` <=> s.`o_orderstatus`) OR NOT (t.`o_totalprice` <=> s.`o_totalprice`) OR NOT (t.`o_orderdate` <=> s.`o_orderdate`) OR NOT (t.`o_orderpriority` <=> s.`o_orderpriority`)) THEN UPDATE SET t.`o_custkey` = s.`o_custkey`, t.`o_orderstatus` = s.`o_orderstatus`, t.`o_totalprice` = s.`o_totalprice`, t.`o_orderdate` = s.`o_orderdate`, t.`o_orderpriority` = s.`o_orderpriority`
+WHEN NOT MATCHED THEN INSERT (`o_orderkey`, `o_custkey`, `o_orderstatus`, `o_totalprice`, `o_orderdate`, `o_orderpriority`) VALUES (s.`o_orderkey`, s.`o_custkey`, s.`o_orderstatus`, s.`o_totalprice`, s.`o_orderdate`, s.`o_orderpriority`)
+WHEN NOT MATCHED BY SOURCE THEN DELETE"""
+
+_DEBUG_AUDIT_DDL = (
+    "actionTime TIMESTAMP, action STRING, o_orderkey BIGINT, d_o_custkey BIGINT, "
+    "d_o_orderstatus STRING, d_o_totalprice DOUBLE, d_o_orderdate TIMESTAMP_NTZ, "
+    "d_o_orderpriority STRING, i_o_custkey BIGINT, i_o_orderstatus STRING, "
+    "i_o_totalprice DOUBLE, i_o_orderdate TIMESTAMP_NTZ, i_o_orderpriority STRING"
+)
+
+
 @register(
     "debug_dry_run",
-    oracle=None,
+    oracle=f"""
+SELECT '{_DEBUG_MERGE_SQL}' AS merge_sql,
+       15.0 AS threshold,
+       CAST(500 AS BIGINT) AS target_rows,
+       '{_DEBUG_AUDIT_DDL}' AS audit_ddl,
+       true AS side_effect_free
+""",
     description="@debug=1 dry-run: generated MERGE SQL, threshold, rowcount, audit DDL — "
     "zero side effects (sp_SimpleMerge.sql:422-465)",
 )
@@ -124,7 +155,13 @@ def schema_align_fullouter(spark, sf_dir):
 
 @register(
     "txn_commit_rollback",
-    oracle=None,
+    oracle="""
+SELECT * FROM (VALUES
+  ('staged_invisible_to_readers', true),
+  ('abort_preserves_pointer', true),
+  ('commit_swaps_pointer', true)
+) AS v(checked_case, value)
+""",
     description="snapshot-pointer transaction: staged version invisible until commit, "
     "abort leaves pointer untouched (sp_SimpleMerge.sql:470-479)",
 )
@@ -262,7 +299,13 @@ def merge_partition_pruned(spark, sf_dir):
 
 @register(
     "table_maintenance",
-    oracle=None,
+    oracle="""
+SELECT * FROM (VALUES
+  ('compact_to_single_file_data_identical', true),
+  ('vacuum_removed_old_versions', true),
+  ('add_columns_null_filled', true)
+) AS v(checked_case, value)
+""",
     description="storage lifecycle surface: compact() merges small files per "
     "partition (data-identical commit), vacuum() drops unreferenced versions, "
     "add_columns() widens the schema NULL-filled — each verified by outcome",

@@ -116,17 +116,5 @@ def sink_partitioned_parquet(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
-@register(
-    "dedup_fuzzy",
-    oracle=None,
-    description="SURVEY §2.D dedup_fuzzy: the MinHash+LSH near-dup pipeline "
-    "(shingle → minhash → band → bucket-join), threshold 0.5",
-)
-def dedup_fuzzy(spark, sf_dir):
-    from sparkmerge.ext.dedup import minhash_lsh_pairs, minhash_signatures
-
-    d = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=32, shingle_n=5)
-    return minhash_lsh_pairs(sigs, "doc_id", num_hashes=32, bands=8).filter(
-        F.col("est_jaccard") >= 0.5
-    )
+# dedup_fuzzy moved to queries/ext_dedup.py (it is the MinHash pipeline and
+# now shares its generated DuckDB oracle).

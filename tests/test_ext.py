@@ -169,11 +169,14 @@ def test_stateful_counts_match_batch_agg(spark):
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value").cast("double") * 100.0 + 0.5).cast("long")).alias(
+                "value_cents"
+            ),
             F.max(F.col("ts").cast("timestamp").cast("long")).alias("last_ts"),
         )
     )
-    g = {(r.user_id): (r.n_events, r.last_ts) for r in got.collect()}
-    e = {(r.user_id): (r.n_events, r.last_ts) for r in expected.collect()}
+    g = {(r.user_id): (r.n_events, r.value_cents, r.last_ts) for r in got.collect()}
+    e = {(r.user_id): (r.n_events, r.value_cents, r.last_ts) for r in expected.collect()}
     assert g == e
 
 
