@@ -281,20 +281,79 @@ def token_set(text: Column) -> Column:
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, group_col: str, *, threshold: float
 ) -> DataFrame:
-    """Exact token-set Jaccard over candidate pairs blocked by ``group_col``
-    (e.g. language).  |A∩B| and |A∪B| are integer cardinalities, so the
-    similarity is an exact single FP division — oracle-safe."""
+    """Exact token-set Jaccard join via POSITIONAL PREFIX FILTERING (the
+    Chaudhuri/Vernica set-similarity-join technique) — NOT all-pairs.
+
+    Guarantee: order each set's tokens by a global (rarest-first) order; with
+    prefix length ``|A| − ⌈t·|A|⌉ + 1``, any pair with J(A,B) ≥ t shares at
+    least one PREFIX token (proof: the globally-smallest shared token cannot
+    sit in either suffix, which holds < ⌈t·|set|⌉ ≤ |A∩B| shared tokens).
+    Candidates are therefore generated by an equi-join on (group, prefix
+    token) with EXACT recall — identical output to the quadratic formulation,
+    so the DuckDB all-pairs oracle still hash-matches — while the pair space
+    is bounded by prefix-token bucket sizes (rare tokens → small buckets)
+    instead of Θ(block²).  A length filter (t·|A| ≤ |B| ≤ |A|/t, implied by
+    J ≥ t) prunes candidates before the exact verify.
+
+    |A∩B| and |A∪B| are integer cardinalities, so the final similarity is an
+    exact single FP division — oracle-safe.
+
+    Scale shape: token-frequency agg (1 shuffle), doc re-assembly (1), the
+    candidate equi-join (1), and two id-joins for verification — each a
+    bounded shuffle; nothing is quadratic in an unbounded block."""
     base = _spread(df.select(id_col, group_col, text_col)).select(
-        F.col(id_col), F.col(group_col).alias("_grp"), token_set(F.col(text_col)).alias("_toks")
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        token_set(F.col(text_col)).alias("_toks"),
     )
-    a = base.select(F.col("_grp"), F.col(id_col).alias("a_id"), F.col("_toks").alias("_a_toks"))
-    b = base.select(F.col("_grp"), F.col(id_col).alias("b_id"), F.col("_toks").alias("_b_toks"))
+    toks = base.select("_id", "_grp", F.explode("_toks").alias("_tok"))
+    freq = toks.groupBy("_grp", "_tok").agg(F.count(F.lit(1)).alias("_f"))
+    # Global per-group token order: (frequency asc, token asc) — rarest first
+    # minimizes candidate bucket sizes; any consistent total order is correct.
+    ordered = (
+        toks.join(freq, ["_grp", "_tok"])
+        .groupBy("_id", "_grp")
+        .agg(F.array_sort(F.collect_list(F.struct("_f", "_tok"))).alias("_ord"))
+    )
+    n = F.size("_ord")
+    # ceil(t·n) with a downward epsilon: FP error can only LENGTHEN the
+    # prefix (never shortens it below the safe bound), preserving recall.
+    prefix_len = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)).cast("int") + 1
+    prefix = base.join(ordered, ["_id", "_grp"]).select(
+        "_id",
+        "_grp",
+        n.alias("_n"),
+        F.explode(
+            F.transform(F.slice("_ord", F.lit(1), prefix_len), lambda s: s["_tok"])
+        ).alias("_tok"),
+    )
+    a = prefix.select(
+        "_grp", "_tok", F.col("_id").alias("a_id"), F.col("_n").alias("_an")
+    )
+    b = prefix.select(
+        "_grp", "_tok", F.col("_id").alias("b_id"), F.col("_n").alias("_bn")
+    )
+    cands = (
+        a.join(b, ["_grp", "_tok"])
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            # length filter: J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|)
+            & (
+                F.least("_an", "_bn").cast("double")
+                >= F.lit(threshold) * F.greatest("_an", "_bn").cast("double")
+            )
+        )
+        .select("_grp", "a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    a_toks = base.select(F.col("_id").alias("a_id"), F.col("_toks").alias("_a_toks"))
+    b_toks = base.select(F.col("_id").alias("b_id"), F.col("_toks").alias("_b_toks"))
     inter = F.size(F.array_intersect(F.col("_a_toks"), F.col("_b_toks")))
     union = F.size(F.array_union(F.col("_a_toks"), F.col("_b_toks")))
     jac = inter.cast("double") / union.cast("double")
     return (
-        a.join(b, "_grp")
-        .filter(F.col("a_id") < F.col("b_id"))
+        cands.join(a_toks, "a_id")
+        .join(b_toks, "b_id")
         .select("a_id", "b_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -212,26 +212,47 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     group_col: str | None = None,
     threshold: float = 0.99,
+    dim: int = 64,
+    planes: int = 10,
+    tables: int = 16,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a_id < b_id) above threshold,
-    optionally blocked by ``group_col`` to bound the pair space."""
-    cols = [F.col(id_col), F.col(vec_col)]
-    if group_col:
-        cols.append(F.col(group_col).alias("_grp"))
-    base = df.select(*cols)
-    a = base.select(
-        *([F.col("_grp")] if group_col else []),
-        F.col(id_col).alias("a_id"),
-        F.col(vec_col).alias("a_vec"),
+    """Embedding-cosine near-duplicate pairs (a_id < b_id) above threshold.
+
+    Candidates come from multi-table random-hyperplane LSH — two vectors are
+    compared only if they share a (table, bucket), optionally within the
+    ``group_col`` block — then the exact cosine verifies each candidate, so
+    no all-pairs join exists anywhere.  Like ``minhash_lsh_pairs``, the
+    per-table joins are folded into ONE self-join via ``posexplode`` over the
+    per-table bucket array: one shuffle total regardless of table count.
+
+    Recall is probabilistic but overwhelming for near-dup thresholds: a pair
+    at cos θ collides in one table with prob (1−θ/π)^planes, so
+    P(miss) = (1−(1−θ/π)^planes)^tables — at threshold 0.99 (θ/π ≈ 0.045),
+    10 planes × 16 tables give P(miss) ≈ 1e-7 per pair, while the candidate
+    space shrinks by ~2^planes/tables ≈ 64× versus all-pairs.  Exactness of
+    *reported* similarities is unaffected (exact cosine on every candidate).
+    """
+    grp = [F.col(group_col).alias("_grp")] if group_col else []
+    buckets = F.array(
+        *[lsh_bucket(F.col(vec_col), dim, planes=planes, table=t) for t in range(tables)]
     )
-    b = base.select(
-        *([F.col("_grp")] if group_col else []),
-        F.col(id_col).alias("b_id"),
-        F.col(vec_col).alias("b_vec"),
+    banded = df.select(
+        *grp,
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(buckets).alias("_t", "_bkt"),
     )
-    joined = a.join(b, "_grp") if group_col else a.crossJoin(b)
+    keys = (["_grp"] if group_col else []) + ["_t", "_bkt"]
+    a = banded.select(
+        *keys, F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec")
+    )
+    b = banded.select(
+        *keys, F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
+    )
     return (
-        joined.filter(F.col("a_id") < F.col("b_id"))
+        a.join(b, keys)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
         .select("a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )

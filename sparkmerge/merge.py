@@ -212,6 +212,7 @@ def merge_partitioned(
     prune_scan: bool = False,
     bad_key: bool = False,
     bad_key_order: list[str] | None = None,
+    audit: bool = False,
     audit_path: str | None = None,
     threshold: str | float | None = None,
     debug: bool = False,
@@ -244,6 +245,8 @@ def merge_partitioned(
     """
     from sparkmerge.ptable import MAX_PARTITION_VALUES, canon_col
 
+    if audit and audit_path is None:
+        audit_path = default_audit_path(target)
     thr = _parse_threshold(threshold)
     pcol = target.partition_by
     keys = split_csv(join_columns) if isinstance(join_columns, str) else list(join_columns)
@@ -376,6 +379,13 @@ def merge_partitioned(
         cs.df.unpersist()
 
 
+def default_audit_path(target: SnapshotTable) -> str:
+    """The reference's default audit-table name when ``@output`` is omitted:
+    ``isnull(@output, @target + '_SimpleMergeOutput')``
+    (sp_SimpleMerge.sql:432) — here a sibling directory of the target."""
+    return target.path.rstrip("/") + "_SimpleMergeOutput"
+
+
 def simple_merge(
     spark: SparkSession,
     target: SnapshotTable,
@@ -386,11 +396,17 @@ def simple_merge(
     target_filter: str | None = None,
     bad_key: bool = False,
     bad_key_order: list[str] | None = None,
+    audit: bool = False,
     audit_path: str | None = None,
     threshold: str | float | None = None,
     debug: bool = False,
 ) -> MergeResult | MergeReport:
-    """Merge ``source_df`` into ``target`` — see module docstring."""
+    """Merge ``source_df`` into ``target`` — see module docstring.
+
+    ``audit_path`` mirrors ``@output``; ``audit=True`` with no explicit path
+    uses the reference's default name (``<target>_SimpleMergeOutput``)."""
+    if audit and audit_path is None:
+        audit_path = default_audit_path(target)
     thr = _parse_threshold(threshold)
     target_df = target.read(spark)
     in_scope, out_scope = _scope_split(target_df, target_filter)

@@ -175,18 +175,43 @@ def ann_ivf(spark, sf_dir):
 @register(
     "dedup_embedding",
     oracle=f"""
-WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+WITH doubled AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, label,
+         embedding[1:{DIM - 1}] || [CAST(CAST(embedding[{DIM}] AS DOUBLE) + 0.1 AS FLOAT)]
+    FROM embeddings
+)
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        {_cos_sql('a.embedding', 'b.embedding')} AS sim
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM doubled a JOIN doubled b ON a.label = b.label AND a.vec_id < b.vec_id
  WHERE a.vec_id % 25 = 0
-   AND {_cos_sql('a.embedding', 'b.embedding')} >= 0.8
+   AND {_cos_sql('a.embedding', 'b.embedding')} >= 0.99
 """,
-    description="embedding-cosine near-dup pairs above 0.8, blocked by label, sampled queries",
+    description="embedding-cosine near-dup pairs ≥ 0.99 over the corpus plus a "
+    "deterministically-perturbed copy (planted near-dups at ~0.995; the raw "
+    "corpus has no within-label pair above 0.48) — LSH-bucketed candidates + "
+    "exact verify, never all-pairs; the oracle is the exact all-pairs twin",
 )
 def dedup_embedding(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(emb, group_col="label", threshold=0.8)
+    e = F.col("embedding")
+    perturbed = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.slice(e, 1, DIM - 1),
+            F.array((F.element_at(e, DIM).cast("double") + F.lit(0.1)).cast("float")),
+        ).alias("embedding"),
+    )
+    pairs = embedding_near_dup_pairs(
+        emb.unionByName(perturbed),
+        group_col="label",
+        threshold=0.99,
+        dim=DIM,
+        planes=10,
+        tables=16,
+    )
     return pairs.filter(F.col("a_id") % 25 == 0)
 
 

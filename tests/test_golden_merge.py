@@ -144,6 +144,30 @@ def test_audit_record_shape(spark, tmp_path):
     assert by_action["DELETE"]["i_v"] is None
 
 
+def test_audit_default_name(spark, tmp_path):
+    """audit=True without audit_path writes to the reference's default name
+    ``<target>_SimpleMergeOutput`` (isnull(@output, @target +
+    '_SimpleMergeOutput'), sp_SimpleMerge.sql:432)."""
+    import os
+
+    from sparkmerge.merge import default_audit_path
+
+    t = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    s = spark.createDataFrame([Row(k=2, v="B"), Row(k=3, v="c")])
+    tbl = SnapshotTable.create(spark, str(tmp_path / "t"), t)
+    res = simple_merge(spark, tbl, s, "k", audit=True)
+    expected = str(tmp_path / "t_SimpleMergeOutput")
+    assert default_audit_path(tbl) == expected
+    assert os.path.isdir(expected)
+    audit = spark.read.parquet(expected)
+    assert audit.count() == res.audit_rows == 3
+    # explicit audit_path still wins over the default
+    other = str(tmp_path / "elsewhere")
+    tbl2 = SnapshotTable.create(spark, str(tmp_path / "t2"), t)
+    simple_merge(spark, tbl2, s, "k", audit=True, audit_path=other)
+    assert os.path.isdir(other) and not os.path.isdir(str(tmp_path / "t2_SimpleMergeOutput"))
+
+
 def test_source_subset_of_target_preserves_extras(spark, tmp_table_dir):
     """Source may omit target columns; updates leave them untouched, inserts
     NULL-fill them (sp_SimpleMerge.sql:200-201,:303-305,:323)."""
