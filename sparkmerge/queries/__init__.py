@@ -71,8 +71,9 @@ _VERIFY_FIRST = [
     "fn_regexp_ops", "fn_conditional_ops", "fn_math_ops",
     "agg_distinct", "agg_percentiles", "agg_approx", "subquery_scalar",
     # analytics.py
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q14",
-    "tpch_q18", "tpch_q4_style", "tpch_q16_style",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q18",
+    "tpch_q4_style", "tpch_q16_style", "tpch_q19_style", "tpch_q22_style",
     "agg_grouping_sets", "pivot_wide",
     # ext: dedup / similarity / text / multimodal / streaming
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",

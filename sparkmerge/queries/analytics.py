@@ -387,3 +387,226 @@ def tpch_q16_style(spark, sf_dir):
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "tpch_q7",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+     WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                            AND TIMESTAMP '1996-12-31 00:00:00'
+  ) shipping
+ GROUP BY supp_nation, cust_nation, l_year
+""",
+    description="TPC-H Q7 volume shipping: dual-nation join with disjunctive "
+    "nation pairing, year extraction, decimal revenue",
+)
+def tpch_q7(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1995-01-01 00:00:00'"))
+        & (F.col("l_shipdate") <= F.expr("TIMESTAMP '1996-12-31 00:00:00'"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_dec_sum(volume, 4).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q8",
+    oracle="""
+SELECT o_year,
+       CAST(sum(CASE WHEN nation = 'NATION_3' THEN CAST(volume AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+  FROM (
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume,
+           n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+     WHERE r.r_name = 'AMERICA'
+       AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                             AND TIMESTAMP '1996-12-31 00:00:00'
+       AND p.p_type = 'ECONOMY'
+  ) all_nations
+ GROUP BY o_year
+""",
+    description="TPC-H Q8 national market share: 8-way join, conditional "
+    "decimal share per year (single IEEE division of two exact sums)",
+)
+def tpch_q8(spark, sf_dir):
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1995-01-01 00:00:00'"))
+        & (F.col("o_orderdate") <= F.expr("TIMESTAMP '1996-12-31 00:00:00'"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    brazil = F.when(F.col("nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(brazil).cast("double") / F.sum(vol).cast("double")).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                      AND o.o_orderpriority <> '1-URGENT'
+   GROUP BY c.c_custkey) c_orders
+ GROUP BY c_count
+""",
+    description="TPC-H Q13 customer order distribution: left outer join with "
+    "join-side predicate, double aggregation",
+)
+def tpch_q13(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q19_style",
+    oracle="""
+SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+        AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+    OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+        AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+    OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+        AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""",
+    description="TPC-H Q19-style discounted revenue: disjunctive multi-clause "
+    "join predicate (brand/size/quantity triplets; corpus lacks p_container)",
+)
+def tpch_q19_style(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & (q >= 20) & (q <= 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(clause)
+        .agg(_dec_sum(rev, 4).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q22_style",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey, count(*) AS numcust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+  FROM customer c, avg_bal
+ WHERE c.c_acctbal > avg_bal.v
+   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+ GROUP BY c.c_nationkey
+""",
+    description="TPC-H Q22-style global sales opportunity: scalar-average "
+    "subquery + anti join against recent orders (every corpus customer has at least one order, so recency scopes the anti join; corpus lacks c_phone — nationkey "
+    "stands in for the phone country code)",
+)
+def tpch_q22_style(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (_dec_sum(F.col("c_acctbal"), 2) / F.count(F.lit(1))).alias("v")
+    )
+    return (
+        c.join(F.broadcast(pos))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(
+            o.filter(F.col("o_orderdate") >= F.expr("TIMESTAMP '2000-01-01 00:00:00'")),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dec_sum(F.col("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

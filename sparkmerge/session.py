@@ -44,6 +44,15 @@ def get_spark(
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "false" if small else "true")
+        # Lean-profile scheduler trims (measured ~30 ms/job → ~15 ms/job on
+        # trivial jobs): locality wait is meaningless in local mode, and
+        # compressing KB-sized shuffle/broadcast payloads costs more than the
+        # bytes saved.  At real scale both defaults are correct — compression
+        # pays for itself on network-bound shuffles — so the big profile
+        # keeps them.
+        .config("spark.locality.wait", "0" if small else "3s")
+        .config("spark.shuffle.compress", "false" if small else "true")
+        .config("spark.broadcast.compress", "false" if small else "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
