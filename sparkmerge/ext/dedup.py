@@ -25,14 +25,22 @@ from pyspark.sql.window import Window
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the input arrives in
-    fewer partitions (e.g. one small parquet file → one task).  The heavy
-    map-side stages below (shingle/token explode) are CPU-bound, so running
-    them on one task serializes the whole operator.  At scale the input
-    already has ≥ parallelism partitions and this is a no-op — no shuffle is
-    added on the 100 TB path."""
+    """Repartition up to the cluster's parallelism when the input arrives as
+    fewer FILES than cores (e.g. one small parquet file → one task).  The
+    heavy map-side stages below (shingle/token explode) are CPU-bound, so
+    running them on one task serializes the whole operator.  At scale the
+    input already has ≥ parallelism files and this is a no-op — no shuffle is
+    added on the 100 TB path.
+
+    The signal is ``inputFiles()`` (plan metadata, no RDD materialization —
+    ``df.rdd.getNumPartitions()`` would force a plan→RDD conversion per
+    call); non-file sources fall through untouched."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < parallelism:
         return df.repartition(parallelism)
     return df
 
@@ -268,6 +276,69 @@ def simhash_pairs(sim_df: DataFrame, id_col: str, *, max_hamming: int = 3) -> Da
         .dropDuplicates(["a_id", "b_id"])
         .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id", *, max_iters: int = 8
+) -> DataFrame:
+    """Connected components over an undirected pair graph by iterative
+    min-label propagation: every node's label converges to the smallest node
+    id in its component.  Returns (node, component).
+
+    Each iteration is one shuffle join + one min-aggregation; ``max_iters``
+    rounds cover any component whose diameter ≤ max_iters.  Near-dup
+    clusters are overwhelmingly tiny cliques (diameter ≤ 2), so 8 rounds is
+    a generous bound; raise it (or switch to the large-star/small-star
+    contraction, which converges in O(log n) rounds) for adversarial chain
+    graphs.  All steps are min() over integer ids — fully deterministic.
+
+    Each round references the previous label frame twice (union + join), so
+    an unpersisted loop doubles the logical plan per round (2^k leaves —
+    Catalyst analysis, not the data, becomes the bottleneck).  Lineage is
+    therefore truncated per round with an eager ``localCheckpoint`` — the
+    standard Spark pattern for iterative dataflows (on a real cluster with a
+    checkpoint dir configured, ``checkpoint()`` would add driver-failure
+    recoverability; the data itself stays distributed either way).  The sum
+    of labels is monotonically non-increasing and strictly decreases while
+    any node still updates, so it doubles as a convergence test: typical
+    near-dup graphs (cliques) exit after 2 rounds instead of ``max_iters``."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionAll(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    prev_sum = object()
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels, edges.v == labels.node
+        ).select(F.col("u").alias("node"), "component")
+        labels = (
+            labels.unionAll(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("component")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def dedup_survivors(pairs: DataFrame, *, max_iters: int = 8) -> DataFrame:
+    """The dedup DECISION record: for every document in a near-dup cluster,
+    which single document survives.  Rows are (doc_id, survivor_id) for the
+    non-surviving members only (survivor = min doc_id of the component —
+    deterministic); documents in no pair survive implicitly."""
+    cc = connected_components(pairs, max_iters=max_iters)
+    return (
+        cc.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"), F.col("component").alias("survivor_id"))
     )
 
 

@@ -77,6 +77,7 @@ _VERIFY_FIRST = [
     "agg_grouping_sets", "pivot_wide",
     # ext: dedup / similarity / text / multimodal / streaming
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_cluster_survivors",
     "topk_similarity", "ann_lsh", "ann_ivf", "dedup_embedding",
     "multimodal_array_sim",
     "text_stats", "text_tokens", "text_quality", "text_langid",

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from sparkmerge.ext.dedup import (
     _MH_PRIME,
     _mh_params,
+    dedup_survivors,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -215,6 +216,33 @@ def dedup_simhash(spark, sf_dir):
     return simhash_pairs(
         simhash(d, "doc_id", "text", base_hash="poly31"), "doc_id", max_hamming=3
     )
+
+
+# --- dedup_cluster_survivors: near-dup clustering + survivor selection ---
+
+
+@register(
+    "dedup_cluster_survivors",
+    oracle=f"""
+WITH RECURSIVE
+mh AS ({_minhash_oracle_sql()}),
+edges AS (SELECT a_id AS u, b_id AS v FROM mh UNION SELECT b_id, a_id FROM mh),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+)
+SELECT node AS doc_id, min(r) AS survivor_id
+  FROM reach GROUP BY node
+HAVING min(r) <> node
+""",
+    description="the step after pair generation every dedup pipeline needs: "
+    "connected components over the MinHash pair graph (iterative min-label "
+    "propagation) + deterministic survivor per cluster; the oracle computes "
+    "exact components via a recursive CTE",
+)
+def dedup_cluster_survivors(spark, sf_dir):
+    return dedup_survivors(_minhash_pairs(spark, sf_dir), max_iters=8)
 
 
 # --- dedup_ngram_jaccard: exact token-set Jaccard, blocked by language ---

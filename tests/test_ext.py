@@ -215,3 +215,17 @@ def test_events_cache_is_reused(spark):
     p1 = events_path(SF_DIR)
     p2 = events_path(SF_DIR)
     assert p1 == p2 and os.path.isdir(p1)
+
+
+def test_connected_components_chain_and_clique(spark):
+    from sparkmerge.ext.dedup import connected_components, dedup_survivors
+
+    # components: chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a_id long, b_id long",
+    )
+    cc = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    surv = {(r.doc_id, r.survivor_id) for r in dedup_survivors(pairs).collect()}
+    assert surv == {(2, 1), (3, 1), (4, 1), (11, 10), (12, 10), (21, 20)}
