@@ -91,6 +91,9 @@ _VERIFY_FIRST = [
     # round-1 `no_oracle` rows — oracles added in round 2, need a fresh check
     "lastupdate_prop", "debug_dry_run", "txn_commit_rollback",
     "table_maintenance", "dedup_fuzzy",
+    # round-2 additions — never driver-checked
+    "tpch_q2_style", "tpch_q9_style", "tpch_q11_style", "tpch_q12_style",
+    "tpch_q15", "tpch_q17_style", "tpch_q20_style", "tpch_q21_style",
 ]
 
 

@@ -610,3 +610,344 @@ def tpch_q22_style(spark, sf_dir):
             _dec_sum(F.col("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q2_style",
+    oracle="""
+WITH ps AS (
+  SELECT l.l_partkey AS p_key, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+         min(l.l_extendedprice / l.l_quantity) AS unit_cost
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+   WHERE r.r_name = 'EUROPE'
+   GROUP BY l.l_partkey, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+),
+best AS (SELECT p_key, min(unit_cost) AS best_cost FROM ps GROUP BY p_key)
+SELECT ps.s_acctbal, ps.s_name, ps.n_name, p.p_partkey, p.p_type,
+       ps.s_suppkey, ps.unit_cost
+  FROM ps
+  JOIN best ON ps.p_key = best.p_key AND ps.unit_cost = best.best_cost
+  JOIN part p ON p.p_partkey = ps.p_key
+ WHERE p.p_size <= 25 AND p.p_type = 'LARGE'
+ ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+ LIMIT 100
+""",
+    description="TPC-H Q2-style minimum-cost supplier: corpus has no partsupp, "
+    "so supply cost is the observed min unit price (l_extendedprice/l_quantity "
+    "— single IEEE division, bit-deterministic) per (part, supplier) within "
+    "region EUROPE; window-min per part replaces the correlated subquery",
+)
+def tpch_q2_style(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 25) & (F.col("p_type") == "LARGE")
+    )
+    ps = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps.withColumn("best_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+                "s_suppkey", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9_style",
+    oracle="""
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+       - 0.1 * CAST(sum(CAST(p.p_retailprice * l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+       AS sum_profit
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+ WHERE p.p_name LIKE '%red%'
+ GROUP BY n.n_name, year(o.o_orderdate)
+""",
+    description="TPC-H Q9-style product-type profit by nation/year: corpus has "
+    "no ps_supplycost, so cost is proxied as 10% of p_retailprice*l_quantity; "
+    "two exact decimal sums combined with two mirrored IEEE double ops",
+)
+def tpch_q9_style(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cost = F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(_dec_sum(rev, 4).alias("_r"), _dec_sum(cost, 4).alias("_c"))
+        .select("nation", "o_year",
+                (F.col("_r") - 0.1 * F.col("_c")).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_style",
+    oracle="""
+WITH v AS (
+  SELECT l.l_partkey AS partkey,
+         sum(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(18,4))) AS val
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+   WHERE n.n_name = 'NATION_7'
+   GROUP BY l.l_partkey
+),
+t AS (SELECT sum(val) AS total FROM v)
+SELECT v.partkey, CAST(v.val AS DOUBLE) AS part_value
+  FROM v, t
+ WHERE v.val * 1000 > t.total
+""",
+    description="TPC-H Q11-style important stock: corpus has no partsupp, so "
+    "per-part value is shipped l_extendedprice*l_quantity from one nation's "
+    "suppliers; the >fraction-of-total HAVING is exact decimal (val*1000 > "
+    "total), scalar total via broadcast cross join",
+)
+def tpch_q11_style(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    val = (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)")
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(val).alias("val"))
+    )
+    t = v.agg(F.sum("val").alias("total"))
+    return (
+        v.join(F.broadcast(t))
+        .filter(F.col("val") * 1000 > F.col("total"))
+        .select("partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "tpch_q12_style",
+    oracle="""
+SELECT l.l_returnflag AS ship_class,
+       count(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END)
+         AS high_line_count,
+       count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END)
+         AS low_line_count
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+ WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+   AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+   AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+ GROUP BY l.l_returnflag
+""",
+    description="TPC-H Q12-style shipping priority counts: corpus has no "
+    "l_shipmode/l_receiptdate, so classes come from l_returnflag and 'late' "
+    "is shipped >30 days after order date; pure integer counts",
+)
+def tpch_q12_style(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+    )
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q15",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev
+    FROM lineitem
+   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+   GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+  FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+ WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+""",
+    description="TPC-H Q15 top supplier: quarterly revenue per supplier, "
+    "scalar-max subquery as a broadcast cross join; the equality compare "
+    "stays in exact DECIMAL until the final output cast",
+)
+def tpch_q15(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-04-01 00:00:00'"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev).alias("total_rev"))
+    )
+    mx = revenue.agg(F.max("total_rev").alias("mx"))
+    return (
+        s.join(revenue, s.s_suppkey == F.col("supplier_no"))
+        .join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name",
+                F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+@register(
+    "tpch_q17_style",
+    oracle="""
+WITH pq AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq, count(*) AS cnt
+    FROM lineitem GROUP BY l_partkey)
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN pq ON pq.l_partkey = l.l_partkey
+ WHERE p.p_brand = 'Brand#3'
+   AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pq.cnt < pq.sq
+""",
+    description="TPC-H Q17 small-quantity-order revenue: the correlated "
+    "0.2*avg(l_quantity) subquery is rewritten as the exact integer-scaled "
+    "decimal test qty*5*cnt < sum(qty) (no FP average crosses engines); "
+    "corpus has no p_container so the slice is p_brand alone",
+)
+def tpch_q17_style(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    # semi-filter lineitem to the brand's parts BEFORE the per-part stats:
+    # per-part aggregates are unchanged by dropping other parts' rows, and
+    # the shuffle shrinks to the slice
+    li_b = li.join(F.broadcast(p.select("p_partkey")),
+                   li.l_partkey == F.col("p_partkey"), "left_semi")
+    pq_stats = li_b.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li_b.join(pq_stats, li_b.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("cnt") < F.col("sq"))
+        .agg((_dec_sum(F.col("l_extendedprice"), 2) / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q20_style",
+    oracle="""
+SELECT s.s_name, s.s_acctbal
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+ WHERE n.n_name = 'NATION_3'
+   AND s.s_suppkey IN (
+     SELECT l.l_suppkey
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'blue%'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l.l_suppkey
+      HAVING sum(CAST(l.l_quantity AS DECIMAL(18,2))) > 100)
+""",
+    description="TPC-H Q20-style excess-stock suppliers: corpus has no "
+    "partsupp/availqty, so the inner test is 'shipped more than 100 units of "
+    "blue parts in 1996' (exact decimal HAVING) feeding a semi join",
+)
+def tpch_q20_style(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("blue%"))
+    big = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(big, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@register(
+    "tpch_q21_style",
+    oracle="""
+SELECT s.s_name, count(*) AS numwait
+  FROM lineitem l1
+  JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+  JOIN orders o ON o.o_orderkey = l1.l_orderkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+ WHERE o.o_orderstatus = 'F' AND n.n_name = 'NATION_1'
+   AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+   AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > l1.l_shipdate)
+ GROUP BY s.s_name
+""",
+    description="TPC-H Q21-style waiting suppliers: corpus has no "
+    "l_receiptdate/l_commitdate, so 'kept the order waiting' = this "
+    "supplier's line carries the strictly latest l_shipdate of a "
+    "multi-supplier finished order; EXISTS/NOT EXISTS become one left-semi "
+    "and one left-anti self-join on l_orderkey",
+)
+def tpch_q21_style(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(F.col("l_orderkey").alias("r_orderkey"),
+                   F.col("l_suppkey").alias("r_suppkey"),
+                   F.col("l_shipdate").alias("r_shipdate"))
+    waiting = (
+        l1.join(l2, (F.col("l_orderkey") == F.col("r_orderkey"))
+                & (F.col("l_suppkey") != F.col("r_suppkey")), "left_semi")
+        .join(l2, (F.col("l_orderkey") == F.col("r_orderkey"))
+                & (F.col("l_suppkey") != F.col("r_suppkey"))
+                & (F.col("r_shipdate") > F.col("l_shipdate")), "left_anti")
+    )
+    return (
+        waiting.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
