@@ -35,6 +35,21 @@ def token_count(text: Column) -> Column:
     return F.size(whitespace_tokens(text))
 
 
+def word_bigrams(tokens: Column) -> Column:
+    """Adjacent word-pair array over a token array; empty below two tokens.
+    The guard matters: Spark's ``sequence(1, 0)`` is a DESCENDING ``[1, 0]``,
+    not an empty range."""
+    return F.when(
+        F.size(tokens) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tokens, i), F.element_at(tokens, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def regex_token_count(text: Column) -> Column:
     """BPE-ish token count via the lexer regex."""
     return F.regexp_count(text, F.lit(TOKEN_REGEX))

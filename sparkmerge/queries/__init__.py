@@ -94,6 +94,8 @@ _VERIFY_FIRST = [
     # round-2 additions — never driver-checked
     "tpch_q2_style", "tpch_q9_style", "tpch_q11_style", "tpch_q12_style",
     "tpch_q15", "tpch_q17_style", "tpch_q20_style", "tpch_q21_style",
+    "text_repetition", "text_pii_scrub", "pipeline_sequence_pack",
+    "pipeline_quality_filter", "dedup_incremental",
 ]
 
 

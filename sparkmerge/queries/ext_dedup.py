@@ -271,3 +271,39 @@ def dedup_ngram_jaccard(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", "lang", threshold=0.6)
     return pairs.filter(F.col("a_id") % 20 == 0)
+
+
+# --- dedup_incremental: new batch vs existing corpus (ingestion-time dedup) ---
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+WITH batch AS (
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text || ' novel content' AS text
+    FROM documents WHERE doc_id % 11 = 0
+),
+corpus_key AS (SELECT DISTINCT text FROM documents)
+SELECT b.doc_id
+  FROM batch b ANTI JOIN corpus_key c ON b.text = c.text
+""",
+    description="incremental (ingestion-time) dedup: drop new-batch documents "
+    "whose content already exists in the corpus — the every-day shape of "
+    "training-data dedup (batch vs 100 TB corpus), one anti-join shuffle on "
+    "the content key; the batch here is a derived fixture of planted exact "
+    "copies (dropped) plus genuinely novel docs (kept)",
+)
+def dedup_incremental(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    copies = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    novel = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" novel content")).alias("text"),
+    )
+    batch = copies.unionByName(novel)
+    corpus_key = d.select("text").distinct()
+    return batch.join(corpus_key, "text", "left_anti").select("doc_id")

@@ -276,3 +276,208 @@ def text_ngram_profile(spark, sf_dir):
         .filter(F.col("rk") <= 5)
         .select("lang", "g", "n")
     )
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+stats AS (
+  SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+         CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1)
+           AS dup_word_frac
+    FROM base),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                               i -> w[i] || ' ' || w[i + 1])) AS g
+    FROM base),
+gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+top AS (SELECT doc_id, max(c) AS mc, sum(c) AS tot FROM gc GROUP BY doc_id)
+SELECT s.doc_id, s.n_tokens, s.dup_word_frac,
+       CAST(coalesce(t.mc, 0) AS DOUBLE) / greatest(coalesce(t.tot, 0), 1)
+         AS top_bigram_frac
+  FROM stats s LEFT JOIN top t ON s.doc_id = t.doc_id
+""",
+    description="Gopher-style within-document repetition signals: duplicate-"
+    "word fraction and most-frequent-bigram share — the filters that catch "
+    "boilerplate/spam before training; map-side shingling, one agg shuffle",
+)
+def text_repetition(spark, sf_dir):
+    from sparkmerge.ext.text import whitespace_tokens, word_bigrams
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", whitespace_tokens(F.lower(F.col("text"))).alias("w"))
+    stats = base.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        (
+            (F.size("w") - F.size(F.array_distinct("w"))).cast("double")
+            / F.greatest(F.size("w"), F.lit(1))
+        ).alias("dup_word_frac"),
+    )
+    grams = base.select("doc_id", F.explode(word_bigrams(F.col("w"))).alias("g"))
+    gc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    top = gc.groupBy("doc_id").agg(F.max("c").alias("mc"), F.sum("c").alias("tot"))
+    return stats.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "dup_word_frac",
+        (
+            F.coalesce(F.col("mc"), F.lit(0)).cast("double")
+            / F.greatest(F.coalesce(F.col("tot"), F.lit(0)), F.lit(1))
+        ).alias("top_bigram_frac"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+    FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_IP_RE}')) AS INT) AS n_ips,
+       regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_IP_RE}', '<IP>', 'g') AS scrubbed
+  FROM aug
+""",
+    description="PII redaction for training corpora: count + scrub emails and "
+    "IPv4s via mirrored regexes (the corpus has no PII, so a deterministic "
+    "per-doc payload is appended first — the scrub machinery is what's under "
+    "test); whole-stage-codegen regexp ops, no shuffle at all",
+)
+def text_pii_scrub(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    base = d.select("doc_id", aug.alias("t"))
+    return base.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_IP_RE), F.lit(0))).alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+        ).alias("scrubbed"),
+    )
+
+
+@register(
+    "pipeline_sequence_pack",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len({_TOKS_RAW}) AS BIGINT) AS n_tokens
+    FROM documents),
+c AS (
+  SELECT *,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS start_pos
+    FROM t)
+SELECT doc_id, shard, n_tokens,
+       CAST(start_pos // 2048 AS BIGINT) AS seq_id,
+       CAST(start_pos % 2048 AS BIGINT) AS seq_offset
+  FROM c
+""",
+    description="sequence packing for training: contiguous greedy layout of "
+    "documents into 2048-token context windows, sharded so the running total "
+    "parallelizes (each shard = one independent packing stream; shard count "
+    "is the scale knob — one window cumsum shuffle, no global ordering)",
+)
+def pipeline_sequence_pack(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from sparkmerge.ext.text import token_count
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("start_pos", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr("start_pos DIV 2048").alias("seq_id"),
+        (F.col("start_pos") % 2048).alias("seq_offset"),
+    )
+
+
+@register(
+    "pipeline_quality_filter",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         len({_TOKS_RAW}) AS n_tokens,
+         {_PR_SQL} AS pr,
+         len(list_filter({_TOKS}, t -> t IN ('the','and','of','to','in'))) AS n_stop,
+         length(replace(text, ' ', '')) AS n_alpha
+    FROM documents)
+SELECT doc_id,
+       n_tokens >= 10 AS pass_min_tokens,
+       n_tokens <= 5000 AS pass_max_tokens,
+       CAST(n_alpha AS DOUBLE) / greatest(n_tokens, 1) >= 2.0
+         AND CAST(n_alpha AS DOUBLE) / greatest(n_tokens, 1) <= 12.0
+         AS pass_word_len,
+       pr <= 0.2 AS pass_punct,
+       n_stop > 0 AS pass_stopwords,
+       (n_tokens >= 10 AND n_tokens <= 5000
+        AND CAST(n_alpha AS DOUBLE) / greatest(n_tokens, 1) >= 2.0
+        AND CAST(n_alpha AS DOUBLE) / greatest(n_tokens, 1) <= 12.0
+        AND pr <= 0.2 AND n_stop > 0) AS keep
+  FROM s
+""",
+    description="C4/Gopher-style per-rule quality gate with reasons: token-"
+    "count bounds, mean-word-length band, punctuation density, stopword "
+    "presence — each rule a boolean column so downstream can audit WHY a "
+    "document was dropped; pure map-side, shuffle-free",
+)
+def pipeline_quality_filter(spark, sf_dir):
+    from sparkmerge.ext.text import LANG_MARKERS, punct_ratio, stopword_ratio, token_count
+
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    s = d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        punct_ratio(t).alias("pr"),
+        stopword_ratio(t, LANG_MARKERS["en"]).alias("sr"),
+        F.length(F.regexp_replace(t, " ", "")).alias("n_alpha"),
+    )
+    mean_wl = F.col("n_alpha").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))
+    pass_min = F.col("n_tokens") >= 10
+    pass_max = F.col("n_tokens") <= 5000
+    pass_wl = (mean_wl >= 2.0) & (mean_wl <= 12.0)
+    pass_punct = F.col("pr") <= 0.2
+    pass_stop = F.col("sr") > 0.0
+    return s.select(
+        "doc_id",
+        pass_min.alias("pass_min_tokens"),
+        pass_max.alias("pass_max_tokens"),
+        pass_wl.alias("pass_word_len"),
+        pass_punct.alias("pass_punct"),
+        pass_stop.alias("pass_stopwords"),
+        (pass_min & pass_max & pass_wl & pass_punct & pass_stop).alias("keep"),
+    )
