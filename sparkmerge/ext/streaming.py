@@ -116,6 +116,44 @@ def watermark_tumbling_stream(
     return spark.table(name)
 
 
+def streaming_dedup(
+    spark: SparkSession, source_dir: str, *, watermark: str = "1 hour", timeout_s: int = 120
+) -> DataFrame:
+    """Streaming exact dedup: ``readStream`` → ``withWatermark`` →
+    ``dropDuplicatesWithinWatermark(key)`` → memory sink.  Each key is
+    emitted on first sight; re-deliveries within the watermark horizon are
+    suppressed by keyed state, and state is evicted once the watermark
+    passes (bounded memory at 100 TB/day — plain ``dropDuplicates`` on a
+    stream retains every key forever).  ``maxFilesPerTrigger=1`` forces one
+    micro-batch per input file so re-deliveries genuinely cross batch
+    boundaries."""
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        # watermarks require TIMESTAMP (with local tz); the corpus stores NTZ
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+        )
+    )
+    name = "sparkmerge_stream_dedup"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sm_dedup_ckpt_"))
+        .start()
+    )
+    _await_or_raise(q, timeout_s)
+    return spark.table(name)
+
+
 def incremental_rollup(
     spark: SparkSession,
     events_path: str,

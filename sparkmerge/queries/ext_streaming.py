@@ -138,6 +138,35 @@ def stream_merge_foreachbatch(spark, sf_dir):
 
 
 @register(
+    "stream_dedup_watermark",
+    oracle="""
+SELECT event_id, user_id, event_type, value, ts FROM events
+""",
+    description="streaming exact dedup: a doubled copy of the events files "
+    "(every row delivered twice, across micro-batch boundaries) runs through "
+    "readStream -> withWatermark -> dropDuplicatesWithinWatermark(event_id); "
+    "keyed state suppresses the re-delivery and is watermark-evicted "
+    "(bounded state at scale), so the sink equals the distinct event set",
+)
+def stream_dedup_watermark(spark, sf_dir):
+    import glob
+
+    from sparkmerge.ext.streaming import streaming_dedup
+
+    src = events_path(sf_dir)
+    doubled = tempfile.mkdtemp(prefix="sm_dedup_src_")
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "*.parquet")))):
+        shutil.copy(f, os.path.join(doubled, f"a{i}.parquet"))
+        shutil.copy(f, os.path.join(doubled, f"b{i}.parquet"))
+    try:
+        result = streaming_dedup(spark, doubled)
+        # materialize before the temp source dir is removed
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(doubled, ignore_errors=True)
+
+
+@register(
     "funnel_conversion",
     oracle="""
 WITH clicks AS (
