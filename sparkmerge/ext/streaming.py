@@ -154,6 +154,72 @@ def streaming_dedup(
     return spark.table(name)
 
 
+def stream_stream_join(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    window_minutes: int = 30,
+    watermark: str = "1 hour",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Watermarked stream-stream inner join: clicks joined to the purchases
+    that follow them within ``window_minutes`` — the online attribution shape.
+    Both sides carry watermarks and the join condition carries an explicit
+    event-time bound, so Spark can size the join state and evict expired rows
+    (unbounded state otherwise — the thing that kills a 100 TB/day stream).
+    Inner join + append mode emits exactly the batch join's pair set."""
+    schema = spark.read.parquet(source_dir).schema
+    base = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes * 60} SECONDS")
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
+    name = "sparkmerge_ss_join"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sm_ssj_ckpt_"))
+        .start()
+    )
+    _await_or_raise(q, timeout_s)
+    return spark.table(name)
+
+
 def incremental_rollup(
     spark: SparkSession,
     events_path: str,

@@ -96,6 +96,7 @@ _VERIFY_FIRST = [
     "tpch_q15", "tpch_q17_style", "tpch_q20_style", "tpch_q21_style",
     "text_repetition", "text_pii_scrub", "pipeline_sequence_pack",
     "pipeline_quality_filter", "dedup_incremental", "stream_dedup_watermark",
+    "stream_stream_join",
 ]
 
 

@@ -167,6 +167,28 @@ def stream_dedup_watermark(spark, sf_dir):
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       c.ts AS click_ts, p.ts AS purchase_ts
+  FROM events c
+  JOIN events p
+    ON p.user_id = c.user_id AND p.event_type = 'purchase'
+   AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+ WHERE c.event_type = 'click'
+""",
+    description="watermarked stream-stream inner join (online attribution): "
+    "clicks joined to purchases within 30 minutes, watermarks + an event-"
+    "time join bound let Spark evict expired join state (bounded memory at "
+    "scale); append mode emits exactly the batch join's pair set",
+)
+def stream_stream_join(spark, sf_dir):
+    from sparkmerge.ext.streaming import stream_stream_join as ssj
+
+    return ssj(spark, events_path(sf_dir))
+
+
+@register(
     "funnel_conversion",
     oracle="""
 WITH clicks AS (
