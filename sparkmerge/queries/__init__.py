@@ -65,38 +65,41 @@ def register(op_id: str, *, oracle: str | None = None, description: str = ""):
 # re-verifying ops that already have a green row; round-1-green ops follow.
 # Drop/trim this list as driver coverage accumulates.
 _VERIFY_FIRST = [
+    # Highest value if the driver caps the run again: the LLM-pipeline suite
+    # the round-1 verdict flagged as driver-unverified, plus the round-1
+    # `err: no_oracle` rows whose oracles were added this round.
+    # ext: dedup / similarity / text / pipeline
+    "dedup_exact", "dedup_minhash", "dedup_fuzzy", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_cluster_survivors", "dedup_incremental",
+    "topk_similarity", "ann_lsh", "ann_ivf", "dedup_embedding",
+    "text_stats", "text_tokens", "text_quality", "text_langid",
+    "text_fingerprint", "text_ngram_profile", "text_repetition",
+    "text_pii_scrub", "json_extract_props",
+    "sample_stratified", "pipeline_training_mix", "pipeline_sequence_pack",
+    "pipeline_quality_filter",
+    # multimodal
+    "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
+    "multimodal_resize", "multimodal_frame_sample",
+    # streaming
+    "window_tumbling", "window_sliding", "window_session",
+    "watermark_late_drop", "stream_stateful_counts", "stream_merge_foreachbatch",
+    "stream_dedup_watermark", "stream_stream_join",
+    "funnel_conversion", "rollup_incremental",
+    # round-1 `no_oracle` lifecycle rows
+    "lastupdate_prop", "debug_dry_run", "txn_commit_rollback",
+    "table_maintenance",
+    # analytics.py (TPC-H suite)
+    "tpch_q1", "tpch_q2_style", "tpch_q3", "tpch_q4_style", "tpch_q5",
+    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9_style", "tpch_q10",
+    "tpch_q11_style", "tpch_q12_style", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16_style", "tpch_q17_style", "tpch_q18", "tpch_q19_style",
+    "tpch_q20_style", "tpch_q21_style", "tpch_q22_style",
+    "agg_grouping_sets", "pivot_wide",
+    "agg_distinct", "agg_percentiles", "agg_approx", "subquery_scalar",
     # functions.py tail (after fn_window_rownum)
     "fn_setop_intersect", "fn_setop_unionall", "fn_setop_except",
     "fn_datetime_ops", "fn_window_frames", "fn_array_ops", "fn_struct_map_ops",
     "fn_regexp_ops", "fn_conditional_ops", "fn_math_ops",
-    "agg_distinct", "agg_percentiles", "agg_approx", "subquery_scalar",
-    # analytics.py
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
-    "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q18",
-    "tpch_q4_style", "tpch_q16_style", "tpch_q19_style", "tpch_q22_style",
-    "agg_grouping_sets", "pivot_wide",
-    # ext: dedup / similarity / text / multimodal / streaming
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_cluster_survivors",
-    "topk_similarity", "ann_lsh", "ann_ivf", "dedup_embedding",
-    "multimodal_array_sim",
-    "text_stats", "text_tokens", "text_quality", "text_langid",
-    "text_fingerprint", "json_extract_props", "sample_stratified",
-    "pipeline_training_mix", "text_ngram_profile",
-    "multimodal_columns", "multimodal_binary", "multimodal_resize",
-    "multimodal_frame_sample",
-    "window_tumbling", "window_sliding", "window_session",
-    "watermark_late_drop", "stream_stateful_counts", "stream_merge_foreachbatch",
-    "funnel_conversion", "rollup_incremental",
-    # round-1 `no_oracle` rows — oracles added in round 2, need a fresh check
-    "lastupdate_prop", "debug_dry_run", "txn_commit_rollback",
-    "table_maintenance", "dedup_fuzzy",
-    # round-2 additions — never driver-checked
-    "tpch_q2_style", "tpch_q9_style", "tpch_q11_style", "tpch_q12_style",
-    "tpch_q15", "tpch_q17_style", "tpch_q20_style", "tpch_q21_style",
-    "text_repetition", "text_pii_scrub", "pipeline_sequence_pack",
-    "pipeline_quality_filter", "dedup_incremental", "stream_dedup_watermark",
-    "stream_stream_join",
 ]
 
 
