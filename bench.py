@@ -40,6 +40,11 @@ HEADLINE = [
     "json_extract_props",
     "window_tumbling",
     "window_session",
+    "text_repetition",
+    "pipeline_sequence_pack",
+    "pipeline_quality_filter",
+    "tpch_q9_style",
+    "tpch_q21_style",
 ]
 
 TABLES = [

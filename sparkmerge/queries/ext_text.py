@@ -301,31 +301,51 @@ SELECT s.doc_id, s.n_tokens, s.dup_word_frac,
 """,
     description="Gopher-style within-document repetition signals: duplicate-"
     "word fraction and most-frequent-bigram share — the filters that catch "
-    "boilerplate/spam before training; map-side shingling, one agg shuffle",
+    "boilerplate/spam before training.  Entirely map-side: the top-bigram "
+    "count is the longest run in the SORTED bigram array (array_sort + one "
+    "run-length fold per row), so no explode, no shuffle, no join — the "
+    "oracle computes the same number the relational way (unnest + group + "
+    "max) and must agree",
 )
 def text_repetition(spark, sf_dir):
-    from sparkmerge.ext.text import whitespace_tokens, word_bigrams
+    from sparkmerge.ext.text import whitespace_tokens
 
     d = load(spark, sf_dir, "documents")
-    base = d.select("doc_id", whitespace_tokens(F.lower(F.col("text"))).alias("w"))
-    stats = base.select(
-        "doc_id",
-        F.size("w").alias("n_tokens"),
-        (
-            (F.size("w") - F.size(F.array_distinct("w"))).cast("double")
-            / F.greatest(F.size("w"), F.lit(1))
-        ).alias("dup_word_frac"),
+    w = whitespace_tokens(F.lower(F.col("text")))
+    # bigrams via zipped slices — the fold's lambda variables never reference
+    # the token-array expression, so CollapseProject cannot inline the split
+    # into a per-element re-evaluation (see sparkmerge-perf docs)
+    n1 = F.greatest(F.size(w) - 1, F.lit(0))
+    z = F.arrays_zip(F.slice(w, 1, n1).alias("a"), F.slice(w, 2, n1).alias("b"))
+    sorted_bg = F.array_sort(
+        F.transform(z, lambda p: F.concat_ws(" ", p["a"], p["b"]))
     )
-    grams = base.select("doc_id", F.explode(word_bigrams(F.col("w"))).alias("g"))
-    gc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-    top = gc.groupBy("doc_id").agg(F.max("c").alias("mc"), F.sum("c").alias("tot"))
-    return stats.join(top, "doc_id", "left").select(
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("mx"),
+        F.lit(0).cast("long").alias("tot"),
+    )
+
+    def step(a, x):
+        run = F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(a["mx"], run).alias("mx"),
+            (a["tot"] + 1).alias("tot"),
+        )
+
+    fold = F.aggregate(sorted_bg, acc0, step)
+    return d.select(
         "doc_id",
-        "n_tokens",
-        "dup_word_frac",
+        F.size(w).alias("n_tokens"),
         (
-            F.coalesce(F.col("mc"), F.lit(0)).cast("double")
-            / F.greatest(F.coalesce(F.col("tot"), F.lit(0)), F.lit(1))
+            (F.size(w) - F.size(F.array_distinct(w))).cast("double")
+            / F.greatest(F.size(w), F.lit(1))
+        ).alias("dup_word_frac"),
+        (
+            fold["mx"].cast("double") / F.greatest(fold["tot"], F.lit(1))
         ).alias("top_bigram_frac"),
     )
 
