@@ -76,7 +76,7 @@ _VERIFY_FIRST = [
     "text_fingerprint", "text_ngram_profile", "text_repetition",
     "text_pii_scrub", "json_extract_props",
     "sample_stratified", "pipeline_training_mix", "pipeline_sequence_pack",
-    "pipeline_quality_filter",
+    "pipeline_quality_filter", "pipeline_dataset_card", "dedup_embedding_clusters",
     # multimodal
     "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
     "multimodal_resize", "multimodal_frame_sample",

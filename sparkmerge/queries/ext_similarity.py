@@ -230,3 +230,60 @@ def multimodal_array_sim(spark, sf_dir):
     return emb.select(
         "vec_id", "label", cosine(e, e).alias("self_sim"), F.size(e).alias("dim")
     )
+
+
+@register(
+    "dedup_embedding_clusters",
+    oracle=f"""
+WITH RECURSIVE doubled AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, label,
+         embedding[1:{DIM - 1}] || [CAST(CAST(embedding[{DIM}] AS DOUBLE) + 0.1 AS FLOAT)]
+    FROM embeddings
+),
+prs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM doubled a JOIN doubled b ON a.label = b.label AND a.vec_id < b.vec_id
+   WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.99
+),
+edges AS (SELECT a_id AS u, b_id AS v FROM prs UNION SELECT b_id, a_id FROM prs),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+)
+SELECT node AS vec_id, min(r) AS survivor_id
+  FROM reach GROUP BY node
+HAVING min(r) <> node
+""",
+    description="semantic dedup decision record: connected components over the "
+    "embedding-cosine near-dup pair graph (LSH-bucketed candidates + exact "
+    "verify feeding iterative min-label propagation) + deterministic survivor "
+    "per cluster; the oracle recomputes exact components via recursive CTE "
+    "over the all-pairs twin",
+)
+def dedup_embedding_clusters(spark, sf_dir):
+    from sparkmerge.ext.dedup import dedup_survivors
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    perturbed = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.slice(e, 1, DIM - 1),
+            F.array((F.element_at(e, DIM).cast("double") + F.lit(0.1)).cast("float")),
+        ).alias("embedding"),
+    )
+    pairs = embedding_near_dup_pairs(
+        emb.unionByName(perturbed),
+        group_col="label",
+        threshold=0.99,
+        dim=DIM,
+        planes=10,
+        tables=16,
+    )
+    return dedup_survivors(pairs, max_iters=8).select(
+        F.col("doc_id").alias("vec_id"), "survivor_id"
+    )

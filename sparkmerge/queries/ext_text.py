@@ -501,3 +501,57 @@ def pipeline_quality_filter(spark, sf_dir):
         pass_stop.alias("pass_stopwords"),
         (pass_min & pass_max & pass_wl & pass_punct & pass_stop).alias("keep"),
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=f"""
+WITH s AS (
+  SELECT source, lang, text,
+         len({_TOKS_RAW}) AS n_tokens,
+         {_PR_SQL} AS pr
+    FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(n_tokens) AS INT) AS min_tokens,
+       CAST(max(n_tokens) AS INT) AS max_tokens,
+       count(DISTINCT text) AS n_unique_texts,
+       CAST(count(*) - count(DISTINCT text) AS DOUBLE) / count(*) AS exact_dup_rate,
+       count(CASE WHEN n_tokens >= 10 AND pr <= 0.2 THEN 1 END) AS n_quality_pass
+  FROM s GROUP BY source
+""",
+    description="dataset card: the per-source summary every corpus release "
+    "ships — doc/lang counts, token totals and bounds, exact-dup rate, "
+    "quality-pass counts; integer aggregates + single-division doubles only "
+    "(order-independent), one agg shuffle",
+)
+def pipeline_dataset_card(spark, sf_dir):
+    from sparkmerge.ext.text import punct_ratio, token_count
+
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    s = d.select(
+        "source", "lang", "text",
+        token_count(t).alias("n_tokens"),
+        punct_ratio(t).alias("pr"),
+    )
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.countDistinct("text").alias("n_unique_texts"),
+            (
+                (F.count(F.lit(1)) - F.countDistinct("text")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("exact_dup_rate"),
+            F.count(F.when((F.col("n_tokens") >= 10) & (F.col("pr") <= 0.2), 1)).alias(
+                "n_quality_pass"
+            ),
+        )
+    )
