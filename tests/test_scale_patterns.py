@@ -60,3 +60,14 @@ def test_approx_aggs_within_error_bounds(spark):
     assert abs(row.approx - row.exact) / row.exact < 0.05
     # approx_percentile returns a genuine data value near the true median
     assert abs(row.ap50 - row.p50) / row.p50 < 0.05
+
+
+def test_mapside_text_ops_have_no_shuffle(spark):
+    # these ops are advertised (SURVEY §2.D) as pure map-side — one scan,
+    # no Exchange of any kind; a regression that reintroduces an explode +
+    # groupBy would show up here before it shows up in a benchmark
+    reg = registry()
+    for op in ["text_repetition", "text_pii_scrub", "pipeline_quality_filter"]:
+        plan = plan_of(reg[op].fn(spark, SF_DIR))
+        assert "Exchange" not in plan, f"{op} must be shuffle-free:\n{plan}"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
