@@ -83,7 +83,7 @@ _VERIFY_FIRST = [
     # streaming
     "window_tumbling", "window_sliding", "window_session",
     "watermark_late_drop", "stream_stateful_counts", "stream_merge_foreachbatch",
-    "stream_dedup_watermark", "stream_stream_join",
+    "stream_dedup_watermark", "stream_stream_join", "stream_session_window",
     "funnel_conversion", "rollup_incremental",
     # round-1 `no_oracle` lifecycle rows
     "lastupdate_prop", "debug_dry_run", "txn_commit_rollback",

@@ -167,6 +167,36 @@ def stream_dedup_watermark(spark, sf_dir):
 
 
 @register(
+    "stream_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+    FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+  FROM sessions GROUP BY user_id, session_id
+""",
+    description="native streaming sessionization: F.session_window merges "
+    "per-user session state across micro-batches and closes sessions as the "
+    "watermark passes; the drained sink must equal the batch lag+cumsum "
+    "sessionization (same 30-min gap), which is what the oracle computes",
+)
+def stream_session_window(spark, sf_dir):
+    from sparkmerge.ext.streaming import streaming_session_windows
+
+    return streaming_session_windows(spark, events_path(sf_dir), gap_minutes=30)
+
+
+@register(
     "stream_stream_join",
     oracle="""
 SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
