@@ -85,9 +85,9 @@ _VERIFY_FIRST = [
     "watermark_late_drop", "stream_stateful_counts", "stream_merge_foreachbatch",
     "stream_dedup_watermark", "stream_stream_join", "stream_session_window",
     "funnel_conversion", "rollup_incremental",
-    # round-1 `no_oracle` lifecycle rows
+    # round-1 `no_oracle` lifecycle rows + round-2 CDC apply
     "lastupdate_prop", "debug_dry_run", "txn_commit_rollback",
-    "table_maintenance",
+    "table_maintenance", "merge_cdc_apply",
     # analytics.py (TPC-H suite)
     "tpch_q1", "tpch_q2_style", "tpch_q3", "tpch_q4_style", "tpch_q5",
     "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9_style", "tpch_q10",

@@ -347,3 +347,89 @@ def threshold_guard(spark, sf_dir):
         (changed * 100.0 / total_col).alias("variance_pct"),
         (changed * 100.0 / total_col <= 15.0).alias("within_threshold"),
     )
+
+
+# --- merge_cdc_apply: ordered I/U/D change-stream application (the inverse of
+# diff_versions: Debezium-shaped ingestion into a snapshot) ---
+
+_CDC_COLS = "o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+
+@register(
+    "merge_cdc_apply",
+    oracle=f"""
+WITH cdc AS (
+  SELECT o_orderkey, 'D' AS op, 2 AS seq, {_CDC_COLS}
+    FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, 'U', 1, o_custkey, o_orderstatus, o_totalprice + 0.5,
+         o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 5 = 1
+  UNION ALL
+  SELECT o_orderkey, 'U', 2, o_custkey, o_orderstatus, o_totalprice + 1.0,
+         o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 5 = 1
+  UNION ALL
+  SELECT o_orderkey + 3000000, 'I', 1, {_CDC_COLS}
+    FROM orders WHERE o_orderkey % 5 = 2
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      FROM cdc) t
+   WHERE rn = 1
+)
+SELECT coalesce(c.o_orderkey, t.o_orderkey) AS o_orderkey,
+       CASE WHEN c.op IS NULL THEN t.o_custkey ELSE c.o_custkey END AS o_custkey,
+       CASE WHEN c.op IS NULL THEN t.o_orderstatus ELSE c.o_orderstatus END AS o_orderstatus,
+       CASE WHEN c.op IS NULL THEN t.o_totalprice ELSE c.o_totalprice END AS o_totalprice,
+       CASE WHEN c.op IS NULL THEN t.o_orderdate ELSE c.o_orderdate END AS o_orderdate,
+       CASE WHEN c.op IS NULL THEN t.o_orderpriority ELSE c.o_orderpriority END AS o_orderpriority
+  FROM orders t FULL OUTER JOIN latest c ON t.o_orderkey = c.o_orderkey
+ WHERE c.op IS NULL OR c.op <> 'D'
+""",
+    description="CDC apply (the inverse of diff_versions): an ordered "
+    "Debezium-shaped I/U/D stream — including two competing updates for the "
+    "same key, where the highest sequence number must win — collapses to "
+    "latest-per-key (one window) and applies through one full-outer join; "
+    "same single-shuffle-pair shape as the merge engine itself",
+)
+def merge_cdc_apply(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    data = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+    def ev(filter_mod, op, seq, key=None, price=None):
+        df = o.filter(F.col("o_orderkey") % 5 == filter_mod)
+        cols = [
+            (key if key is not None else F.col("o_orderkey")).alias("o_orderkey"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("int").alias("seq"),
+        ]
+        for c in data:
+            if c == "o_totalprice" and price is not None:
+                cols.append(price.alias(c))
+            else:
+                cols.append(F.col(c))
+        return df.select(*cols)
+
+    cdc = (
+        ev(0, "D", 2)
+        .unionByName(ev(1, "U", 1, price=F.col("o_totalprice") + 0.5))
+        .unionByName(ev(1, "U", 2, price=F.col("o_totalprice") + 1.0))
+        .unionByName(ev(2, "I", 1, key=F.col("o_orderkey") + 3000000))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    latest = cdc.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    c = latest.select(
+        F.col("o_orderkey"),
+        F.col("op"),
+        *[F.col(x).alias(f"c_{x}") for x in data],
+    )
+    joined = o.join(c, "o_orderkey", "full_outer")
+    return joined.filter(F.col("op").isNull() | (F.col("op") != "D")).select(
+        "o_orderkey",
+        *[
+            F.when(F.col("op").isNull(), F.col(x)).otherwise(F.col(f"c_{x}")).alias(x)
+            for x in data
+        ],
+    )
