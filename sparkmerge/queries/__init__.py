@@ -87,7 +87,7 @@ _VERIFY_FIRST = [
     "funnel_conversion", "rollup_incremental",
     # round-1 `no_oracle` lifecycle rows + round-2 CDC apply
     "lastupdate_prop", "debug_dry_run", "txn_commit_rollback",
-    "table_maintenance", "merge_cdc_apply",
+    "table_maintenance", "merge_cdc_apply", "join_interval_overlap",
     # analytics.py (TPC-H suite)
     "tpch_q1", "tpch_q2_style", "tpch_q3", "tpch_q4_style", "tpch_q5",
     "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9_style", "tpch_q10",

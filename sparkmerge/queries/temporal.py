@@ -66,3 +66,91 @@ def join_range_binned(spark, sf_dir):
     return range_join_binned(
         e, key="user_id", time="ts", id_col="event_id", max_gap_us=3_600_000_000
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+    FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flagged
+),
+spans AS (
+  SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+    FROM sessions GROUP BY user_id, session_id
+),
+incidents AS (
+  SELECT DISTINCT time_bucket(INTERVAL '1 hour', ts) AS i_start,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL 2 HOUR AS i_end
+    FROM events
+   WHERE hour(time_bucket(INTERVAL '1 hour', ts)) % 6 = 0
+)
+SELECT s.user_id, s.session_id, s.s_start, i.i_start,
+       epoch_us(least(s.s_end, i.i_end)) - epoch_us(greatest(s.s_start, i.i_start))
+         AS overlap_us
+  FROM spans s JOIN incidents i
+    ON s.s_start < i.i_end AND i.i_start < s.s_end
+""",
+    description="interval-overlap join (sessions x 2-hour incident windows, "
+    "half-open semantics) via hour binning: each interval explodes into its "
+    "covered hour bins, pairs equi-join on the bin and dedupe, the exact "
+    "overlap predicate filters — bounded shuffle instead of the theta "
+    "nested-loop the oracle runs; overlap length in exact integer microseconds",
+)
+def join_interval_overlap(spark, sf_dir):
+    from sparkmerge.ext.streaming import session_windows
+
+    e = load(spark, sf_dir, "events")
+    spans = session_windows(e, gap_minutes=30).select(
+        "user_id", "session_id",
+        F.col("session_start").alias("s_start"),
+        F.col("session_end").alias("s_end"),
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    incidents = (
+        e.select(hour.alias("i_start"))
+        .filter(F.hour(F.col("i_start")) % 6 == 0)
+        .distinct()
+        .withColumn("i_end", F.col("i_start") + F.expr("INTERVAL 2 HOURS"))
+    )
+    s_bins = spans.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("s_start")),
+                F.date_trunc("hour", F.col("s_end")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    i_bins = incidents.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.col("i_start"),
+                F.col("i_start") + F.expr("INTERVAL 1 HOUR"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    pairs = (
+        s_bins.join(i_bins, "bin")
+        .drop("bin")
+        .distinct()
+        .filter((F.col("s_start") < F.col("i_end")) & (F.col("i_start") < F.col("s_end")))
+    )
+    ep = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    return pairs.select(
+        "user_id", "session_id", "s_start", "i_start",
+        (
+            F.least(ep("s_end"), ep("i_end")) - F.greatest(ep("s_start"), ep("i_start"))
+        ).alias("overlap_us"),
+    )
