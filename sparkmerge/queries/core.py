@@ -433,3 +433,114 @@ def merge_cdc_apply(spark, sf_dir):
             for x in data
         ],
     )
+
+
+# --- merge_scd2: type-2 slowly-changing-dimension history merge.  The
+# reference's matched-branch (sp_SimpleMerge.sql:272-309) overwrites in
+# place; the SCD2 variant instead closes the superseded version and appends
+# the new one — the standard warehouse shape for dimension history.  Same
+# single full-outer-join core; the two output branches (close / current) are
+# projections of that one joined frame, so the whole op is one shuffle pair
+# plus a map-side union. ---
+
+_SCD2_DATA = "c_name, c_nationkey, c_acctbal, c_mktsegment"
+
+
+@register(
+    "merge_scd2",
+    oracle=f"""
+WITH src AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 10.0 AS c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 7 = 3
+  UNION ALL
+  SELECT c_custkey + 1000000, {_SCD2_DATA}
+    FROM customer WHERE c_custkey % 13 = 0
+),
+j AS (
+  SELECT t.c_custkey AS t_key, s.c_custkey AS s_key,
+         t.c_name AS t_name, t.c_nationkey AS t_nationkey,
+         t.c_acctbal AS t_acctbal, t.c_mktsegment AS t_mktsegment,
+         s.c_name AS s_name, s.c_nationkey AS s_nationkey,
+         s.c_acctbal AS s_acctbal, s.c_mktsegment AS s_mktsegment
+    FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+),
+closed AS (
+  SELECT t_key AS c_custkey, t_name AS c_name, t_nationkey AS c_nationkey,
+         t_acctbal AS c_acctbal, t_mktsegment AS c_mktsegment,
+         TIMESTAMP '2024-01-01 00:00:00' AS valid_from, TIMESTAMP '2024-06-01 00:00:00' AS valid_to,
+         FALSE AS is_current
+    FROM j
+   WHERE t_key IS NOT NULL AND s_key IS NOT NULL
+     AND (t_acctbal IS DISTINCT FROM s_acctbal
+          OR t_name IS DISTINCT FROM s_name
+          OR t_nationkey IS DISTINCT FROM s_nationkey
+          OR t_mktsegment IS DISTINCT FROM s_mktsegment)
+),
+current AS (
+  SELECT coalesce(s_key, t_key) AS c_custkey,
+         CASE WHEN s_key IS NULL THEN t_name ELSE s_name END AS c_name,
+         CASE WHEN s_key IS NULL THEN t_nationkey ELSE s_nationkey END AS c_nationkey,
+         CASE WHEN s_key IS NULL THEN t_acctbal ELSE s_acctbal END AS c_acctbal,
+         CASE WHEN s_key IS NULL THEN t_mktsegment ELSE s_mktsegment END AS c_mktsegment,
+         CASE WHEN s_key IS NOT NULL
+                   AND (t_key IS NULL
+                        OR t_acctbal IS DISTINCT FROM s_acctbal
+                        OR t_name IS DISTINCT FROM s_name
+                        OR t_nationkey IS DISTINCT FROM s_nationkey
+                        OR t_mktsegment IS DISTINCT FROM s_mktsegment)
+              THEN TIMESTAMP '2024-06-01 00:00:00' ELSE TIMESTAMP '2024-01-01 00:00:00' END AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to,
+         TRUE AS is_current
+    FROM j
+)
+SELECT * FROM closed UNION ALL SELECT * FROM current
+""",
+    description="SCD type-2 history merge: changed keys close the old version "
+    "(valid_to = load date) and append a new current one; new keys insert; "
+    "unmatched targets stay open — one full-outer join, both output branches "
+    "projected from the same joined frame (one shuffle pair + map-side union)",
+)
+def merge_scd2(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    data = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    base, loadd = F.lit("2024-01-01").cast("timestamp"), F.lit("2024-06-01").cast("timestamp")
+
+    changed_src = c.filter(F.col("c_custkey") % 7 == 3).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 10.0
+    )
+    new_src = c.filter(F.col("c_custkey") % 13 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    src = changed_src.unionByName(new_src)
+
+    t = c.select(F.col("c_custkey").alias("t_key"), *[F.col(x).alias(f"t_{x}") for x in data])
+    s = src.select(F.col("c_custkey").alias("s_key"), *[F.col(x).alias(f"s_{x}") for x in data])
+    j = t.join(s, t.t_key == s.s_key, "full_outer")
+
+    differs = None
+    for x in data:
+        d = ~F.col(f"t_{x}").eqNullSafe(F.col(f"s_{x}"))
+        differs = d if differs is None else (differs | d)
+    matched = F.col("t_key").isNotNull() & F.col("s_key").isNotNull()
+
+    closed = j.filter(matched & differs).select(
+        F.col("t_key").alias("c_custkey"),
+        *[F.col(f"t_{x}").alias(x) for x in data],
+        base.alias("valid_from"),
+        loadd.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    takes_source = F.col("s_key").isNotNull() & (F.col("t_key").isNull() | differs)
+    current = j.select(
+        F.coalesce(F.col("s_key"), F.col("t_key")).alias("c_custkey"),
+        *[
+            F.when(F.col("s_key").isNull(), F.col(f"t_{x}"))
+            .otherwise(F.col(f"s_{x}"))
+            .alias(x)
+            for x in data
+        ],
+        F.when(takes_source, loadd).otherwise(base).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(current)

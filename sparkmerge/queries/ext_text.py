@@ -555,3 +555,51 @@ def pipeline_dataset_card(spark, sf_dir):
             ),
         )
     )
+
+
+# --- text_decontaminate: benchmark n-gram overlap (training-set hygiene) ---
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+ng AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> array_to_string(t[i:i+2], ' ')))) AS g
+    FROM toks
+),
+bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 97 = 0)
+SELECT n.doc_id, count(*) AS n_hit_ngrams
+  FROM ng n JOIN bench b ON n.g = b.g
+ WHERE n.doc_id % 97 <> 0
+ GROUP BY n.doc_id
+""",
+    description="benchmark decontamination: corpus docs sharing any token "
+    "3-gram with the (broadcast) benchmark set are flagged with their overlap "
+    "count — the standard eval-leakage sweep before training; benchmark "
+    "n-gram set stays map-side (broadcast), one aggregation shuffle total",
+)
+def text_decontaminate(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.array_join(F.slice(toks, i, 3), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng = d.select("doc_id", F.explode(grams).alias("g"))
+    bench = ng.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    corpus = ng.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
