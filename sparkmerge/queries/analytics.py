@@ -951,3 +951,40 @@ def tpch_q21_style(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "agg_outlier_rank",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type, event_id, value, CAST(rn AS INT) AS rn
+  FROM ranked
+ WHERE rn <= CAST(ceil(n * 0.01) AS BIGINT)
+""",
+    description="rank-based outlier detection: the top 1% of values per "
+    "event_type via a deterministic row_number (value desc, event_id "
+    "tiebreak) — distribution-free (no mean/stddev FP accumulation), one "
+    "window shuffle on the group key; at 100 TB the same plan holds because "
+    "percentile-by-rank only needs the per-key sort the window already does",
+)
+def agg_outlier_rank(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") <= F.ceil(F.col("n") * 0.01).cast("long")
+    ).select("event_type", "event_id", "value", F.col("rn").cast("int").alias("rn"))

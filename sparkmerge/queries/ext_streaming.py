@@ -289,3 +289,41 @@ def rollup_incremental(spark, sf_dir):
         return spark.createDataFrame(rows, table.read(spark).schema)
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+@register(
+    "window_retention_cohort",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST((epoch(date_trunc('week', e.ts)) - epoch(f.cohort_week)) / 604800 AS INT)
+         AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active_users
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+ GROUP BY 1, 2
+""",
+    description="cohort retention matrix: users bucketed by first-seen week, "
+    "activity counted per week offset — the product-analytics retention "
+    "shape; per-user min-ts aggregate, key-co-partitioned join back on "
+    "user_id, one distinct-count aggregate (both joins shuffle on the same "
+    "key, so AQE can reuse the exchange)",
+)
+def window_retention_cohort(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    joined = e.join(first_seen, "user_id")
+    offset = (
+        (
+            F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+            - F.unix_timestamp(F.col("cohort_week"))
+        )
+        / 604800
+    ).cast("int")
+    return (
+        joined.groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )

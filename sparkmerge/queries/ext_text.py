@@ -603,3 +603,59 @@ def text_decontaminate(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit_ngrams"))
     )
+
+
+# --- pipeline_domain_mix: per-source token accounting + epoch (repeat) plan ---
+
+
+@register(
+    "pipeline_domain_mix",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKS_RAW})) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY source
+),
+planned AS (
+  SELECT *,
+         least(4, greatest(1, CAST(ceil(
+           (sum(total_tokens) OVER () / 20.0) / total_tokens) AS BIGINT)))
+           AS epochs
+    FROM per_src
+)
+SELECT source, n_docs, total_tokens, epochs,
+       epochs * total_tokens AS effective_tokens
+  FROM planned
+""",
+    description="training-mix planning: per-domain token accounting plus a "
+    "repeat-epochs plan toward a uniform per-domain budget (underrepresented "
+    "domains repeat up to 4x, the standard data-mixture lever) — one "
+    "aggregation shuffle; the cross-domain total is a window over the tiny "
+    "per-domain aggregate, never over the corpus",
+)
+def pipeline_domain_mix(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+    )
+    total_all = F.sum("total_tokens").over(
+        Window.partitionBy()
+    )
+    epochs = F.least(
+        F.lit(4).cast("long"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil((total_all / 20.0) / F.col("total_tokens")).cast("long"),
+        ),
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        epochs.alias("epochs"),
+        (epochs * F.col("total_tokens")).alias("effective_tokens"),
+    )

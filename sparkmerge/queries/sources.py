@@ -118,3 +118,39 @@ def sink_partitioned_parquet(spark, sf_dir):
 
 # dedup_fuzzy moved to queries/ext_dedup.py (it is the MinHash pipeline and
 # now shares its generated DuckDB oracle).
+
+
+@register(
+    "sink_jsonl_shards",
+    oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+  FROM documents GROUP BY lang
+""",
+    description="training-export sink: documents written as lang-partitioned "
+    "JSON-lines shards (the hand-off format for tokenizer pipelines) and "
+    "read back through the JSON source with an explicit schema — the "
+    "readback aggregate must reproduce the source corpus exactly; "
+    "partitionBy keeps each language its own shard directory so downstream "
+    "consumers prune by path",
+)
+def sink_jsonl_shards(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sparkmerge_jsonl_")
+    try:
+        docs = load(spark, sf_dir, "documents")
+        docs.select("doc_id", "text", "lang").write.mode("overwrite").partitionBy(
+            "lang"
+        ).json(out)
+        back = spark.read.schema("doc_id bigint, text string, lang string").json(out)
+        result = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        return spark.createDataFrame(
+            result.collect(), "lang string, n_docs bigint, total_chars bigint"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
