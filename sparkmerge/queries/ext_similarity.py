@@ -287,3 +287,39 @@ def dedup_embedding_clusters(spark, sf_dir):
     return dedup_survivors(pairs, max_iters=8).select(
         F.col("doc_id").alias("vec_id"), "survivor_id"
     )
+
+
+# --- embedding_quantize: int8 symmetric quantization (ANN/runtime memory
+# lever: 4x smaller vectors; the dequant scale travels with the row) ---
+
+
+@register(
+    "embedding_quantize",
+    oracle=f"""
+WITH amaxed AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+    FROM embeddings
+)
+SELECT vec_id, amax,
+       list_transform(embedding, x -> CAST(floor(
+         CAST(x AS DOUBLE) * (CASE WHEN amax = 0 THEN 0.0 ELSE 127.0 / amax END)
+         + 0.5) AS INT)) AS q
+  FROM amaxed
+""",
+    description="int8 symmetric vector quantization: per-vector absolute max "
+    "-> scale 127/amax -> floor(x*scale + 0.5) (explicit half-up — round() "
+    "half-even vs half-away differs between engines, floor(+0.5) does not); "
+    "pure map-side array math, zero shuffles, the compression pass before "
+    "shipping vectors to an ANN index",
+)
+def embedding_quantize(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    amax = F.array_max(F.transform(e, lambda x: F.abs(x.cast("double"))))
+    # materialize amax behind the Generate-free projection ONCE; inlining it
+    # into the transform lambda would re-scan the array per element (O(d^2))
+    amaxed = emb.select("vec_id", "embedding", amax.alias("amax"))
+    scale = F.when(F.col("amax") == 0, F.lit(0.0)).otherwise(127.0 / F.col("amax"))
+    q = F.transform(e, lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"))
+    return amaxed.select("vec_id", "amax", q.alias("q"))

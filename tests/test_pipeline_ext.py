@@ -82,3 +82,43 @@ def test_dedup_incremental_set_identity(spark):
         r.doc_id + 20000 for r in docs.filter(F.col("doc_id") % 11 == 0).collect()
     }
     assert surviving == novel_expected
+
+
+def test_scd2_version_chain_invariants(spark):
+    rows = _run(spark, "merge_scd2").collect()
+    assert rows
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.c_custkey, []).append(r)
+    for key, versions in by_key.items():
+        current = [r for r in versions if r.is_current]
+        closed = [r for r in versions if not r.is_current]
+        # exactly one open version per key; closed versions end where the
+        # current one begins (contiguous history, no gap or overlap)
+        assert len(current) == 1, key
+        assert current[0].valid_to is None, key
+        for c in closed:
+            assert c.valid_to == current[0].valid_from, key
+        if key % 7 == 3 and key <= 1000000:
+            assert len(closed) == 1, key  # changed keys carry their history
+        else:
+            assert not closed, key
+
+
+def test_decontaminate_flags_only_nonbenchmark_docs(spark):
+    rows = _run(spark, "text_decontaminate").collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % 97 != 0, "benchmark doc flagged against itself"
+        assert r.n_hit_ngrams >= 1
+
+
+def test_outlier_rank_is_top_fraction(spark):
+    rows = _run(spark, "agg_outlier_rank").collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, flagged in by_type.items():
+        ranks = sorted(r.rn for r in flagged)
+        assert ranks == list(range(1, len(ranks) + 1)), t  # a prefix of the ranking
