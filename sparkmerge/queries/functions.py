@@ -504,3 +504,61 @@ def fn_math_ops(spark, sf_dir):
         F.pow((k % 10).cast("double"), F.lit(2.0)).alias("sq"),
         (k % 7).cast("bigint").alias("mod7"),
     )
+
+
+@register(
+    "fn_bitwise_ops",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS band,
+       o_orderkey | 4096 AS bor,
+       xor(o_orderkey, 1431655765) AS bxor,
+       o_orderkey << 2 AS shl,
+       o_orderkey >> 3 AS shr,
+       bit_count(o_orderkey) AS popcount
+  FROM orders
+""",
+    description="bitwise scalar surface: and/or/xor, shifts, population "
+    "count — the primitives the SimHash/banding machinery builds on, here "
+    "exposed as first-class scalar ops (map-side, codegen'd)",
+)
+def fn_bitwise_ops(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(1431655765)).alias("bxor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).cast("bigint").alias("popcount"),
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+SELECT c_nationkey, c_mktsegment AS mode_segment FROM (
+  SELECT c_nationkey, c_mktsegment,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY count(*) DESC, c_mktsegment) AS rn
+    FROM customer GROUP BY c_nationkey, c_mktsegment) t
+ WHERE rn = 1
+""",
+    description="per-group mode (most frequent value, ties -> lexicographic "
+    "min): two-level aggregate — count per (group, value) then a rank window "
+    "over the tiny per-group distinct set; never materializes a per-group "
+    "value list, so it holds at any group cardinality",
+)
+def agg_mode(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    c = load(spark, sf_dir, "customer")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("n"), "c_mktsegment")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", F.col("c_mktsegment").alias("mode_segment"))
+    )

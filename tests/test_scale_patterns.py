@@ -71,3 +71,40 @@ def test_mapside_text_ops_have_no_shuffle(spark):
         plan = plan_of(reg[op].fn(spark, SF_DIR))
         assert "Exchange" not in plan, f"{op} must be shuffle-free:\n{plan}"
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    reg = registry()
+    df = reg["text_decontaminate"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    # the benchmark n-gram set must reach the corpus as a broadcast — a
+    # shuffled join here would re-shuffle the full exploded corpus n-gram
+    # stream at 100 TB
+    assert "BroadcastHashJoin" in plan, plan
+    # one aggregation shuffle (doc_id groupBy) is the only exchange allowed
+    exchanges = plan.replace("BroadcastExchange", "").count("Exchange")
+    assert exchanges <= 2, f"too many shuffles:\n{plan}"  # partial+final pair
+
+
+def test_embedding_quantize_is_map_side_only(spark):
+    reg = registry()
+    df = reg["embedding_quantize"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, f"quantization must not shuffle:\n{plan}"
+    # amax must be projected BELOW the quantization lambda, not inlined into
+    # it (inlining re-scans the array per element: O(d^2) per row)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    floor_lines = [ln for ln in opt.splitlines() if "FLOOR" in ln]
+    assert floor_lines and all("array_max" not in ln for ln in floor_lines), opt
+
+
+def test_scd2_is_one_shuffle_pair_plus_union(spark):
+    reg = registry()
+    df = reg["merge_scd2"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    # both output branches must reuse ONE full-outer join; a second join
+    # would double the shuffle volume
+    assert plan.count("SortMergeJoin FullOuter") + plan.count(
+        "ShuffledHashJoin FullOuter"
+    ) <= 2, plan
+    assert "Union" in plan, plan
