@@ -585,7 +585,17 @@ SELECT n.doc_id, count(*) AS n_hit_ngrams
 )
 def text_decontaminate(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    # name the token array in its own projection: inlining the split into the
+    # slice lambda below would re-tokenize the document once per n-gram
+    # (O(tokens^2)) — the Project directly under Generate is a barrier
+    # Catalyst keeps, so `toks` is evaluated once per row
+    tokd = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "").alias(
+            "toks"
+        ),
+    )
+    toks = F.col("toks")
     grams = F.when(
         F.size(toks) >= 3,
         F.array_distinct(
@@ -595,7 +605,7 @@ def text_decontaminate(spark, sf_dir):
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ng = d.select("doc_id", F.explode(grams).alias("g"))
+    ng = tokd.select("doc_id", F.explode(grams).alias("g"))
     bench = ng.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
     corpus = ng.filter(F.col("doc_id") % 97 != 0)
     return (
