@@ -41,6 +41,7 @@ from sparkmerge.merge import (
     MergeResult,
     diff_versions,
     merge_partitioned,
+    scd2_merge,
     simple_merge,
 )
 
@@ -58,6 +59,7 @@ __all__ = [
     "build_changeset",
     "diff_versions",
     "merge_partitioned",
+    "scd2_merge",
     "simple_merge",
 ]
 

@@ -488,3 +488,55 @@ def foreachbatch_merge_replay(
         latest = batch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
         simple_merge(spark, table, latest, key, delete="NO")
     return table
+
+
+def scd2_foreachbatch_stream(
+    spark: SparkSession,
+    src_dir: str,
+    table_path: str,
+    *,
+    key: str,
+    batch_load_ts: list[str],
+    timeout_s: int = 180,
+) -> SnapshotTable:
+    """Streaming SCD2 sink: ``readStream`` over extract files →
+    ``writeStream.foreachBatch`` applying :func:`sparkmerge.merge.scd2_merge`
+    into a versioned SnapshotTable.  Each micro-batch (one file, ordered by
+    pinned mtime) is one dimension load stamped with ``batch_load_ts[i]`` —
+    re-changed keys accumulate version chains exactly as sequential batch
+    loads would (`merge_scd2_multibatch` is the oracle-checked replay twin).
+    History grows by at most |batch| closed rows per load; state lives in the
+    table, not in stream memory, so the sink is bounded at any corpus size."""
+    from sparkmerge.merge import scd2_merge
+
+    src_schema = spark.read.parquet(src_dir).schema
+    empty_hist = (
+        spark.read.parquet(src_dir)
+        .limit(0)
+        .select(
+            "*",
+            F.lit(None).cast("timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    table = SnapshotTable.create(spark, table_path, empty_hist)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        hist = table.read(spark)
+        load_ts = F.lit(batch_load_ts[int(batch_id)]).cast("timestamp")
+        new_hist = scd2_merge(hist, batch_df, key, load_ts=load_ts)
+        v = table.stage(new_hist)
+        table.commit(v)
+
+    q = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sm_scd2_ckpt_"))
+        .start()
+    )
+    _await_or_raise(q, timeout_s)
+    return table

@@ -33,7 +33,7 @@ from dataclasses import dataclass
 from datetime import datetime, timezone
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from sparkmerge.changeset import (
@@ -498,3 +498,81 @@ def simple_merge(
     finally:
         if pin_changeset:
             cs.df.unpersist()
+
+
+def scd2_merge(
+    target_df: DataFrame,
+    source_df: DataFrame,
+    join_columns: str | list[str],
+    *,
+    load_ts: Column,
+    compare_cols: list[str] | None = None,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: return the new full history.
+
+    ``target_df`` is a history table carrying ``valid_from/valid_to/
+    is_current``; ``source_df`` is a plain extract (no history columns).
+    Closed historical rows pass through untouched; only current rows
+    participate in matching.  A matched-and-changed key closes its current
+    row (``valid_to = load_ts``) and appends a fresh current one; an
+    unmatched source key inserts; an unmatched current target row stays
+    open.  The reference's matched-branch (sp_SimpleMerge.sql:272-309)
+    overwrites in place — this is the history-preserving variant of the
+    same single full-outer-join dataflow: both output branches project from
+    ONE joined frame, so the op is one shuffle pair plus a map-side union
+    regardless of history depth.
+    """
+    keys = [join_columns] if isinstance(join_columns, str) else list(join_columns)
+    hist_cols = [valid_from_col, valid_to_col, current_col]
+    data = [c for c in source_df.columns if c not in keys]
+    cmp_cols = compare_cols if compare_cols is not None else data
+    out_cols = [*keys, *data, *hist_cols]
+
+    closed_hist = target_df.filter(~F.col(current_col)).select(*out_cols)
+    cur = target_df.filter(F.col(current_col))
+
+    t = cur.select(
+        *[F.col(k).alias(f"_t_{k}") for k in keys],
+        *[F.col(c).alias(f"_t_{c}") for c in data],
+        F.col(valid_from_col).alias("_t_from"),
+    )
+    s = source_df.select(
+        *[F.col(k).alias(f"_s_{k}") for k in keys],
+        *[F.col(c).alias(f"_s_{c}") for c in data],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"_t_{k}").eqNullSafe(F.col(f"_s_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = t.join(s, cond, "full_outer")
+
+    t_present = F.col(f"_t_{keys[0]}").isNotNull()
+    s_present = F.col(f"_s_{keys[0]}").isNotNull()
+    differs = None
+    for c in cmp_cols:
+        d = ~F.col(f"_t_{c}").eqNullSafe(F.col(f"_s_{c}"))
+        differs = d if differs is None else (differs | d)
+    changed = t_present & s_present & differs
+
+    closed_now = j.filter(changed).select(
+        *[F.col(f"_t_{k}").alias(k) for k in keys],
+        *[F.col(f"_t_{c}").alias(c) for c in data],
+        F.col("_t_from").alias(valid_from_col),
+        load_ts.alias(valid_to_col),
+        F.lit(False).alias(current_col),
+    )
+    takes_source = s_present & (~t_present | differs)
+    current_out = j.select(
+        *[F.coalesce(F.col(f"_s_{k}"), F.col(f"_t_{k}")).alias(k) for k in keys],
+        *[
+            F.when(s_present, F.col(f"_s_{c}")).otherwise(F.col(f"_t_{c}")).alias(c)
+            for c in data
+        ],
+        F.when(takes_source, load_ts).otherwise(F.col("_t_from")).alias(valid_from_col),
+        F.lit(None).cast("timestamp").alias(valid_to_col),
+        F.lit(True).alias(current_col),
+    )
+    return closed_hist.unionByName(closed_now).unionByName(current_out)

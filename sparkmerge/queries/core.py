@@ -501,46 +501,111 @@ SELECT * FROM closed UNION ALL SELECT * FROM current
     "projected from the same joined frame (one shuffle pair + map-side union)",
 )
 def merge_scd2(spark, sf_dir):
+    from sparkmerge.merge import scd2_merge
+
     c = load(spark, sf_dir, "customer")
-    data = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
     base, loadd = F.lit("2024-01-01").cast("timestamp"), F.lit("2024-06-01").cast("timestamp")
 
+    target = c.select(
+        "*",
+        base.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
     changed_src = c.filter(F.col("c_custkey") % 7 == 3).withColumn(
         "c_acctbal", F.col("c_acctbal") + 10.0
     )
     new_src = c.filter(F.col("c_custkey") % 13 == 0).withColumn(
         "c_custkey", F.col("c_custkey") + 1000000
     )
-    src = changed_src.unionByName(new_src)
-
-    t = c.select(F.col("c_custkey").alias("t_key"), *[F.col(x).alias(f"t_{x}") for x in data])
-    s = src.select(F.col("c_custkey").alias("s_key"), *[F.col(x).alias(f"s_{x}") for x in data])
-    j = t.join(s, t.t_key == s.s_key, "full_outer")
-
-    differs = None
-    for x in data:
-        d = ~F.col(f"t_{x}").eqNullSafe(F.col(f"s_{x}"))
-        differs = d if differs is None else (differs | d)
-    matched = F.col("t_key").isNotNull() & F.col("s_key").isNotNull()
-
-    closed = j.filter(matched & differs).select(
-        F.col("t_key").alias("c_custkey"),
-        *[F.col(f"t_{x}").alias(x) for x in data],
-        base.alias("valid_from"),
-        loadd.alias("valid_to"),
-        F.lit(False).alias("is_current"),
+    return scd2_merge(
+        target, changed_src.unionByName(new_src), "c_custkey", load_ts=loadd
     )
-    takes_source = F.col("s_key").isNotNull() & (F.col("t_key").isNull() | differs)
-    current = j.select(
-        F.coalesce(F.col("s_key"), F.col("t_key")).alias("c_custkey"),
-        *[
-            F.when(F.col("s_key").isNull(), F.col(f"t_{x}"))
-            .otherwise(F.col(f"s_{x}"))
-            .alias(x)
-            for x in data
-        ],
-        F.when(takes_source, loadd).otherwise(base).alias("valid_from"),
+
+
+# --- merge_scd2_multibatch: sequential SCD2 loads building 3-deep history ---
+
+_SCD2_COLS = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
+_SCD2_DIFF = """(t.c_acctbal IS DISTINCT FROM s.c_acctbal
+       OR t.c_name IS DISTINCT FROM s.c_name
+       OR t.c_nationkey IS DISTINCT FROM s.c_nationkey
+       OR t.c_mktsegment IS DISTINCT FROM s.c_mktsegment)"""
+
+
+def _scd2_apply_sql(h: str, s: str, ts: str) -> str:
+    """One DuckDB SCD2 application step: history ``h`` + extract ``s`` →
+    new history (mirror of sparkmerge.merge.scd2_merge)."""
+    return f"""
+  SELECT {_SCD2_COLS}, valid_from, valid_to, is_current FROM {h} WHERE NOT is_current
+  UNION ALL
+  SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment,
+         t.valid_from, TIMESTAMP '{ts}', FALSE
+    FROM (SELECT * FROM {h} WHERE is_current) t JOIN {s} s ON t.c_custkey = s.c_custkey
+   WHERE {_SCD2_DIFF}
+  UNION ALL
+  SELECT coalesce(s.c_custkey, t.c_custkey),
+         CASE WHEN s.c_custkey IS NULL THEN t.c_name ELSE s.c_name END,
+         CASE WHEN s.c_custkey IS NULL THEN t.c_nationkey ELSE s.c_nationkey END,
+         CASE WHEN s.c_custkey IS NULL THEN t.c_acctbal ELSE s.c_acctbal END,
+         CASE WHEN s.c_custkey IS NULL THEN t.c_mktsegment ELSE s.c_mktsegment END,
+         CASE WHEN s.c_custkey IS NOT NULL AND (t.c_custkey IS NULL OR {_SCD2_DIFF})
+              THEN TIMESTAMP '{ts}' ELSE t.valid_from END,
+         CAST(NULL AS TIMESTAMP), TRUE
+    FROM (SELECT * FROM {h} WHERE is_current) t
+         FULL OUTER JOIN {s} s ON t.c_custkey = s.c_custkey
+"""
+
+
+@register(
+    "merge_scd2_multibatch",
+    oracle=f"""
+WITH h0 AS (
+  SELECT {_SCD2_COLS}, TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM customer
+),
+s1 AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 10.0 AS c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 7 = 3
+),
+h1 AS ({_scd2_apply_sql('h0', 's1', '2024-02-01 00:00:00')}),
+s2 AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 20.0 AS c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 14 = 3
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 13 = 0
+)
+{_scd2_apply_sql('h1', 's2', '2024-03-01 00:00:00')}
+""",
+    description="SCD2 under sequential loads (the foreachBatch shape): load 1 "
+    "changes keys %7=3, load 2 re-changes the %14=3 subset and inserts new "
+    "keys — re-changed keys must carry a 3-deep version chain with contiguous "
+    "validity; each application is the same one-join scd2_merge dataflow, so "
+    "N batches = N shuffle pairs, independent of history depth",
+)
+def merge_scd2_multibatch(spark, sf_dir):
+    from sparkmerge.merge import scd2_merge
+
+    c = load(spark, sf_dir, "customer")
+    t0 = F.lit("2024-01-01").cast("timestamp")
+    h0 = c.select(
+        "*",
+        t0.alias("valid_from"),
         F.lit(None).cast("timestamp").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
-    return closed.unionByName(current)
+    s1 = c.filter(F.col("c_custkey") % 7 == 3).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 10.0
+    )
+    h1 = scd2_merge(h0, s1, "c_custkey", load_ts=F.lit("2024-02-01").cast("timestamp"))
+    s2 = (
+        c.filter(F.col("c_custkey") % 14 == 3)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 20.0)
+        .unionByName(
+            c.filter(F.col("c_custkey") % 13 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + 1000000
+            )
+        )
+    )
+    return scd2_merge(h1, s2, "c_custkey", load_ts=F.lit("2024-03-01").cast("timestamp"))

@@ -229,3 +229,49 @@ def test_connected_components_chain_and_clique(spark):
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     surv = {(r.doc_id, r.survivor_id) for r in dedup_survivors(pairs).collect()}
     assert surv == {(2, 1), (3, 1), (4, 1), (11, 10), (12, 10), (21, 20)}
+
+
+def test_scd2_stream_equals_batch_replay(spark, tmp_path):
+    """Streaming SCD2 (foreachBatch over ordered extract files) ≡ two
+    sequential scd2_merge batch applications."""
+    import os as _os
+
+    from sparkmerge.ext.streaming import scd2_foreachbatch_stream
+    from sparkmerge.merge import scd2_merge
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    s1 = c.filter(F.col("c_custkey") % 7 == 3).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 10.0
+    )
+    s2 = c.filter(F.col("c_custkey") % 14 == 3).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 20.0
+    )
+    src = str(tmp_path / "scd2_loads")
+    _os.makedirs(src)
+    s1.coalesce(1).write.parquet(str(tmp_path / "b0"))
+    s2.coalesce(1).write.parquet(str(tmp_path / "b1"))
+    for i, d in enumerate(["b0", "b1"]):
+        part = next(
+            p for p in _os.listdir(str(tmp_path / d)) if p.endswith(".parquet")
+        )
+        dst = _os.path.join(src, f"load{i}.parquet")
+        _os.rename(_os.path.join(str(tmp_path / d), part), dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stamps = ["2024-02-01 00:00:00", "2024-03-01 00:00:00"]
+    table = scd2_foreachbatch_stream(
+        spark, src, str(tmp_path / "dim"), key="c_custkey", batch_load_ts=stamps
+    )
+    streamed = table.read(spark)
+
+    empty_hist = c.limit(0).select(
+        "*",
+        F.lit(None).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    h1 = scd2_merge(empty_hist, s1, "c_custkey", load_ts=F.lit(stamps[0]).cast("timestamp"))
+    h2 = scd2_merge(h1, s2, "c_custkey", load_ts=F.lit(stamps[1]).cast("timestamp"))
+    expected = h2.select(*streamed.columns)
+    assert streamed.exceptAll(expected).count() == 0
+    assert expected.exceptAll(streamed).count() == 0
