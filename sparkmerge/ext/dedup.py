@@ -428,3 +428,75 @@ def ngram_jaccard_pairs(
         .select("a_id", "b_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, group_col: str, *, threshold: float
+) -> DataFrame:
+    """Exact token-set CONTAINMENT join (doc-in-doc detection): emit
+    ``(a_id, b_id, containment)`` where ``C(A,B) = |A∩B| / |A| ≥ t`` —
+    the asymmetric cousin of :func:`ngram_jaccard_pairs` that catches a
+    document quoted or embedded inside a larger one (Jaccard misses those:
+    a small doc inside a big one has low |A∩B|/|A∪B| but containment 1).
+
+    Prefix rule (asymmetric): order tokens rarest-first; ``C(A,B) ≥ t``
+    means A misses at most ``⌊(1−t)·|A|⌋`` of its tokens from B, so among
+    the first ``⌊(1−t)·|A|⌋ + 1`` rarest tokens of A at least one is in B.
+    Only the PROBE side (A) is prefix-truncated; the indexed side (B) must
+    carry all its tokens because a shared token can sit anywhere in B's
+    order.  Candidates = equi-join (group, token) of A-prefixes against
+    B-full — recall is exact, so the all-pairs DuckDB oracle hash-matches —
+    plus the length filter ``|B| ≥ t·|A|`` (implied by C ≥ t since
+    |A∩B| ≤ |B|).  Scale shape mirrors ngram_jaccard_pairs: frequency agg,
+    prefix assembly, one candidate equi-join, two id-joins to verify —
+    every shuffle bounded by token-bucket sizes, nothing Θ(block²)."""
+    base = _spread(df.select(id_col, group_col, text_col)).select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        token_set(F.col(text_col)).alias("_toks"),
+    )
+    toks = base.select("_id", "_grp", F.explode("_toks").alias("_tok"))
+    freq = toks.groupBy("_grp", "_tok").agg(F.count(F.lit(1)).alias("_f"))
+    ordered = (
+        toks.join(freq, ["_grp", "_tok"])
+        .groupBy("_id", "_grp")
+        .agg(F.array_sort(F.collect_list(F.struct("_f", "_tok"))).alias("_ord"))
+    )
+    n = F.size("_ord")
+    # ⌊(1−t)·n⌋ + 1 == n − ⌈t·n⌉ + 1; epsilon only ever lengthens the prefix
+    prefix_len = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)).cast("int") + 1
+    probe = base.join(ordered, ["_id", "_grp"]).select(
+        "_id",
+        "_grp",
+        n.alias("_n"),
+        F.explode(
+            F.transform(F.slice("_ord", F.lit(1), prefix_len), lambda s: s["_tok"])
+        ).alias("_tok"),
+    )
+    a = probe.select("_grp", "_tok", F.col("_id").alias("a_id"), F.col("_n").alias("_an"))
+    b = toks.select(
+        F.col("_grp"), F.col("_tok"), F.col("_id").alias("b_id")
+    ).join(
+        base.select(F.col("_id").alias("b_id"), F.size("_toks").alias("_bn")), "b_id"
+    )
+    cands = (
+        a.join(b, ["_grp", "_tok"])
+        .filter(
+            (F.col("a_id") != F.col("b_id"))
+            & (F.col("_bn").cast("double") >= F.lit(threshold) * F.col("_an").cast("double"))
+        )
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    a_toks = base.select(F.col("_id").alias("a_id"), F.col("_toks").alias("_a_toks"))
+    b_toks = base.select(F.col("_id").alias("b_id"), F.col("_toks").alias("_b_toks"))
+    cont = (
+        F.size(F.array_intersect(F.col("_a_toks"), F.col("_b_toks"))).cast("double")
+        / F.size("_a_toks").cast("double")
+    )
+    return (
+        cands.join(a_toks, "a_id")
+        .join(b_toks, "b_id")
+        .select("a_id", "b_id", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

@@ -275,3 +275,22 @@ def test_scd2_stream_equals_batch_replay(spark, tmp_path):
     expected = h2.select(*streamed.columns)
     assert streamed.exceptAll(expected).count() == 0
     assert expected.exceptAll(streamed).count() == 0
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    from sparkmerge.ext.dedup import containment_pairs, ngram_jaccard_pairs
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"tok{i}" for i in range(45))
+    df = spark.createDataFrame(
+        [(1, small, "en"), (2, big, "en"), (3, "unrelated words here entirely", "en")],
+        "doc_id long, text string, lang string",
+    )
+    cont = containment_pairs(df, "doc_id", "text", "lang", threshold=0.9)
+    got = {(r.a_id, r.b_id): r.containment for r in cont.collect()}
+    assert got.get((1, 2)) == 1.0  # the small doc is fully inside the big one
+    assert (3, 2) not in got and (3, 1) not in got
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", "lang", threshold=0.9)
+    assert not [
+        r for r in jac.collect() if {r.a_id, r.b_id} == {1, 2}
+    ]  # symmetric Jaccard structurally misses it (5/50 = 0.1)
