@@ -988,3 +988,64 @@ def agg_outlier_rank(spark, sf_dir):
     return ranked.filter(
         F.col("rn") <= F.ceil(F.col("n") * 0.01).cast("long")
     ).select("event_type", "event_id", "value", F.col("rn").cast("int").alias("rn"))
+
+
+@register(
+    "agg_skew_profile",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS distinct_keys, CAST(sum(n) AS BIGINT) AS total_rows
+    FROM counts
+)
+SELECT user_id, n,
+       CAST(n * distinct_keys AS DOUBLE) / CAST(total_rows AS DOUBLE) AS skew_factor
+  FROM counts, totals
+ ORDER BY n DESC, user_id
+ LIMIT 10
+""",
+    description="join-key skew diagnostics: the top hot keys with their "
+    "frequency and skew factor (count / mean count) — the profile that "
+    "decides whether a join needs salting or AQE skew splitting; per-key agg "
+    "+ global sort-limit (distributed top-k, no single-partition window), "
+    "totals broadcast from a 1-row aggregate",
+)
+def agg_skew_profile(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("distinct_keys"), F.sum("n").alias("total_rows")
+    )
+    top = counts.orderBy(F.desc("n"), "user_id").limit(10)
+    return top.crossJoin(F.broadcast(totals)).select(
+        "user_id",
+        "n",
+        (
+            (F.col("n") * F.col("distinct_keys")).cast("double")
+            / F.col("total_rows").cast("double")
+        ).alias("skew_factor"),
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bucket,
+       CAST(floor(o_totalprice / 20000.0) AS BIGINT) * 20000.0 AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+""",
+    description="fixed-width histogram (distribution profiling before "
+    "choosing partition bounds / salt ranges): map-side bucket assignment + "
+    "one aggregation shuffle on ~dozens of bucket keys",
+)
+def agg_histogram(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 20000.0).cast("bigint")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "bucket", (F.col("bucket") * 20000.0).alias("bucket_lo"), "n"
+    )

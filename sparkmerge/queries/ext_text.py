@@ -669,3 +669,36 @@ def pipeline_domain_mix(spark, sf_dir):
         epochs.alias("epochs"),
         (epochs * F.col("total_tokens")).alias("effective_tokens"),
     )
+
+
+# --- pipeline_shard_shuffle: deterministic global shuffle into training shards ---
+
+
+@register(
+    "pipeline_shard_shuffle",
+    oracle="""
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS INT) AS pos
+  FROM (
+    SELECT doc_id,
+           CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) % 64 AS shard,
+           CAST((doc_id * 40503) % 65536 AS BIGINT) AS hkey
+      FROM documents)
+""",
+    description="deterministic global shuffle for training order: every doc "
+    "lands in one of 64 shards via a multiplicative hash and gets a "
+    "reproducible position from a second independent hash — no RNG, no "
+    "single-partition global sort (positions are per-shard windows, 64-way "
+    "parallel); re-running yields byte-identical training order",
+)
+def pipeline_shard_shuffle(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    shard = (((F.col("doc_id") * 2654435761) % 4294967296).cast("bigint") % 64)
+    hkey = ((F.col("doc_id") * 40503) % 65536).cast("bigint")
+    based = d.select("doc_id", shard.alias("shard"), hkey.alias("hkey"))
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return based.select(
+        "doc_id", "shard", F.row_number().over(w).cast("int").alias("pos")
+    )

@@ -154,3 +154,50 @@ def join_interval_overlap(spark, sf_dir):
             F.least(ep("s_end"), ep("i_end")) - F.greatest(ep("s_start"), ep("i_start"))
         ).alias("overlap_us"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+    FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts,
+       CASE WHEN o.o_orderdate >= e.ts - INTERVAL 7 DAY
+            THEN o.last_orderkey END AS last_orderkey,
+       CASE WHEN o.o_orderdate >= e.ts - INTERVAL 7 DAY
+            THEN o.o_orderdate END AS matched_ts
+  FROM events e ASOF LEFT JOIN r o
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+    description="as-of join with a staleness tolerance (the feature-store "
+    "point-in-time lookup: a feature older than the window is no feature): "
+    "same single-shuffle union + carry-forward as join_asof — the matched "
+    "right timestamp rides in the carried payload and a map-side mask nulls "
+    "matches older than 7 days; no second join, no theta join",
+)
+def join_asof_tolerance(spark, sf_dir):
+    from sparkmerge.ext.temporal import asof_join
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    joined = asof_join(
+        events,
+        orders,
+        key=("user_id", "o_custkey"),
+        time=("ts", "o_orderdate"),
+        right_payload=["last_orderkey", "o_orderdate"],
+    )
+    fresh = F.col("o_orderdate") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("last_orderkey")).alias("last_orderkey"),
+        F.when(fresh, F.col("o_orderdate")).alias("matched_ts"),
+    )
