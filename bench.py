@@ -45,6 +45,11 @@ HEADLINE = [
     "pipeline_quality_filter",
     "tpch_q9_style",
     "tpch_q21_style",
+    # set-similarity joins: Spark runs prefix-filtered candidate generation,
+    # the DuckDB oracle runs the quadratic all-pairs formulation — identical
+    # output, and the algorithmic win is the point of the engine at scale
+    "dedup_ngram_jaccard",
+    "dedup_containment",
 ]
 
 TABLES = [

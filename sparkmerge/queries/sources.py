@@ -154,3 +154,49 @@ def sink_jsonl_shards(spark, sf_dir):
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "json_parse_quarantine",
+    oracle="""
+WITH fed AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 10 = 0 THEN 'x' || props ELSE props END AS props
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) FILTER (json_valid(props)) AS BIGINT) AS n_valid,
+       CAST(count(*) FILTER (NOT json_valid(props)) AS BIGINT) AS n_quarantined,
+       min(CASE WHEN NOT json_valid(props) THEN event_id END) AS first_quarantined_id
+  FROM fed GROUP BY event_type
+""",
+    description="ingestion quarantine: malformed JSON payloads (a deterministic "
+    "10% of the feed is corrupted in-fixture) are captured via "
+    "columnNameOfCorruptRecord instead of silently nulling — the "
+    "route-don't-drop pattern any production feed needs; single parse per "
+    "row, one aggregation shuffle",
+)
+def json_parse_quarantine(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    fed = e.select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 10 == 0, F.concat(F.lit("x"), F.col("props"))
+        ).otherwise(F.col("props")).alias("props"),
+    )
+    parsed = fed.select(
+        "event_id",
+        "event_type",
+        F.from_json(
+            "props",
+            "k INT, _corrupt STRING",
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("p"),
+    )
+    bad = F.col("p._corrupt").isNotNull()
+    return parsed.groupBy("event_type").agg(
+        F.count(F.when(~bad, 1)).alias("n_valid"),
+        F.count(F.when(bad, 1)).alias("n_quarantined"),
+        F.min(F.when(bad, F.col("event_id"))).alias("first_quarantined_id"),
+    )
