@@ -1049,3 +1049,34 @@ def agg_histogram(spark, sf_dir):
     ).select(
         "bucket", (F.col("bucket") * 20000.0).alias("bucket_lo"), "n"
     )
+
+
+@register(
+    "pivot_unpivot",
+    oracle="""
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS F,
+         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS O,
+         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, status, n
+  FROM wide UNPIVOT (n FOR status IN (F, O, P))
+""",
+    description="unpivot (melt): the wide pivot flattened back to long form "
+    "via the native UNPIVOT operator (Spark melt/stack = map-side 1-row-to-N "
+    "expansion, no shuffle beyond the pivot's own aggregate); round-trips "
+    "pivot_wide's output exactly",
+)
+def pivot_unpivot(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["F", "O", "P"], "status", "n"
+    )
