@@ -68,3 +68,48 @@ def test_merge_invariants_hold_for_random_tables(spark, pair):
     kept = merge_preview(target, source, "k", delete="NO")
     unmatched = target.join(source, target.k.eqNullSafe(source.k), "left_anti")
     assert _same(kept, source.unionByName(unmatched))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_pair())
+def test_scd2_history_invariants_hold_for_any_extract(spark, pair):
+    """For ANY (initial dim, extract) pair: exactly one current row per key,
+    closed rows end exactly where a successor begins, and the current image
+    equals the plain-merge (keep-unmatched) result on data columns."""
+    from sparkmerge.merge import scd2_merge
+
+    tgt_rows, src_rows = _dedupe(pair[0]), _dedupe(pair[1])
+    # SCD2 keys identify dimension members — NULL keys are a badKey concern,
+    # not an SCD2 one; drop them (null-safe matching is covered above)
+    tgt_rows = [(k, v) for k, v in tgt_rows if k is not None]
+    src_rows = [(k, v) for k, v in src_rows if k is not None]
+    target = spark.createDataFrame(tgt_rows, "k int, v int").select(
+        "*",
+        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    source = spark.createDataFrame(src_rows, "k int, v int")
+    load_ts = F.lit("2024-06-01").cast("timestamp")
+    hist = scd2_merge(target, source, "k", load_ts=load_ts).collect()
+
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append(r)
+    tgt_map, src_map = dict(tgt_rows), dict(src_rows)
+    for k, versions in by_key.items():
+        current = [r for r in versions if r.is_current]
+        closed = [r for r in versions if not r.is_current]
+        assert len(current) == 1 and current[0].valid_to is None
+        for c in closed:
+            assert c.valid_to == current[0].valid_from
+        # current image: source wins when present, else the open target row
+        expect = src_map.get(k, tgt_map.get(k))
+        assert current[0].v == expect, (k, current[0].v, expect)
+        # a closed version exists iff the key existed and actually changed
+        should_close = k in tgt_map and k in src_map and tgt_map[k] != src_map[k]
+        assert bool(closed) == should_close, (k, closed)
