@@ -562,3 +562,34 @@ def agg_mode(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("c_nationkey", F.col("c_mktsegment").alias("mode_segment"))
     )
+
+
+@register(
+    "fn_try_cast_ops",
+    oracle="""
+SELECT o_orderkey,
+       try_cast(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS roundtrip_int,
+       try_cast(o_orderpriority AS BIGINT) AS bad_int,
+       try_cast(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS roundtrip_double,
+       try_cast(o_orderpriority AS DATE) AS bad_date,
+       try_cast(strftime(o_orderdate, '%Y-%m-%d') AS DATE) IS NOT NULL AS good_date
+  FROM orders
+""",
+    description="error-tolerant cast surface (TRY_CAST): malformed values "
+    "become NULL instead of failing the job — the ingestion-hardening "
+    "primitive (a single bad row must not kill a 100 TB load); map-side, "
+    "codegen'd (decimal-string→int excluded: DuckDB rounds, Spark nulls — "
+    "engines disagree, so the op pins the portable subset)",
+)
+def fn_try_cast_ops(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("try_cast(CAST(o_orderkey AS STRING) AS BIGINT)").alias("roundtrip_int"),
+        F.expr("try_cast(o_orderpriority AS BIGINT)").alias("bad_int"),
+        F.expr("try_cast(CAST(o_totalprice AS STRING) AS DOUBLE)").alias("roundtrip_double"),
+        F.expr("try_cast(o_orderpriority AS DATE)").alias("bad_date"),
+        F.expr("try_cast(date_format(o_orderdate, 'yyyy-MM-dd') AS DATE)")
+        .isNotNull()
+        .alias("good_date"),
+    )

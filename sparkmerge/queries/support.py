@@ -350,3 +350,39 @@ def join_salted_skew(spark, sf_dir):
     return li.join(
         o, (li.l_orderkey == o.o_orderkey) & (li._salt == o._salt)
     ).select("l_orderkey", "l_linenumber", "o_orderstatus")
+
+
+@register(
+    "join_fuzzy_name",
+    oracle="""
+SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey <> b.c_custkey
+ WHERE a.c_custkey % 50 = 0
+   AND levenshtein(a.c_name, b.c_name) <= 3
+""",
+    description="fuzzy entity matching: sampled probe customers joined to "
+    "same-nation candidates within Levenshtein distance 3 — the "
+    "entity-resolution shape; the edit distance only ever runs inside the "
+    "blocking key (nation) against a bounded probe set, never all-pairs "
+    "across the corpus",
+)
+def join_fuzzy_name(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") % 50 == 0).select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("a_nat"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        F.col("c_nationkey").alias("b_nat"),
+    )
+    dist = F.levenshtein(F.col("a_name"), F.col("b_name"))
+    return (
+        a.join(b, (F.col("a_nat") == F.col("b_nat")) & (F.col("a_key") != F.col("b_key")))
+        .filter(dist <= 3)
+        .select("a_key", "b_key", dist.cast("int").alias("dist"))
+    )
