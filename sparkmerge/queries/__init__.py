@@ -33,6 +33,7 @@ _MODULES = [
     "sparkmerge.queries.ext_text",
     "sparkmerge.queries.ext_multimodal",
     "sparkmerge.queries.ext_streaming",
+    "sparkmerge.queries.ext_corpus",
 ]
 
 

@@ -1,0 +1,225 @@
+"""[EXT] corpus-hygiene operators: segment-level dedup, per-source budgets,
+corpus-LM scoring, URL parsing (SURVEY.md §2.D additions, round 2).
+
+These extend the training-data pipeline surface with the remaining standard
+web-corpus preparation passes (CCNet/RefinedWeb-style line dedup, per-domain
+token budgets, unigram-LM rarity scoring).  All native-function dataflows —
+no Python UDFs; every op carries a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkmerge.queries import load, register
+
+_WS = r"\s+"
+_TOKS = f"list_filter(string_split_regex(lower(text), '{_WS}'), x -> x <> '')"
+
+# segment width (tokens) and corpus-occurrence threshold for line dedup
+_SEG_W = 4
+_SEG_DUP = 3
+
+
+@register(
+    "text_line_dedup",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+base AS (
+  SELECT doc_id, CAST((len(t) + {_SEG_W - 1}) // {_SEG_W} AS INT) AS n_segments, t
+    FROM toks),
+segj AS (SELECT doc_id, t, unnest(generate_series(0, n_segments - 1)) AS j FROM base),
+seg AS (
+  SELECT doc_id, CAST(j AS INT) AS pos,
+         array_to_string(t[j * {_SEG_W} + 1 : j * {_SEG_W} + {_SEG_W}], ' ') AS seg
+    FROM segj),
+dup AS (SELECT seg FROM seg GROUP BY seg HAVING count(*) >= {_SEG_DUP}),
+kept AS (SELECT s.* FROM seg s ANTI JOIN dup d USING (seg)),
+re AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+         string_agg(seg, ' ' ORDER BY pos) AS cleaned_text
+    FROM kept GROUP BY doc_id)
+SELECT b.doc_id, b.n_segments,
+       CAST(coalesce(r.n_kept, 0) AS INT) AS n_kept,
+       coalesce(r.cleaned_text, '') AS cleaned_text
+  FROM base b LEFT JOIN re r USING (doc_id)
+""",
+    description="CCNet/RefinedWeb-style corpus-level line dedup: documents are "
+    "segmented into fixed 4-token 'lines', segments occurring >=3 times "
+    "ANYWHERE in the corpus (boilerplate) are removed from every document, "
+    "and the survivors are reassembled in order.  The duplicate-segment set "
+    "is tiny relative to the corpus, so the removal join is a BROADCAST "
+    "anti-join — two shuffles total (segment count, reassembly) regardless "
+    "of corpus size",
+)
+def text_line_dedup(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    # own projection so Generate sits on a barrier (no per-element re-split)
+    tokd = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.col("text")), _WS), lambda x: x != "").alias("toks"),
+    )
+    toks = F.col("toks")
+    nseg = F.ceil(F.size(toks) / _SEG_W).cast("int")
+    base = tokd.select("doc_id", nseg.alias("n_segments"), toks.alias("toks"))
+    segs = F.when(
+        F.col("n_segments") >= 1,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_segments") - 1),
+            lambda j: F.array_join(F.slice(F.col("toks"), j * _SEG_W + 1, _SEG_W), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    seg = base.select("doc_id", F.posexplode(segs).alias("pos", "seg"))
+    dup = (
+        seg.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= _SEG_DUP)
+        .select("seg")
+    )
+    kept = seg.join(F.broadcast(dup), "seg", "left_anti")
+    re = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        base.select("doc_id", "n_segments")
+        .join(re, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+@register(
+    "pipeline_source_cap",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+    FROM documents),
+c AS (
+  SELECT *,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+    FROM t)
+SELECT doc_id, source, n_tokens, cum_tokens
+  FROM c
+ WHERE cum_tokens <= 2000
+""",
+    description="per-domain token budget: within each source, keep documents "
+    "(longest first, doc_id tiebreak) while the running token total stays "
+    "under budget — the standard over-represented-domain cap in training "
+    "mixes.  One window shuffle keyed by source; no global sort",
+)
+def pipeline_source_cap(spark, sf_dir):
+    from sparkmerge.ext.text import whitespace_tokens
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(whitespace_tokens(F.lower(F.col("text")))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return c.filter(F.col("cum_tokens") <= 2000)
+
+
+@register(
+    "text_lm_score",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+j AS (SELECT t.doc_id, f.f FROM tok t JOIN freq f USING (w))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(f) AS BIGINT) AS sum_tok_freq,
+       CAST(min(f) AS BIGINT) AS min_tok_freq,
+       CAST(sum(f) AS DOUBLE) / count(*) AS avg_tok_freq
+  FROM j GROUP BY doc_id
+""",
+    description="corpus-unigram-LM scoring: build the corpus unigram frequency "
+    "table, score each document by total/min/mean token frequency — the "
+    "cheap LM-rarity signal quality filters threshold on (rare-token-heavy "
+    "docs are OCR noise; common-token-only docs are boilerplate).  Exact "
+    "integer aggregates + ONE IEEE division, so bit-deterministic; vocab "
+    "table is corpus-small and the join key is the token",
+)
+def text_lm_score(spark, sf_dir):
+    from sparkmerge.ext.text import whitespace_tokens
+
+    d = load(spark, sf_dir, "documents")
+    tokd = d.select(
+        "doc_id", whitespace_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    tok = tokd.select("doc_id", F.explode("toks").alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    j = tok.join(freq, "w")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("f").cast("bigint").alias("sum_tok_freq"),
+        F.min("f").cast("bigint").alias("min_tok_freq"),
+        (F.sum("f").cast("double") / F.count(F.lit(1))).alias("avg_tok_freq"),
+    )
+
+
+@register(
+    "fn_url_ops",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+           || '?lang=' || lang || '&p=' || CAST(doc_id % 7 AS VARCHAR)
+           || '#s1' AS url
+    FROM documents)
+SELECT doc_id,
+       regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?([^#]*)', 1) AS query,
+       regexp_extract(url, '[?&]p=([^&#]*)', 1) AS p_param,
+       regexp_extract(url, '#(.*)$', 1) AS fragment
+  FROM u
+""",
+    description="URL decomposition for web-corpus pipelines (host-level dedup, "
+    "domain mixing, tracking-param stripping): Spark's native parse_url "
+    "(java.net.URI, codegen'd) vs a regexp oracle — protocol, host, path, "
+    "query, single query param, fragment.  Pure map-side",
+)
+def fn_url_ops(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&p="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("#s1"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.expr("parse_url(url, 'PROTOCOL')").alias("proto"),
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY')").alias("query"),
+        F.expr("parse_url(url, 'QUERY', 'p')").alias("p_param"),
+        F.expr("parse_url(url, 'REF')").alias("fragment"),
+    )
