@@ -157,6 +157,20 @@ def _scope_split(target_df: DataFrame, target_filter: str | None) -> tuple[DataF
     return in_scope, out_scope
 
 
+def evolve_target_schema(target_df: DataFrame, source_schema) -> DataFrame:
+    """Schema evolution: append source-only columns to the target as typed
+    NULLs, so the reference's source ⊆ target rule (sp_SimpleMerge.sql:200-201)
+    passes and pre-existing target rows read back NULL for the new columns —
+    the Delta-Lake ``mergeSchema`` behavior, behind an explicit opt-in.
+    Column additions only; a source column whose name exists in the target
+    keeps the target's type (normal cast rules apply downstream)."""
+    existing = set(target_df.columns)
+    for f in source_schema.fields:
+        if f.name not in existing:
+            target_df = target_df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return target_df
+
+
 def merge_preview(
     target_df: DataFrame,
     source_df: DataFrame,
@@ -166,11 +180,14 @@ def merge_preview(
     target_filter: str | None = None,
     bad_key: bool = False,
     bad_key_order: list[str] | None = None,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """Pure-DataFrame merge: the final target state as a lazy plan, no
     storage involved.  This is the engine's composable form — usable on any
     two relations (and inside ``foreachBatch`` for streaming upserts); the
     SnapshotTable path in ``simple_merge`` adds transactionality on top."""
+    if schema_evolution:
+        target_df = evolve_target_schema(target_df, source_df.schema)
     in_scope, out_scope = _scope_split(target_df, target_filter)
     cs = build_changeset(in_scope, source_df, join_columns, delete=delete,
                          bad_key=bad_key, bad_key_order=bad_key_order)
@@ -400,15 +417,21 @@ def simple_merge(
     audit_path: str | None = None,
     threshold: str | float | None = None,
     debug: bool = False,
+    schema_evolution: bool = False,
 ) -> MergeResult | MergeReport:
     """Merge ``source_df`` into ``target`` — see module docstring.
 
     ``audit_path`` mirrors ``@output``; ``audit=True`` with no explicit path
-    uses the reference's default name (``<target>_SimpleMergeOutput``)."""
+    uses the reference's default name (``<target>_SimpleMergeOutput``).
+    ``schema_evolution=True`` relaxes the source ⊆ target schema rule by
+    widening the target with typed-NULL columns first (the committed
+    snapshot carries the evolved schema)."""
     if audit and audit_path is None:
         audit_path = default_audit_path(target)
     thr = _parse_threshold(threshold)
     target_df = target.read(spark)
+    if schema_evolution:
+        target_df = evolve_target_schema(target_df, source_df.schema)
     in_scope, out_scope = _scope_split(target_df, target_filter)
 
     plan = MergePlan.build(in_scope.schema, source_df.schema, join_columns)

@@ -178,6 +178,37 @@ def text_lm_score(spark, sf_dir):
 
 
 @register(
+    "merge_schema_evolution",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+  FROM customer WHERE c_custkey % 5 <> 0
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, CAST(NULL AS VARCHAR) AS c_mktsegment
+  FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 5 = 0
+""",
+    description="schema evolution on merge (Delta mergeSchema behavior, "
+    "relaxing sp_SimpleMerge.sql:200-201's source ⊆ target rule behind an "
+    "opt-in): the source carries a column the target lacks; the target is "
+    "widened with a typed NULL, matched rows take the source value, "
+    "kept-unmatched rows read back NULL.  Same single full-outer-join plan "
+    "as merge_full — evolution is a zero-cost projection",
+)
+def merge_schema_evolution(spark, sf_dir):
+    from sparkmerge.merge import merge_preview
+
+    c = load(spark, sf_dir, "customer")
+    target = c.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    source = c.filter(F.col("c_custkey") % 5 != 0).select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    return merge_preview(
+        target, source, "c_custkey", delete="NO", schema_evolution=True
+    )
+
+
+@register(
     "fn_url_ops",
     oracle="""
 WITH u AS (

@@ -200,3 +200,91 @@ def json_parse_quarantine(spark, sf_dir):
         F.count(F.when(bad, 1)).alias("n_quarantined"),
         F.min(F.when(bad, F.col("event_id"))).alias("first_quarantined_id"),
     )
+
+
+# --- z-order clustering + footer-stats file skipping (ext/layout.py) ---
+
+
+# disjoint bit positions -> integer SUM is exactly the bitwise OR
+_Z_SQL = """CAST(list_sum(list_transform(
+  generate_series(0, 15),
+  i -> (((x >> i) & 1) << (i * 2)) + (((y >> i) & 1) << (i * 2 + 1))
+)) AS BIGINT)"""
+
+
+@register(
+    "table_zorder_layout",
+    oracle=f"""
+WITH t AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % 65536 AS BIGINT) AS x,
+         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS y
+    FROM orders)
+SELECT o_orderkey, x, y, {_Z_SQL} AS zvalue FROM t
+""",
+    description="z-order (Morton) clustering key: native-expression bit "
+    "interleave of (customer, order-date) — the Delta OPTIMIZE ZORDER BY "
+    "layout lever; used as a repartitionByRange + sortWithinPartitions key "
+    "so every output file covers a small (x, y) rectangle and footer "
+    "min/max stats become selective on BOTH columns.  Whole-stage codegen, "
+    "no shuffle in this verification projection",
+)
+def table_zorder_layout(spark, sf_dir):
+    from sparkmerge.ext.layout import zorder_value
+
+    o = load(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).cast("long").alias("x"),
+        F.datediff("o_orderdate", F.lit("1992-01-01")).cast("long").alias("y"),
+    )
+    return t.select(
+        "o_orderkey", "x", "y", zorder_value(F.col("x"), F.col("y")).alias("zvalue")
+    )
+
+
+def _ensure_zordered_orders(spark, sf_dir: str) -> str:
+    """Derived fixture: orders rewritten once per sf_dir into 8 z-ordered
+    parquet files (clustered on customer × order date)."""
+    from sparkmerge.ext.layout import zorder_layout
+
+    dst = _derived(sf_dir, "orders_zorder")
+    done = os.path.join(dst, "_SUCCESS")
+    if not os.path.exists(done):
+        o = load(spark, sf_dir, "orders")
+        zorder_layout(
+            o,
+            (F.col("o_custkey") % 65536).cast("long"),
+            F.datediff("o_orderdate", F.lit("1992-01-01")).cast("long"),
+            dst,
+            n_files=8,
+        )
+    return dst
+
+
+@register(
+    "scan_stats_pruned",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+  FROM orders
+ WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+""",
+    description="min/max footer-stats file skipping (Delta data-skipping / "
+    "Iceberg-manifest shape): the scan consults parquet footers ONLY, drops "
+    "files whose [min, max] o_orderdate cannot overlap the predicate, and "
+    "keeps the residual filter so pruning is an optimization rather than a "
+    "correctness dependency (stats-less files are conservatively read).  "
+    "Oracle reads the original un-clustered table — a hash match proves "
+    "skipping loses no rows",
+)
+def scan_stats_pruned(spark, sf_dir):
+    import datetime
+
+    from sparkmerge.ext.layout import pruned_parquet_scan
+
+    path = _ensure_zordered_orders(spark, sf_dir)
+    df, _read, _total = pruned_parquet_scan(
+        spark, path, "o_orderdate",
+        datetime.datetime(1996, 1, 1), datetime.datetime(1996, 3, 31),
+    )
+    return df.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")

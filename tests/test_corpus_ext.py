@@ -89,3 +89,72 @@ def test_url_ops_native_parse_url(spark):
     assert r["fragment"] == "s1"
     # map-side only: no Exchange in the plan at all
     assert "Exchange" not in plan_of(df)
+
+
+def test_zorder_value_bit_interleave(spark):
+    from sparkmerge.ext.layout import zorder_value
+
+    df = spark.createDataFrame([(3, 1), (0, 0), (65535, 65535)], "x INT, y INT")
+    rows = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_value(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    # x=0b11 -> bits 0,2 ; y=0b01 -> bit 1  => 0b111 = 7
+    assert rows[(3, 1)] == 7
+    assert rows[(0, 0)] == 0
+    assert rows[(65535, 65535)] == (1 << 32) - 1
+
+
+def test_stats_pruned_scan_skips_files_losslessly(spark, tmp_path):
+    import datetime
+
+    from sparkmerge.ext.layout import pruned_parquet_scan, zorder_layout
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "orders_z")
+    zorder_layout(
+        o,
+        (F.col("o_custkey") % 65536).cast("long"),
+        F.datediff("o_orderdate", F.lit("1995-01-01")).cast("long"),
+        path,
+        n_files=8,
+    )
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 6, 30)
+    df, n_read, n_total = pruned_parquet_scan(spark, path, "o_orderdate", lo, hi)
+    assert n_total == 8
+    assert n_read < n_total, "z-ordered layout must let footer stats skip files"
+    expect = o.filter(F.col("o_orderdate").between(lo, hi))
+    assert df.count() == expect.count()
+    assert df.select("o_orderkey").exceptAll(expect.select("o_orderkey")).count() == 0
+
+
+def test_merge_schema_evolution_commits_widened_snapshot(spark, tmp_path):
+    from sparkmerge import SnapshotTable, simple_merge
+
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), c.select("c_custkey", "c_name").limit(100)
+    )
+    src = c.select("c_custkey", "c_name", "c_acctbal").filter(F.col("c_custkey") <= 50)
+    r = simple_merge(spark, t, src, "c_custkey", delete="NO", schema_evolution=True)
+    assert r.committed
+    cur = t.read(spark)
+    assert set(cur.columns) == {"c_custkey", "c_name", "c_acctbal"}
+    # kept-unmatched rows read back NULL for the evolved column
+    assert cur.filter(F.col("c_custkey") > 50).filter(F.col("c_acctbal").isNotNull()).count() == 0
+    # matched rows took the source value
+    assert cur.filter((F.col("c_custkey") <= 50) & F.col("c_acctbal").isNull()).count() == 0
+
+
+def test_merge_without_evolution_still_rejects_extra_source_cols(spark, tmp_path):
+    import pytest
+
+    from sparkmerge import SnapshotTable, simple_merge
+    from sparkmerge.errors import MergeValidationError
+
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), c.select("c_custkey", "c_name").limit(10)
+    )
+    with pytest.raises(MergeValidationError):
+        simple_merge(spark, t, c.select("c_custkey", "c_name", "c_acctbal"), "c_custkey")
