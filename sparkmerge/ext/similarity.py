@@ -256,3 +256,70 @@ def embedding_near_dup_pairs(
         .select("a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def bitext_margin_pairs(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 6,
+    tables: int = 8,
+    min_gap: float = 0.0,
+) -> DataFrame:
+    """Margin-based bitext mining (the CCMatrix/LASER alignment shape):
+    pair each vector in ``a_df`` with its best match in ``b_df`` when the
+    match is MUTUAL (each is the other's top-1) and wins by a margin
+    (``gap`` = top-1 cosine − top-2 cosine, a single IEEE subtraction, so
+    bit-deterministic).
+
+    Candidates come from the same multi-table hyperplane LSH the ANN path
+    uses, folded into ONE equi-join via ``posexplode`` over the per-table
+    bucket array — no A×B cross product anywhere, so the pair space stays
+    bounded at corpus scale.  Ranking is two windows (per a_id, per b_id)
+    over the candidate set; ties break on partner id.
+    """
+    def bucketed(df: DataFrame, side: str) -> DataFrame:
+        buckets = F.array(
+            *[lsh_bucket(F.col(vec_col), dim, planes=planes, table=t) for t in range(tables)]
+        )
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"{side}_vec"),
+            F.posexplode(buckets).alias("_t", "_bkt"),
+        )
+
+    cand = (
+        bucketed(a_df, "a")
+        .join(bucketed(b_df, "b"), ["_t", "_bkt"])
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    scored = cand.select(
+        "a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("sim")
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("sim"), F.asc("a_id"))
+    r = scored.withColumn("rank_a", F.row_number().over(wa)).withColumn(
+        "rank_b", F.row_number().over(wb)
+    )
+    top1 = r.filter(F.col("rank_a") == 1).select("a_id", "b_id", "sim")
+    runner = r.filter(F.col("rank_a") == 2).select(
+        "a_id", F.col("sim").alias("_sim2")
+    )
+    rev = r.filter(F.col("rank_b") == 1).select(
+        "b_id", F.col("a_id").alias("_rev_a")
+    )
+    return (
+        top1.join(runner, "a_id", "left")
+        .join(rev, "b_id", "left")
+        .select(
+            "a_id",
+            "b_id",
+            "sim",
+            (F.col("sim") - F.coalesce(F.col("_sim2"), F.lit(-1.0))).alias("gap"),
+        )
+        .filter((F.col("_rev_a") == F.col("a_id")) & (F.col("gap") >= min_gap))
+        .select("a_id", "b_id", "sim", "gap")
+    )

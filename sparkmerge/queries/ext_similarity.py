@@ -323,3 +323,69 @@ def embedding_quantize(spark, sf_dir):
     scale = F.when(F.col("amax") == 0, F.lit(0.0)).otherwise(127.0 / F.col("amax"))
     q = F.transform(e, lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"))
     return amaxed.select("vec_id", "amax", q.alias("q"))
+
+
+# --- bitext_margin_mine: margin-based mutual-top-1 alignment (the
+# CCMatrix/LASER bitext-mining shape) over LSH candidates ---
+
+
+def _bitext_oracle_sql(*, tables: int = 8, planes: int = 6, min_gap: float = 0.02) -> str:
+    bucket_cols = ",\n         ".join(
+        f"{_lsh_bucket_sql('embedding', t, planes=planes)} AS b{t}" for t in range(tables)
+    )
+    or_cond = " OR ".join(f"a.b{t} = b.b{t}" for t in range(tables))
+    return f"""
+WITH bkt AS (
+  SELECT vec_id, embedding,
+         {bucket_cols}
+    FROM embeddings
+),
+sa AS (SELECT vec_id AS a_id, embedding AS a_vec, * EXCLUDE (vec_id, embedding)
+         FROM bkt WHERE vec_id % 2 = 0),
+sb AS (SELECT vec_id AS b_id, embedding AS b_vec, * EXCLUDE (vec_id, embedding)
+         FROM bkt WHERE vec_id % 2 = 1),
+cand AS (
+  SELECT DISTINCT a.a_id, a.a_vec, b.b_id, b.b_vec
+    FROM sa a JOIN sb b ON ({or_cond})
+),
+scored AS (
+  SELECT a_id, b_id, {_cos_sql('a_vec', 'b_vec')} AS sim FROM cand
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rank_a,
+         row_number() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id) AS rank_b
+    FROM scored
+)
+SELECT t.a_id, t.b_id, t.sim,
+       (t.sim - COALESCE(ru.sim2, -1.0)) AS gap
+  FROM (SELECT a_id, b_id, sim FROM r WHERE rank_a = 1) t
+  LEFT JOIN (SELECT a_id, sim AS sim2 FROM r WHERE rank_a = 2) ru USING (a_id)
+  JOIN (SELECT b_id, a_id AS rev_a FROM r WHERE rank_b = 1) rv USING (b_id)
+ WHERE rv.rev_a = t.a_id
+   AND (t.sim - COALESCE(ru.sim2, -1.0)) >= {min_gap!r}
+"""
+
+
+@register(
+    "bitext_margin_mine",
+    oracle=_bitext_oracle_sql(),
+    description="margin-based bitext mining (CCMatrix/LASER alignment shape): "
+    "split the embedding corpus into two deterministic 'languages' (vec_id "
+    "parity), pair each even vector with its best odd match when the match is "
+    "MUTUAL top-1 and wins by a margin (top1 - top2 cosine, one IEEE subtract); "
+    "candidates from the shared multi-table hyperplane LSH folded into ONE "
+    "posexplode equi-join — no A x B cross product at any corpus size",
+)
+def bitext_margin_mine(spark, sf_dir):
+    from sparkmerge.ext.similarity import bitext_margin_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return bitext_margin_pairs(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        dim=DIM,
+        planes=6,
+        tables=8,
+        min_gap=0.02,
+    )

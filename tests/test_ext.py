@@ -106,6 +106,34 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     }
 
 
+def test_bitext_margin_mine_planted_alignment(spark):
+    """Planted parallel 'translations' (scaled copies of the same axis
+    vector — identical LSH sign pattern, cosine exactly 1.0) must be mined
+    as mutual-top-1 pairs; every mined pair respects side split and gap."""
+    from sparkmerge.ext.similarity import bitext_margin_pairs
+
+    def axis(i, scale):
+        return [float(scale) if j == i else 0.0 for j in range(64)]
+
+    a = spark.createDataFrame(
+        [Row(vec_id=0, embedding=axis(1, 1)), Row(vec_id=2, embedding=axis(2, 1)),
+         Row(vec_id=4, embedding=axis(3, 1))]
+    )
+    b = spark.createDataFrame(
+        [Row(vec_id=1, embedding=axis(1, 2)), Row(vec_id=3, embedding=axis(2, 3)),
+         Row(vec_id=5, embedding=axis(4, 1))]
+    )
+    mined = bitext_margin_pairs(a, b, dim=64, planes=6, tables=8, min_gap=0.5)
+    rows = {(r.a_id, r.b_id): r for r in mined.collect()}
+    assert {(0, 1), (2, 3)} <= set(rows)
+    for key in [(0, 1), (2, 3)]:
+        assert rows[key].sim == 1.0
+        assert rows[key].gap >= 0.5
+    for (a_id, b_id), r in rows.items():
+        assert a_id % 2 == 0 and b_id % 2 == 1
+        assert r.gap >= 0.5
+
+
 def test_stream_batch_equivalence(spark, tmp_path):
     """foreachBatch replay in ts order ≡ one-shot batch merge of latest-per-key
     (SURVEY.md §5.5)."""
