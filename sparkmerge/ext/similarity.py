@@ -205,6 +205,88 @@ def ivf_topk(
     )
 
 
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization approximate top-k (ADC scoring).
+
+    The vector space is split into ``m`` subspaces of ``dim/m`` components;
+    each subspace gets a ``ksub``-entry codebook (deterministic bootstrap:
+    the subvectors of the ``ksub`` lowest-id corpus vectors — same no-stored-
+    model convention as ``ivf_topk``).  Corpus vectors are ENCODED map-side
+    into ``m`` small codes (the 100 TB memory story: 64 floats → 8 codes);
+    queries score candidates with Asymmetric Distance Computation — a
+    per-query lookup table of exact subspace distances to every codebook
+    entry, so the approximate L2 distance is a sum of ``m`` table lookups,
+    never a full-vector scan of the corpus.
+
+    At scale: codebooks are tiny literals baked into the plan (broadcast by
+    construction), encoding is a map-side argmin with no shuffle, and the
+    only shuffle is the final per-query top-k window.  All arithmetic is
+    explicit left-fold double math so the DuckDB oracle replays it
+    bit-exactly.  Ties (equal subspace distance, equal ADC) break on
+    codebook index / neighbor id.
+    """
+    sub = dim // m
+    cents = [
+        list(r[1])
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(ksub).collect()
+    ]
+
+    def subdist_lit(vec: Column, cvec: list[float], s: int) -> Column:
+        """Exact squared L2 between vec's subspace s and a literal codeword."""
+        acc: Column = F.lit(0.0)
+        for d in range(sub):
+            i = s * sub + d + 1  # 1-based
+            diff = F.element_at(vec, i).cast("double") - F.lit(float(cvec[i - 1]))
+            acc = acc + diff * diff
+        return acc
+
+    def code_for(vec: Column, s: int) -> Column:
+        scored = F.array(
+            *[
+                F.struct(subdist_lit(vec, cv, s).alias("d"), F.lit(j).alias("j"))
+                for j, cv in enumerate(cents)
+            ]
+        )
+        return F.element_at(F.array_sort(scored), 1)["j"]
+
+    coded = corpus.select(
+        F.col(id_col).alias("n_id"),
+        *[code_for(F.col(vec_col), s).alias(f"code{s}") for s in range(m)],
+    )
+    # per-query ADC lookup tables: lut{s}[j+1] = subdist(q, codeword j, s)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        *[
+            F.array(*[subdist_lit(F.col(vec_col), cv, s) for cv in cents]).alias(f"lut{s}")
+            for s in range(m)
+        ],
+    )
+    adc: Column = F.lit(0.0)
+    for s in range(m):
+        adc = adc + F.element_at(F.col(f"lut{s}"), F.col(f"code{s}") + 1)
+    scored = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", adc.alias("dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "dist", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,

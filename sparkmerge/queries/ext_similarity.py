@@ -325,6 +325,71 @@ def embedding_quantize(spark, sf_dir):
     return amaxed.select("vec_id", "amax", q.alias("q"))
 
 
+# --- ann_pq: product-quantization ANN with ADC scoring ---
+
+
+def _sq_sub_sql(a: str, b: str, s: int, *, sub: int = 8) -> str:
+    """Squared L2 over subspace ``s`` — the same left fold of
+    (a[i]-b[i])*(a[i]-b[i]) double terms pq_topk builds."""
+    terms = []
+    for d in range(sub):
+        i = s * sub + d + 1
+        diff = f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        terms.append(f"({diff} * {diff})")
+    return _fold_sql(terms)
+
+
+def _ann_pq_oracle_sql(*, m: int = 8, ksub: int = 16, k: int = 10) -> str:
+    code_ctes = ",\n".join(
+        f"""code{s} AS (
+  SELECT n_id, j AS code{s} FROM (
+    SELECT e.vec_id AS n_id, c.j,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sq_sub_sql('e.embedding', 'c.c_vec', s)}, c.j) AS rk
+      FROM embeddings e CROSS JOIN cents c) t WHERE rk = 1
+)"""
+        for s in range(m)
+    )
+    codes_join = " ".join(f"JOIN code{s} USING (n_id)" for s in range(1, m))
+    cent_joins = " ".join(f"JOIN cents cs{s} ON cs{s}.j = codes.code{s}" for s in range(m))
+    adc = _fold_sql([_sq_sub_sql("q.q_vec", f"cs{s}.c_vec", s) for s in range(m)])
+    return f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j, embedding AS c_vec
+    FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {ksub})
+),
+{code_ctes},
+codes AS (SELECT * FROM code0 {codes_join}),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+adc AS (
+  SELECT q.q_id, codes.n_id, {adc} AS dist
+    FROM codes CROSS JOIN q {cent_joins}
+   WHERE q.q_id <> codes.n_id
+)
+SELECT q_id, n_id, dist, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rank
+    FROM adc) t
+ WHERE rank <= {k}
+"""
+
+
+@register(
+    "ann_pq",
+    oracle=_ann_pq_oracle_sql(),
+    description="approximate top-10 via product quantization (8 subspaces x 16 "
+    "codes, deterministic codebook bootstrap = lowest-id corpus subvectors) "
+    "with asymmetric distance computation: corpus encoded map-side into 8 "
+    "codes (64 floats -> 8 bytes, the memory lever real 100 TB ANN uses), "
+    "query scores = sum of per-subspace lookup-table distances; the DuckDB "
+    "oracle replays codebook, encoding argmin, and the ADC fold bit-exactly",
+)
+def ann_pq(spark, sf_dir):
+    from sparkmerge.ext.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, m=8, ksub=16, dim=DIM)
+
+
 # --- bitext_margin_mine: margin-based mutual-top-1 alignment (the
 # CCMatrix/LASER bitext-mining shape) over LSH candidates ---
 

