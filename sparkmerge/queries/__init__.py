@@ -34,6 +34,7 @@ _MODULES = [
     "sparkmerge.queries.ext_multimodal",
     "sparkmerge.queries.ext_streaming",
     "sparkmerge.queries.ext_corpus",
+    "sparkmerge.queries.ext_retrieval",
 ]
 
 

@@ -1,0 +1,185 @@
+"""[EXT] retrieval & sequence-statistics operators (SURVEY.md §2.D additions):
+BM25 keyword retrieval, the BPE pair-count kernel, and user-journey
+transition counts.
+
+FP discipline: BM25's usual ln() idf is a transcendental whose last bit is
+not guaranteed to agree across engines, so the score here keeps the idf as
+the exact odds ratio (2N-2df+1)/(2df+1) and folds each term's contribution
+into ONE integer-exact numerator and denominator; the only floating-point
+operations are a single IEEE division per term and the same left-fold sum
+the cosine ops use — bit-identical in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkmerge.queries import load, register
+
+_WS = r"\s+"
+_TOKS = f"list_filter(string_split_regex(lower(text), '{_WS}'), x -> x <> '')"
+
+# fixed benchmark query; k1 = 6/5, b = 3/4 folded into the integer formula
+_BM25_TERMS = ["merge", "hash", "window"]
+_BM25_K = 10
+
+
+def _bm25_term_sql(i: int) -> str:
+    # A = (2N - 2df + 1) * 44 * T * tf ;  B = (2df + 1) * (20*T*tf + 6*T + 18*dl*N)
+    a = f"((2 * g.n - 2 * g.df{i} + 1) * 44 * g.t * p.tf{i})"
+    b = f"((2 * g.df{i} + 1) * (20 * g.t * p.tf{i} + 6 * g.t + 18 * p.dl * g.n))"
+    return f"(CAST({a} AS DOUBLE) / CAST({b} AS DOUBLE))"
+
+
+def _bm25_oracle_sql() -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = "0.0"
+    for i in range(len(_BM25_TERMS)):
+        score = f"({score} + {_bm25_term_sql(i)})"
+    any_tf = " + ".join(f"p.tf{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+WITH words AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+         {tf_cols}
+    FROM words GROUP BY doc_id),
+g AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         CAST(sum(dl) AS BIGINT) AS t,
+         {df_cols}
+    FROM per)
+SELECT doc_id, dl, score, CAST(rank AS INT) AS rank FROM (
+  SELECT p.doc_id, p.dl, {score} AS score,
+         row_number() OVER (ORDER BY {score} DESC, p.doc_id) AS rank
+    FROM per p CROSS JOIN g
+   WHERE {any_tf} > 0) ranked
+ WHERE rank <= {_BM25_K}
+"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_bm25_oracle_sql(),
+    description="BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed query, "
+    "top-10 by score: one explode+aggregate pass builds per-doc tf/dl with "
+    "map-side combine, the corpus stats row (N, total tokens, per-term df) is "
+    "broadcast back, scoring is map-side; idf kept as an exact odds ratio so "
+    "the whole score is integer math plus one IEEE division per term — "
+    "bit-reproducible against DuckDB with no transcendentals",
+)
+def text_bm25_topk(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), _WS), lambda x: x != "")
+    words = d.select("doc_id", F.explode(toks).alias("w"))
+    per = words.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    g = per.agg(
+        F.sum("dl").alias("t"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    ).crossJoin(F.broadcast(d.agg(F.count("*").alias("n"))))
+    score = F.lit(0.0)
+    for i in range(len(_BM25_TERMS)):
+        a = (2 * F.col("n") - 2 * F.col(f"df{i}") + 1) * 44 * F.col("t") * F.col(f"tf{i}")
+        b = (2 * F.col(f"df{i}") + 1) * (
+            20 * F.col("t") * F.col(f"tf{i}") + 6 * F.col("t") + 18 * F.col("dl") * F.col("n")
+        )
+        score = score + a.cast("double") / b.cast("double")
+    any_tf = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS)))
+    scored = (
+        per.crossJoin(F.broadcast(g))
+        .filter(any_tf > 0)
+        .select("doc_id", "dl", score.alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_K)
+        .select("doc_id", "dl", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+idx AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+pairs AS (SELECT t[i] || ' ' || t[i + 1] AS pair FROM idx)
+SELECT pair, cnt FROM (
+  SELECT pair, CAST(count(*) AS BIGINT) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, pair) AS rk
+    FROM pairs GROUP BY pair) x
+ WHERE rk <= 20
+""",
+    description="the BPE merge-learning kernel: count adjacent token pairs "
+    "across the corpus and return the 20 most frequent (the pair a BPE "
+    "trainer would merge next, iterated).  Token arrays are materialized "
+    "once per row behind the Generate barrier — the index-transform lambda "
+    "reads the array attribute, not a re-evaluated split — then one "
+    "explode + map-side-combined count; top-20 via TakeOrdered-shaped rank",
+)
+def bpe_pair_counts(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), _WS), lambda x: x != "")
+    tokd = d.select(toks.alias("tok"))
+    # Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — guard short docs
+    idxs = F.when(
+        F.size("tok") >= 2, F.sequence(F.lit(1), F.size("tok") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pair_arr = F.transform(
+        idxs,
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("tok"), i), F.element_at(F.col("tok"), i + 1)
+        ),
+    )
+    pairs = tokd.select(F.explode(pair_arr).alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("pair", "cnt")
+    )
+
+
+@register(
+    "events_transition_counts",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events)
+SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+ GROUP BY prev_type, event_type
+""",
+    description="user-journey Markov transition matrix: per-user event "
+    "streams ordered by (ts, event_id), lag() pairs each event with its "
+    "predecessor, then a global (prev, next) count.  One shuffle for the "
+    "per-user window (keyed on user_id — the natural even partitioning) and "
+    "a map-side-combined count over a type-squared-sized result",
+)
+def events_transition_counts(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )

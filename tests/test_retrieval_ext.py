@@ -1,0 +1,87 @@
+"""Behavior + plan-shape tests for the ext_retrieval operators (BM25
+retrieval, BPE pair counts, event transition matrix)."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from sparkmerge.queries import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _write_docs(spark, td, rows):
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+    return td
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    rows = [
+        (1, "merge merge merge hash", "en", "s", 22),
+        (2, "merge table", "en", "s", 11),
+        (3, "nothing relevant at all here today", "en", "s", 34),
+        (4, "window window hash", "en", "s", 18),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        got = registry()["text_bm25_topk"].fn(spark, _write_docs(spark, td, rows))
+        out = sorted(got.collect(), key=lambda r: r.rank)
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids, "doc with zero query terms must not be retrieved"
+    assert ids[0] in (1, 4), out  # the term-dense docs win
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.score > 0 for r in out)
+
+
+def test_bm25_scale_plan_shape(spark):
+    # the corpus-stats row must come back via broadcast (never a shuffle
+    # join), and the global top-k must be TakeOrderedAndProject (distributed
+    # partial top-k), not a single-partition sort window over the corpus
+    df = registry()["text_bm25_topk"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # only the per-doc tf aggregation may shuffle on a data-sized key
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_bpe_pair_counts_hand_corpus(spark):
+    rows = [
+        (1, "a b a b", "en", "s", 7),
+        (2, "a b", "en", "s", 3),
+        (3, "x", "en", "s", 1),  # single token: no pairs, must not error
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        got = registry()["bpe_pair_counts"].fn(spark, _write_docs(spark, td, rows))
+        counts = {r.pair: r.cnt for r in got.collect()}
+    assert counts == {"a b": 3, "b a": 1}
+
+
+def test_transition_counts_hand_stream(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "view", 0.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=1), 7, "click", 0.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=2), 7, "buy", 0.0, "{}"),
+        (4, t0, 8, "view", 0.0, "{}"),
+        (5, t0 + dt.timedelta(seconds=1), 8, "click", 0.0, "{}"),
+        # user 9 has one event: contributes no transition
+        (6, t0, 9, "view", 0.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        df.coalesce(1).write.parquet(os.path.join(td, "events.parquet"))
+        got = registry()["events_transition_counts"].fn(spark, td)
+        trans = {(r.prev_type, r.next_type): r.n for r in got.collect()}
+    assert trans == {("view", "click"): 2, ("click", "buy"): 1}
