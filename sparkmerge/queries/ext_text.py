@@ -702,3 +702,43 @@ def pipeline_shard_shuffle(spark, sf_dir):
     return based.select(
         "doc_id", "shard", F.row_number().over(w).cast("int").alias("pos")
     )
+
+
+# --- pipeline_train_split: deterministic train/val/test partitioning ---
+
+
+@register(
+    "pipeline_train_split",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.98
+              THEN 'train'
+              WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.99
+              THEN 'val' ELSE 'test' END AS split
+    FROM documents)
+SELECT source, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM assigned GROUP BY source, split
+""",
+    description="deterministic 98/1/1 train/val/test split: the same Knuth "
+    "multiplicative hash of doc_id sample_stratified uses assigns every "
+    "document a stable split with no RNG and no state — any worker at any "
+    "scale computes the same assignment map-side; the summary is one "
+    "map-side-combined aggregate over (source, split)",
+)
+def pipeline_train_split(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(4294967296.0)
+    split = (
+        F.when(u < 0.98, "train").when(u < 0.99, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -593,3 +593,50 @@ def fn_try_cast_ops(spark, sf_dir):
         .isNotNull()
         .alias("good_date"),
     )
+
+
+# --- time-RANGE window frames: trailing-interval aggregates per key ---
+
+
+@register(
+    "fn_window_range_frame",
+    oracle="""
+WITH v AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM events)
+SELECT event_id, user_id, t_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+  FROM v
+WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    description="trailing-interval (RANGE frame) window aggregates: per-user "
+    "count and exact integer-cents sum over the last hour, ordered by "
+    "microsecond epoch — the time-series feature shape (rolling activity, "
+    "rolling spend) ROWS frames cannot express.  Value scaled via explicit "
+    "floor(x*100+0.5) half-up (portable) so the rolling sum is exact integer "
+    "math; one shuffle on user_id, frame evaluation is a per-partition "
+    "sliding scan",
+)
+def fn_window_range_frame(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-3600000000, Window.currentRow)
+    )
+    return v.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum("cents").over(w).alias("cents_1h"),
+    )

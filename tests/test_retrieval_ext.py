@@ -64,6 +64,47 @@ def test_bpe_pair_counts_hand_corpus(spark):
     assert counts == {"a b": 3, "b a": 1}
 
 
+def test_range_frame_trailing_hour_boundary(spark):
+    """RANGE frame must include a row exactly 1h back (inclusive bound) and
+    exclude one a microsecond older; peers with equal t_us share a frame."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0 - dt.timedelta(hours=1, microseconds=1), 5, "a", 1.00, "{}"),
+        (2, t0 - dt.timedelta(hours=1), 5, "a", 2.00, "{}"),
+        (3, t0, 5, "a", 4.00, "{}"),
+        (4, t0, 5, "a", 8.00, "{}"),  # peer of event 3: same frame
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        df.coalesce(1).write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r.event_id: r
+            for r in registry()["fn_window_range_frame"].fn(spark, td).collect()
+        }
+    assert got[1].n_1h == 1 and got[1].cents_1h == 100
+    assert got[2].n_1h == 2 and got[2].cents_1h == 300  # 1h-older row included
+    # events 3 and 4 are peers: both frames hold {2, 3, 4}, not {1}
+    for eid in (3, 4):
+        assert got[eid].n_1h == 3 and got[eid].cents_1h == 1400
+
+
+def test_train_split_partitions_and_determinism(spark):
+    got = registry()["pipeline_train_split"].fn(spark, SF_DIR)
+    rows = got.collect()
+    splits = {r.split for r in rows}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n_docs
+
+
 def test_transition_counts_hand_stream(spark):
     import datetime as dt
 
