@@ -1080,3 +1080,144 @@ def pivot_unpivot(spark, sf_dir):
     return wide.unpivot(
         ["o_orderpriority"], ["F", "O", "P"], "status", "n"
     )
+
+
+# --- agg_hll_native: HyperLogLog registers in exact integer math ---
+
+_HLL_P = 8  # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_P
+_HLL_REST_BITS = 32 - _HLL_P  # 24-bit suffix feeds the rho (leading-zero) count
+# alpha_256 * m^2 * 2^40 as one double literal (Z is kept scaled by 2^40 in
+# exact integer arithmetic; a single IEEE division produces the estimate)
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 40)
+
+
+def _hll_rho_sql(rest: str) -> str:
+    """rho = leading zeros of the 24-bit suffix + 1, as a literal CASE
+    cascade — no log2/bit_length, whose edge rounding differs by engine."""
+    branches = "\n         ".join(
+        f"WHEN {rest} >= {1 << (_HLL_REST_BITS - k)} THEN {k}"
+        for k in range(1, _HLL_REST_BITS + 1)
+    )
+    return f"(CASE {branches} ELSE {_HLL_REST_BITS + 1} END)"
+
+
+def _hll_term_sql(r: str) -> str:
+    """2^(40 - rho) as literal integers (pow() is a transcendental call)."""
+    branches = "\n         ".join(
+        f"WHEN {r} = {k} THEN {1 << (40 - k)}" for k in range(1, _HLL_REST_BITS + 2)
+    )
+    return f"(CASE {branches} END)"
+
+
+# murmur3 32-bit finalizer constants.  The Knuth multiplicative hash is NOT
+# usable here: on sequential keys it is a low-discrepancy (golden-ratio)
+# sequence — far MORE uniform than random — so register occupancy breaks the
+# binomial model HLL assumes and the estimate biases high.  The finalizer has
+# full avalanche; its 32x32 multiplies are split 16/16 so every intermediate
+# stays under 2^49 (DuckDB BIGINT overflow raises rather than wrapping).
+_HLL_C1 = 0x85EBCA6B
+_HLL_C2 = 0xC2B2AE35
+
+
+def _hll_mix_sql() -> str:
+    """CTE chain computing h = murmur3_fmix32(user_id) step by step."""
+
+    def mulmod32(h: str, c: int) -> str:
+        return f"((((({h} // 65536) * {c}) % 65536) * 65536 + (({h} % 65536) * {c})) % 4294967296)"
+
+    return f"""h0 AS (SELECT event_type, user_id, user_id % 4294967296 AS h FROM events),
+m1 AS (SELECT event_type, user_id, xor(h, h // 65536) AS h FROM h0),
+m2 AS (SELECT event_type, user_id, {mulmod32('h', _HLL_C1)} AS h FROM m1),
+m3 AS (SELECT event_type, user_id, xor(h, h // 8192) AS h FROM m2),
+m4 AS (SELECT event_type, user_id, {mulmod32('h', _HLL_C2)} AS h FROM m3),
+hashed AS (SELECT event_type, user_id, xor(h, h // 65536) AS h FROM m4)"""
+
+
+@register(
+    "agg_hll_native",
+    oracle=f"""
+WITH {_hll_mix_sql()},
+slotted AS (
+  SELECT event_type, user_id, h % {_HLL_M} AS bucket,
+         CAST((h - (h % {_HLL_M})) / {_HLL_M} AS BIGINT) AS rest
+    FROM hashed),
+regs AS (
+  SELECT event_type, bucket, max({_hll_rho_sql('rest')}) AS rho
+    FROM slotted GROUP BY event_type, bucket),
+z AS (
+  SELECT event_type,
+         CAST(sum({_hll_term_sql('rho')}) AS BIGINT)
+           + ({_HLL_M} - CAST(count(*) AS BIGINT)) * {1 << 40} AS z_scaled,
+         CAST({_HLL_M} - count(*) AS BIGINT) AS zero_regs
+    FROM regs GROUP BY event_type),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+    FROM events GROUP BY event_type)
+SELECT z.event_type,
+       {_HLL_NUM!r} / CAST(z.z_scaled AS DOUBLE) AS raw_est,
+       z.zero_regs, ex.exact_distinct
+  FROM z JOIN ex ON z.event_type = ex.event_type
+""",
+    description="HyperLogLog implemented natively (not approx_count_distinct): "
+    "murmur3-finalizer hash (full avalanche — a multiplicative hash is too "
+    "uniform on sequential keys and biases the sketch) -> 256 registers, "
+    "rho via a literal leading-zero CASE cascade, "
+    "Z kept as an EXACT integer sum of 2^(40-rho) terms so register math is "
+    "bit-reproducible in any engine and registers are mergeable across "
+    "partitions/batches (max is associative-commutative); the only FP op is "
+    "the final alpha*m^2/Z division.  Raw estimator by design — zero_regs is "
+    "returned so a consumer can apply linear-counting correction (its ln() "
+    "is a transcendental, excluded from the oracle-checked surface).  Two "
+    "tiny shuffles: (group, bucket) registers, then per-group fold",
+)
+def agg_hll_native(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+
+    def mulmod32(h, c):
+        hi = F.floor(h / F.lit(65536.0)).cast("long")
+        return ((hi * c) % 65536) * 65536 + (h % 65536) * c
+
+    def shr_xor(h, shift_div):
+        return h.bitwiseXOR(F.floor(h / F.lit(float(shift_div))).cast("long"))
+
+    h = F.col("user_id") % F.lit(4294967296)
+    h = shr_xor(h, 65536)  # h ^= h >> 16
+    h = mulmod32(h, _HLL_C1) % F.lit(4294967296)
+    h = shr_xor(h, 8192)  # h ^= h >> 13
+    h = mulmod32(h, _HLL_C2) % F.lit(4294967296)
+    h = shr_xor(h, 65536)
+    bucket = h % _HLL_M
+    rest = ((h - bucket) / F.lit(float(_HLL_M))).cast("long")
+    expr = None
+    for k in range(1, _HLL_REST_BITS + 1):
+        cond = F.col("rest") >= (1 << (_HLL_REST_BITS - k))
+        expr = F.when(cond, k) if expr is None else expr.when(cond, k)
+    rho = expr.otherwise(_HLL_REST_BITS + 1)
+    term = None
+    for k in range(1, _HLL_REST_BITS + 2):
+        c = F.col("rho") == k
+        term = F.when(c, F.lit(1 << (40 - k))) if term is None else term.when(c, F.lit(1 << (40 - k)))
+    slotted = e.select("event_type", "user_id", bucket.alias("bucket"), rest.alias("rest"))
+    regs = (
+        slotted.withColumn("rho_row", rho)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho_row").alias("rho"))
+    )
+    z = regs.groupBy("event_type").agg(
+        (
+            F.sum(term).cast("long")
+            + (F.lit(_HLL_M) - F.count("*")) * F.lit(1 << 40)
+        ).alias("z_scaled"),
+        (F.lit(_HLL_M) - F.count("*")).cast("long").alias("zero_regs"),
+    )
+    ex = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return z.join(ex, "event_type").select(
+        "event_type",
+        (F.lit(_HLL_NUM) / F.col("z_scaled").cast("double")).alias("raw_est"),
+        "zero_regs",
+        "exact_distinct",
+    )

@@ -105,6 +105,22 @@ def test_train_split_partitions_and_determinism(spark):
     assert sum(r.n_docs for r in rows) == n_docs
 
 
+def test_hll_native_linear_counting_accuracy(spark):
+    """The op returns raw_est + zero_regs; at low cardinality the documented
+    consumer-side linear-counting correction m*ln(m/V) must land within 15%
+    of the exact distinct count for every group."""
+    import math
+
+    rows = registry()["agg_hll_native"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    m = 256
+    for r in rows:
+        est = m * math.log(m / r.zero_regs) if 0 < r.zero_regs and r.raw_est <= 2.5 * m else r.raw_est
+        err = abs(est - r.exact_distinct) / r.exact_distinct
+        assert err < 0.15, (r.event_type, est, r.exact_distinct)
+        assert r.raw_est > 0
+
+
 def test_transition_counts_hand_stream(spark):
     import datetime as dt
 
