@@ -609,3 +609,73 @@ def merge_scd2_multibatch(spark, sf_dir):
         )
     )
     return scd2_merge(h1, s2, "c_custkey", load_ts=F.lit("2024-03-01").cast("timestamp"))
+
+
+# --- merge_multi_source: priority-resolved multi-source upsert ---
+# (the reference merges ONE source table per call; real warehouse loads land
+# several feeds at once, so the winner per key must be resolved before the
+# classification join — highest priority wins, dataflow-only, no table writes)
+
+
+@register(
+    "merge_multi_source",
+    oracle="""
+WITH tgt AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0),
+src_a AS (
+  SELECT c_custkey, c_acctbal + 10.0 AS c_acctbal, 1 AS priority
+    FROM customer WHERE c_custkey % 2 = 0),
+src_b AS (
+  SELECT c_custkey, c_acctbal + 20.0 AS c_acctbal, 2 AS priority
+    FROM customer WHERE c_custkey % 5 = 0),
+unioned AS (SELECT * FROM src_a UNION ALL SELECT * FROM src_b),
+winner AS (
+  SELECT c_custkey, c_acctbal FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                 ORDER BY priority DESC) AS rk
+      FROM unioned) u WHERE rk = 1)
+SELECT coalesce(t.c_custkey, w.c_custkey) AS c_custkey,
+       coalesce(w.c_acctbal, t.c_acctbal) AS c_acctbal,
+       CASE WHEN t.c_custkey IS NULL THEN 'INSERT'
+            WHEN w.c_custkey IS NULL THEN 'KEEP'
+            ELSE 'UPDATE' END AS action
+  FROM tgt t FULL OUTER JOIN winner w ON t.c_custkey = w.c_custkey
+""",
+    description="multi-source merge: two overlapping feeds with priorities "
+    "are unioned, the winner per key resolved with ONE window (priority "
+    "desc — deterministic because priorities are distinct per key set), and "
+    "only then classified against the target, so the merge itself stays a "
+    "single full-outer join; the union adds no shuffle beyond the window's "
+    "key partitioning, which the join then reuses",
+)
+def merge_multi_source(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    tgt = cust.filter(F.col("c_custkey") % 3 != 0).select("c_custkey", "c_acctbal")
+    src_a = (
+        cust.filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + 10.0).alias("c_acctbal"),
+                F.lit(1).alias("priority"))
+    )
+    src_b = (
+        cust.filter(F.col("c_custkey") % 5 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + 20.0).alias("c_acctbal"),
+                F.lit(2).alias("priority"))
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("priority"))
+    winner = (
+        src_a.unionByName(src_b)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("c_custkey", "c_acctbal")
+    )
+    t = tgt.alias("t")
+    s = winner.alias("w")
+    joined = t.join(s, F.col("t.c_custkey") == F.col("w.c_custkey"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("t.c_custkey"), F.col("w.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("w.c_acctbal"), F.col("t.c_acctbal")).alias("c_acctbal"),
+        F.when(F.col("t.c_custkey").isNull(), "INSERT")
+        .when(F.col("w.c_custkey").isNull(), "KEEP")
+        .otherwise("UPDATE")
+        .alias("action"),
+    )

@@ -386,3 +386,149 @@ def join_fuzzy_name(spark, sf_dir):
         .filter(dist <= 3)
         .select("a_key", "b_key", dist.cast("int").alias("dist"))
     )
+
+
+# --- table_profile: one-pass column profiling (null/distinct/min/max) ---
+
+# (name, kind): doubles excluded from min/max — their string rendering is
+# engine-specific; exact types (int, string) render identically everywhere
+_PROFILE_COLS = [
+    ("c_custkey", "minmax"),
+    ("c_name", "minmax"),
+    ("c_nationkey", "minmax"),
+    ("c_acctbal", "counts_only"),
+    ("c_mktsegment", "minmax"),
+]
+
+
+@register(
+    "table_profile",
+    oracle="""
+WITH a AS (
+  SELECT count(*) AS n_rows,
+         """ + ",\n         ".join(
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_{c}, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c}"
+        + (
+            f", CAST(min({c}) AS VARCHAR) AS mn_{c}, CAST(max({c}) AS VARCHAR) AS mx_{c}"
+            if kind == "minmax"
+            else ""
+        )
+        for c, kind in _PROFILE_COLS
+    ) + """
+    FROM customer)
+""" + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col, nn_{c} AS n_nulls, nd_{c} AS n_distinct, "
+        + (f"mn_{c} AS min_s, mx_{c} AS max_s" if kind == "minmax" else
+           "CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s")
+        + " FROM a"
+        for c, kind in _PROFILE_COLS
+    ),
+    description="one-pass table profiling: per-column null count, exact "
+    "distinct count, and min/max (exact-typed columns only — float-to-string "
+    "rendering is engine-specific, so doubles report counts alone).  The "
+    "multi-distinct aggregate is a single Expand-based pass over the table; "
+    "the per-column pivot to rows is driver-free (explode of a literal "
+    "struct array) — the profile-before-merge quality gate at any scale",
+)
+def table_profile(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    aggs = []
+    for col, kind in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(f"nn_{col}")
+        )
+        aggs.append(F.countDistinct(col).alias(f"nd_{col}"))
+        if kind == "minmax":
+            aggs.append(F.min(col).cast("string").alias(f"mn_{col}"))
+            aggs.append(F.max(col).cast("string").alias(f"mx_{col}"))
+    wide = c.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(col).alias("col"),
+                F.col(f"nn_{col}").alias("n_nulls"),
+                F.col(f"nd_{col}").alias("n_distinct"),
+                (
+                    F.col(f"mn_{col}") if kind == "minmax" else F.lit(None).cast("string")
+                ).alias("min_s"),
+                (
+                    F.col(f"mx_{col}") if kind == "minmax" else F.lit(None).cast("string")
+                ).alias("max_s"),
+            )
+            for col, kind in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+# --- validate_constraints: key/uniqueness/referential quality gates ---
+
+
+@register(
+    "validate_constraints",
+    oracle="""
+SELECT 'customer_pk_null' AS constraint, CAST((
+    SELECT count(*) FROM customer WHERE c_custkey IS NULL) AS BIGINT) AS violations
+UNION ALL
+SELECT 'customer_pk_dup', CAST((
+    SELECT coalesce(sum(n - 1), 0) FROM (
+      SELECT count(*) AS n FROM customer GROUP BY c_custkey) g WHERE n > 1) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_pk_dup', CAST((
+    SELECT coalesce(sum(n - 1), 0) FROM (
+      SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber) g
+     WHERE n > 1) AS BIGINT)
+UNION ALL
+SELECT 'orders_fk_orphan', CAST((
+    SELECT count(*) FROM orders o ANTI JOIN customer c
+        ON o.o_custkey = c.c_custkey) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_fk_orphan', CAST((
+    SELECT count(*) FROM lineitem l ANTI JOIN orders o
+        ON l.l_orderkey = o.o_orderkey) AS BIGINT)
+""",
+    description="constraint validation before a merge is trusted: PK null "
+    "rate, PK duplicate surplus (sum of extra rows per key — the corpus "
+    "lineitem key is genuinely ~23% non-unique, so this gate fires on real "
+    "data), and FK orphan counts via broadcast anti-joins; each check is an "
+    "independent aggregate unioned into one report frame",
+)
+def validate_constraints(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def dup_surplus(df, keys):
+        return (
+            df.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).cast("long").alias("v"))
+        )
+
+    def labeled(name, agg_df):
+        return agg_df.select(F.lit(name).alias("constraint"), F.col("v").alias("violations"))
+
+    pk_null = cust.agg(
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).cast("long").alias("v")
+    )
+    orphans_o = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("v"))
+    )
+    orphans_l = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("v"))
+    )
+    parts = [
+        labeled("customer_pk_null", pk_null),
+        labeled("customer_pk_dup", dup_surplus(cust, ["c_custkey"])),
+        labeled("lineitem_pk_dup", dup_surplus(li, ["l_orderkey", "l_linenumber"])),
+        labeled("orders_fk_orphan", orphans_o),
+        labeled("lineitem_fk_orphan", orphans_l),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
