@@ -532,3 +532,128 @@ def validate_constraints(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- join_bloom_prefilter: bloom-filter semi-join reduction ---
+
+_BLOOM_BITS = 32768  # 1024 words x 32 bits; k=2 hashes
+_BLOOM_SEED2 = 2654435769
+
+
+def _bloom_oracle_sql() -> str:
+    from sparkmerge.ext.hashing import mix32_sql_chain
+
+    def side(tag: str, src_cte: str) -> str:
+        return f"""{mix32_sql_chain(f'{tag}h1', src_cte, 'key', 'key')},
+{tag}x AS (SELECT key, h AS h1, xor(h, {_BLOOM_SEED2}) AS x FROM {tag}h1),
+{mix32_sql_chain(f'{tag}h2', f'{tag}x', 'key, h1', 'x')},
+{tag}wm AS (
+  SELECT key,
+         (h1 % {_BLOOM_BITS}) // 32 AS w1,
+         (CAST(1 AS BIGINT) << ((h1 % {_BLOOM_BITS}) % 32)) AS m1,
+         (h % {_BLOOM_BITS}) // 32 AS w2,
+         (CAST(1 AS BIGINT) << ((h % {_BLOOM_BITS}) % 32)) AS m2
+    FROM {tag}h2)"""
+
+    return f"""
+WITH bk AS (SELECT DISTINCT o_orderkey AS key FROM orders
+             WHERE o_orderpriority = '1-URGENT'),
+{side('b', 'bk')},
+regs AS (
+  SELECT w AS word, bit_or(m) AS bits FROM (
+    SELECT w1 AS w, m1 AS m FROM bwm
+    UNION ALL SELECT w2, m2 FROM bwm) u GROUP BY w),
+pk AS (SELECT l_orderkey AS key FROM lineitem),
+{side('p', 'pk')},
+flags AS (
+  SELECT p.key,
+         CASE WHEN (coalesce(r1.bits, 0) & p.m1) = p.m1
+               AND (coalesce(r2.bits, 0) & p.m2) = p.m2 THEN 1 ELSE 0 END AS pass,
+         CASE WHEN b.key IS NOT NULL THEN 1 ELSE 0 END AS is_true
+    FROM pwm p
+    LEFT JOIN regs r1 ON p.w1 = r1.word
+    LEFT JOIN regs r2 ON p.w2 = r2.word
+    LEFT JOIN bk b ON p.key = b.key)
+SELECT CAST(count(*) AS BIGINT) AS n_probe,
+       CAST(sum(pass) AS BIGINT) AS n_pass,
+       CAST(sum(is_true) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN pass = 1 AND is_true = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST(sum(CASE WHEN is_true = 1 AND pass = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+  FROM flags
+"""
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=_bloom_oracle_sql(),
+    description="bloom-filter semi-join reduction (THE big-join scan-cut at "
+    "scale: ship a 4 KB bit array to every probe task instead of shuffling "
+    "the probe side): build keys hashed twice (portable murmur finalizer, "
+    "ext/hashing.py), 32768-bit filter as 1024 bit_or'd words, probe rows "
+    "tested via two broadcast joins on word index; the report proves the "
+    "contract — n_false_neg is structurally 0, n_false_pos ~2.8% at the "
+    "corpus build cardinality.  Register build and probe are each one "
+    "map-side pass; no shuffle touches the probe table",
+)
+def join_bloom_prefilter(spark, sf_dir):
+    from sparkmerge.ext.hashing import mix32
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def with_words(df, key_col):
+        d = df.select(F.col(key_col).alias("key")).withColumn("h1", mix32(F.col("key")))
+        d = d.withColumn("h2", mix32(F.col("h1").bitwiseXOR(F.lit(_BLOOM_SEED2))))
+        for i in (1, 2):
+            pos = F.col(f"h{i}") % _BLOOM_BITS
+            d = d.withColumn(f"w{i}", F.floor(pos / F.lit(32.0)).cast("long")).withColumn(
+                f"b{i}", (pos % 32).cast("int")
+            )
+        return d.select(
+            "key",
+            "w1",
+            F.expr("shiftleft(CAST(1 AS BIGINT), b1)").alias("m1"),
+            "w2",
+            F.expr("shiftleft(CAST(1 AS BIGINT), b2)").alias("m2"),
+        )
+
+    bk = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    ).distinct()
+    bwm = with_words(bk, "o_orderkey")
+    regs = (
+        bwm.select(F.col("w1").alias("word"), F.col("m1").alias("m"))
+        .unionAll(bwm.select(F.col("w2"), F.col("m2")))
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    pwm = with_words(li, "l_orderkey")
+    r1 = F.broadcast(regs.select(F.col("word").alias("_w1"), F.col("bits").alias("bits1")))
+    r2 = F.broadcast(regs.select(F.col("word").alias("_w2"), F.col("bits").alias("bits2")))
+    truth = F.broadcast(bk.select(F.col("o_orderkey").alias("key"), F.lit(1).alias("is_true")))
+    flags = (
+        pwm.join(r1, pwm.w1 == F.col("_w1"), "left")
+        .join(r2, pwm.w2 == F.col("_w2"), "left")
+        .join(truth, "key", "left")
+        .select(
+            F.when(
+                (F.coalesce(F.col("bits1"), F.lit(0)).bitwiseAND(F.col("m1")) == F.col("m1"))
+                & (F.coalesce(F.col("bits2"), F.lit(0)).bitwiseAND(F.col("m2")) == F.col("m2")),
+                1,
+            )
+            .otherwise(0)
+            .alias("pass"),
+            F.coalesce(F.col("is_true"), F.lit(0)).alias("is_true"),
+        )
+    )
+    return flags.agg(
+        F.count("*").alias("n_probe"),
+        F.sum("pass").cast("long").alias("n_pass"),
+        F.sum("is_true").cast("long").alias("n_true"),
+        F.sum(F.when((F.col("pass") == 1) & (F.col("is_true") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(F.when((F.col("is_true") == 1) & (F.col("pass") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_neg"),
+    )

@@ -105,6 +105,17 @@ def test_train_split_partitions_and_determinism(spark):
     assert sum(r.n_docs for r in rows) == n_docs
 
 
+def test_bloom_prefilter_contract(spark):
+    """Bloom guarantees: zero false negatives (every true match passes),
+    bounded false-positive rate, and real scan reduction on the corpus."""
+    r = registry()["join_bloom_prefilter"].fn(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r.n_false_neg == 0
+    assert r.n_pass >= r.n_true
+    non_members = r.n_probe - r.n_true
+    assert r.n_false_pos / non_members < 0.10, r
+    assert r.n_pass < r.n_probe * 0.5, "filter must actually cut the probe side"
+
+
 def test_hll_native_linear_counting_accuracy(spark):
     """The op returns raw_est + zero_regs; at low cardinality the documented
     consumer-side linear-counting correction m*ln(m/V) must land within 15%
