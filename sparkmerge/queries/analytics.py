@@ -1221,3 +1221,91 @@ def agg_hll_native(spark, sf_dir):
         "zero_regs",
         "exact_distinct",
     )
+
+
+# --- agg_cms_sketch: count-min sketch with point-query error report ---
+
+_CMS_W = 256  # counters per hash row
+_CMS_SEEDS = [17, 4099, 65537, 999983]  # one independent hash row each
+
+
+def _cms_oracle_sql() -> str:
+    from sparkmerge.ext.hashing import mix32_sql_chain
+
+    def chains(tag: str, src: str, keep: str) -> tuple[str, str]:
+        """CTE text + final per-row (row_idx, slot) UNION ALL selection."""
+        ctes, selects = [], []
+        for i, seed in enumerate(_CMS_SEEDS):
+            ctes.append(
+                mix32_sql_chain(f"{tag}h{i}", src, keep, f"xor(user_id % 4294967296, {seed})")
+            )
+            selects.append(
+                f"SELECT {keep}, {i} AS row_idx, h % {_CMS_W} AS slot FROM {tag}h{i}"
+            )
+        return ",\n".join(ctes), "\nUNION ALL\n".join(selects)
+
+    b_ctes, b_sel = chains("b", "events", "user_id")
+    q_ctes, q_sel = chains("q", "qk", "user_id")
+    return f"""
+WITH {b_ctes},
+slots AS ({b_sel}),
+regs AS (
+  SELECT row_idx, slot, CAST(count(*) AS BIGINT) AS c
+    FROM slots GROUP BY row_idx, slot),
+qk AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+{q_ctes},
+qslots AS ({q_sel}),
+est AS (
+  SELECT q.user_id, min(coalesce(r.c, 0)) AS est
+    FROM qslots q LEFT JOIN regs r
+      ON q.row_idx = r.row_idx AND q.slot = r.slot
+   GROUP BY q.user_id),
+ex AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact
+    FROM events WHERE user_id < 10 GROUP BY user_id)
+SELECT e.user_id, est.est, e.exact, est.est - e.exact AS overcount
+  FROM ex e JOIN est ON e.user_id = est.user_id
+"""
+
+
+@register(
+    "agg_cms_sketch",
+    oracle=_cms_oracle_sql(),
+    description="count-min sketch (4 hash rows x 256 counters, portable "
+    "murmur-finalizer hashes from ext/hashing.py): ONE posexplode pass "
+    "assigns each event its 4 (row, slot) cells, one map-side-combined "
+    "count builds the mergeable counter table, and point queries take the "
+    "min over 4 broadcast lookups — frequency estimation whose memory is "
+    "constant in the key cardinality; overcount >= 0 is structural (CMS "
+    "never underestimates), verified per key against exact counts",
+)
+def agg_cms_sketch(spark, sf_dir):
+    from sparkmerge.ext.hashing import mix32
+
+    e = load(spark, sf_dir, "events")
+
+    def slots(df):
+        arr = F.array(
+            *[
+                mix32((F.col("user_id") % F.lit(4294967296)).bitwiseXOR(F.lit(s))) % _CMS_W
+                for s in _CMS_SEEDS
+            ]
+        )
+        return df.select("user_id", F.posexplode(arr).alias("row_idx", "slot"))
+
+    regs = slots(e).groupBy("row_idx", "slot").agg(F.count("*").alias("c"))
+    qk = e.filter(F.col("user_id") < 10).select("user_id").distinct()
+    est = (
+        slots(qk)
+        .join(F.broadcast(regs), ["row_idx", "slot"], "left")
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
+    ex = (
+        e.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact"))
+    )
+    return ex.join(est, "user_id").select(
+        "user_id", "est", "exact", (F.col("est") - F.col("exact")).alias("overcount")
+    )
