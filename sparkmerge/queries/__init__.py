@@ -67,41 +67,41 @@ def register(op_id: str, *, oracle: str | None = None, description: str = ""):
 # re-verifying ops that already have a green row; round-1-green ops follow.
 # Drop/trim this list as driver coverage accumulates.
 _VERIFY_FIRST = [
-    # Highest value if the driver caps the run again: the LLM-pipeline suite
-    # the round-1 verdict flagged as driver-unverified, plus the round-1
-    # `err: no_oracle` rows whose oracles were added this round.
-    # ext: dedup / similarity / text / pipeline
-    "dedup_exact", "dedup_minhash", "dedup_fuzzy", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_cluster_survivors", "dedup_incremental",
-    "topk_similarity", "ann_lsh", "ann_ivf", "dedup_embedding",
-    "text_stats", "text_tokens", "text_quality", "text_langid",
-    "text_fingerprint", "text_ngram_profile", "text_repetition",
-    "text_pii_scrub", "json_extract_props",
-    "sample_stratified", "pipeline_training_mix", "pipeline_sequence_pack",
-    "pipeline_quality_filter", "pipeline_dataset_card", "dedup_embedding_clusters",
-    # multimodal
-    "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
-    "multimodal_resize", "multimodal_frame_sample",
-    # streaming
-    "window_tumbling", "window_sliding", "window_session",
-    "watermark_late_drop", "stream_stateful_counts", "stream_merge_foreachbatch",
-    "stream_dedup_watermark", "stream_stream_join", "stream_session_window",
-    "funnel_conversion", "rollup_incremental",
-    # round-1 `no_oracle` lifecycle rows + round-2 CDC apply
-    "lastupdate_prop", "debug_dry_run", "txn_commit_rollback",
-    "table_maintenance", "merge_cdc_apply", "join_interval_overlap",
-    # analytics.py (TPC-H suite)
-    "tpch_q1", "tpch_q2_style", "tpch_q3", "tpch_q4_style", "tpch_q5",
-    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9_style", "tpch_q10",
-    "tpch_q11_style", "tpch_q12_style", "tpch_q13", "tpch_q14", "tpch_q15",
+    # Round-3 rotation: the 75 ops with no driver-green row after rounds
+    # 1+2 (CORRECTNESS_r01 ∪ r02 covers the other 95, all pass).  Ordered by
+    # the round-2 verdict's priority: the 16 SURVEY §2.D contract rows first,
+    # then the TPC-H suite, then the functions tail, then retrieval/corpus/
+    # warehouse.  The driver caps a round at 50 ops in this order.
+    # --- SURVEY §2.D unverified rows (16) ---
+    "merge_scd2", "merge_scd2_multibatch", "dedup_containment",
+    "text_decontaminate", "join_asof_tolerance", "agg_histogram",
+    "agg_mode", "agg_outlier_rank", "agg_skew_profile",
+    "embedding_quantize", "fn_bitwise_ops", "json_parse_quarantine",
+    "pipeline_domain_mix", "pipeline_shard_shuffle", "sink_jsonl_shards",
+    "window_retention_cohort",
+    # --- TPC-H suite beyond q1/q2_style (20) ---
+    "tpch_q3", "tpch_q4_style", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q8", "tpch_q9_style", "tpch_q10", "tpch_q11_style",
+    "tpch_q12_style", "tpch_q13", "tpch_q14", "tpch_q15",
     "tpch_q16_style", "tpch_q17_style", "tpch_q18", "tpch_q19_style",
     "tpch_q20_style", "tpch_q21_style", "tpch_q22_style",
-    "agg_grouping_sets", "pivot_wide",
-    "agg_distinct", "agg_percentiles", "agg_approx", "subquery_scalar",
-    # functions.py tail (after fn_window_rownum)
+    # --- functions.py tail (12) ---
     "fn_setop_intersect", "fn_setop_unionall", "fn_setop_except",
-    "fn_datetime_ops", "fn_window_frames", "fn_array_ops", "fn_struct_map_ops",
-    "fn_regexp_ops", "fn_conditional_ops", "fn_math_ops",
+    "fn_datetime_ops", "fn_window_frames", "fn_array_ops",
+    "fn_struct_map_ops", "fn_regexp_ops", "fn_conditional_ops",
+    "fn_math_ops", "fn_try_cast_ops", "fn_window_range_frame",
+    # --- analytics extras (7) ---
+    "agg_grouping_sets", "pivot_wide", "pivot_unpivot", "agg_distinct",
+    "agg_percentiles", "agg_approx", "subquery_scalar",
+    # --- retrieval / corpus (10) ---
+    "text_bm25_topk", "bpe_pair_counts", "events_transition_counts",
+    "text_line_dedup", "text_lm_score", "pipeline_source_cap",
+    "pipeline_train_split", "merge_schema_evolution", "fn_url_ops",
+    "bitext_margin_mine",
+    # --- similarity extras / warehouse (10) ---
+    "ann_pq", "merge_multi_source", "join_fuzzy_name", "table_profile",
+    "validate_constraints", "join_bloom_prefilter", "agg_hll_native",
+    "agg_cms_sketch", "table_zorder_layout", "scan_stats_pruned",
 ]
 
 
