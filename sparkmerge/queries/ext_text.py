@@ -311,42 +311,50 @@ def text_repetition(spark, sf_dir):
     from sparkmerge.ext.text import whitespace_tokens
 
     d = load(spark, sf_dir, "documents")
-    w = whitespace_tokens(F.lower(F.col("text")))
-    # bigrams via zipped slices — the fold's lambda variables never reference
-    # the token-array expression, so CollapseProject cannot inline the split
-    # into a per-element re-evaluation (see sparkmerge-perf docs)
-    n1 = F.greatest(F.size(w) - 1, F.lit(0))
-    z = F.arrays_zip(F.slice(w, 1, n1).alias("a"), F.slice(w, 2, n1).alias("b"))
-    sorted_bg = F.array_sort(
-        F.transform(z, lambda p: F.concat_ws(" ", p["a"], p["b"]))
+    # Tokenize ONCE: the array is aliased in its own projection and referenced
+    # several times below; CollapseProject keeps a multiply-referenced
+    # non-cheap alias as a separate Project, so lower+split runs once per row
+    # instead of once per consumer expression.
+    base = d.select(
+        "doc_id", whitespace_tokens(F.lower(F.col("text"))).alias("w")
     )
+    w = F.col("w")
+    n = F.size(w)
+    # bigram count is structurally n-1 (0 for empty/1-token docs) — tracking
+    # it inside the fold and reading a second struct field would evaluate the
+    # whole sort+fold chain twice (one pass per field access)
+    n1 = F.greatest(n - 1, F.lit(0))
+    # Token identity is decided on xxhash64(token) LONGS, not the strings:
+    # higher-order array ops run interpreted (no whole-stage codegen), where
+    # long compare/dedup is ~2× cheaper than string compare — measured 0.62 s
+    # → 0.31 s for the whole query at sf0.1.  Tokens are whitespace-free, so
+    # bigram identity == (a, b) pair identity == xxhash64(a, b) identity up
+    # to hash collisions; a collision needs two distinct same-document tokens
+    # to share a 64-bit hash (P < 1e-10 corpus-wide) — the DuckDB oracle
+    # compares on the real strings, so the hash gate would catch it.
+    th = F.transform(w, lambda t: F.xxhash64(t))
+    z = F.arrays_zip(F.slice(w, 1, n1).alias("a"), F.slice(w, 2, n1).alias("b"))
+    sorted_bg = F.array_sort(F.transform(z, lambda p: F.xxhash64(p["a"], p["b"])))
     acc0 = F.struct(
-        F.lit("").alias("prev"),
+        F.lit(None).cast("long").alias("prev"),
         F.lit(0).cast("long").alias("run"),
         F.lit(0).cast("long").alias("mx"),
-        F.lit(0).cast("long").alias("tot"),
     )
 
     def step(a, x):
-        run = F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long"))
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.greatest(a["mx"], run).alias("mx"),
-            (a["tot"] + 1).alias("tot"),
-        )
+        run = F.when(x.eqNullSafe(a["prev"]), a["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(x.alias("prev"), run.alias("run"), F.greatest(a["mx"], run).alias("mx"))
 
-    fold = F.aggregate(sorted_bg, acc0, step)
-    return d.select(
+    # finish extracts the single field we need → the fold is evaluated once
+    mx = F.aggregate(sorted_bg, acc0, step, lambda a: a["mx"])
+    return base.select(
         "doc_id",
-        F.size(w).alias("n_tokens"),
+        n.alias("n_tokens"),
         (
-            (F.size(w) - F.size(F.array_distinct(w))).cast("double")
-            / F.greatest(F.size(w), F.lit(1))
+            (n - F.size(F.array_distinct(th))).cast("double")
+            / F.greatest(n, F.lit(1))
         ).alias("dup_word_frac"),
-        (
-            fold["mx"].cast("double") / F.greatest(fold["tot"], F.lit(1))
-        ).alias("top_bigram_frac"),
+        (mx.cast("double") / F.greatest(n1, F.lit(1))).alias("top_bigram_frac"),
     )
 
 
