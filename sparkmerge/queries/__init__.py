@@ -67,41 +67,39 @@ def register(op_id: str, *, oracle: str | None = None, description: str = ""):
 # re-verifying ops that already have a green row; round-1-green ops follow.
 # Drop/trim this list as driver coverage accumulates.
 _VERIFY_FIRST = [
-    # Round-3 rotation: the 75 ops with no driver-green row after rounds
-    # 1+2 (CORRECTNESS_r01 ∪ r02 covers the other 95, all pass).  Ordered by
-    # the round-2 verdict's priority: the 16 SURVEY §2.D contract rows first,
-    # then the TPC-H suite, then the functions tail, then retrieval/corpus/
-    # warehouse.  The driver caps a round at 50 ops in this order.
-    # --- SURVEY §2.D unverified rows (16) ---
-    "merge_scd2", "merge_scd2_multibatch", "dedup_containment",
-    "text_decontaminate", "join_asof_tolerance", "agg_histogram",
-    "agg_mode", "agg_outlier_rank", "agg_skew_profile",
-    "embedding_quantize", "fn_bitwise_ops", "json_parse_quarantine",
-    "pipeline_domain_mix", "pipeline_shard_shuffle", "sink_jsonl_shards",
-    "window_retention_cohort",
-    # --- TPC-H suite beyond q1/q2_style (20) ---
-    "tpch_q3", "tpch_q4_style", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q8", "tpch_q9_style", "tpch_q10", "tpch_q11_style",
-    "tpch_q12_style", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q16_style", "tpch_q17_style", "tpch_q18", "tpch_q19_style",
-    "tpch_q20_style", "tpch_q21_style", "tpch_q22_style",
-    # --- functions.py tail (12) ---
-    "fn_setop_intersect", "fn_setop_unionall", "fn_setop_except",
-    "fn_datetime_ops", "fn_window_frames", "fn_array_ops",
-    "fn_struct_map_ops", "fn_regexp_ops", "fn_conditional_ops",
-    "fn_math_ops", "fn_try_cast_ops", "fn_window_range_frame",
-    # --- analytics extras (7) ---
-    "agg_grouping_sets", "pivot_wide", "pivot_unpivot", "agg_distinct",
-    "agg_percentiles", "agg_approx", "subquery_scalar",
-    # --- retrieval / corpus (10) ---
-    "text_bm25_topk", "bpe_pair_counts", "events_transition_counts",
-    "text_line_dedup", "text_lm_score", "pipeline_source_cap",
-    "pipeline_train_split", "merge_schema_evolution", "fn_url_ops",
-    "bitext_margin_mine",
-    # --- similarity extras / warehouse (10) ---
-    "ann_pq", "merge_multi_source", "join_fuzzy_name", "table_profile",
-    "validate_constraints", "join_bloom_prefilter", "agg_hll_native",
-    "agg_cms_sketch", "table_zorder_layout", "scan_stats_pruned",
+    # Round-4 rotation.  After r1∪r2∪r3 the driver has verified 145/170 ops
+    # (144 green, 1 harness error).  The 50-op window below is:
+    #   (a) the 25 ops with NO driver record after three rounds (r3 verdict
+    #       "What's missing" #1 — positions 51-75 of the r3 queue);
+    #   (b) embedding_quantize — the one red row (array<int> output crashed
+    #       the driver's pandas canonicalizer; output now serialized as a
+    #       comma-joined string, needs a green re-run);
+    #   (c) text_repetition — green in r2 but rewritten after (commit
+    #       353e912, hash-based identity); ADVICE.md asks for a driver
+    #       re-confirmation of the current implementation;
+    #   (d) fill to 50 with the oldest green records (round-1 window, core
+    #       merge ops) so stale-record risk rotates out oldest-first.
+    # --- (a) never driver-verified (25) ---
+    "pivot_unpivot", "agg_distinct", "agg_percentiles", "agg_approx",
+    "subquery_scalar", "text_bm25_topk", "bpe_pair_counts",
+    "events_transition_counts", "text_line_dedup", "text_lm_score",
+    "pipeline_source_cap", "pipeline_train_split", "merge_schema_evolution",
+    "fn_url_ops", "bitext_margin_mine", "ann_pq", "merge_multi_source",
+    "join_fuzzy_name", "table_profile", "validate_constraints",
+    "join_bloom_prefilter", "agg_hll_native", "agg_cms_sketch",
+    "table_zorder_layout", "scan_stats_pruned",
+    # --- (b) red row, now fixed (1) ---
+    "embedding_quantize",
+    # --- (c) stale record after rewrite (1) ---
+    "text_repetition",
+    # --- (d) oldest green records, round-1 window order (23) ---
+    "merge_full", "join_null_safe_eq", "join_composite_key",
+    "change_detect_intersect", "update_changed", "update_suppressed_all_key",
+    "insert_unmatched", "delete_unmatched", "softdelete_unmatched",
+    "keep_unmatched", "target_filter_scope", "badkey_rank", "output_audit",
+    "threshold_guard", "lastupdate_prop", "debug_dry_run", "split_csv",
+    "ident_normalize", "schema_introspect", "schema_align_fullouter",
+    "validate_params", "string_agg_gen", "dynamic_exec",
 ]
 
 

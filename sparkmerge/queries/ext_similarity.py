@@ -302,16 +302,19 @@ WITH amaxed AS (
     FROM embeddings
 )
 SELECT vec_id, amax,
-       list_transform(embedding, x -> CAST(floor(
+       array_to_string(list_transform(embedding, x -> CAST(floor(
          CAST(x AS DOUBLE) * (CASE WHEN amax = 0 THEN 0.0 ELSE 127.0 / amax END)
-         + 0.5) AS INT)) AS q
+         + 0.5) AS INT)), ',') AS q
   FROM amaxed
 """,
     description="int8 symmetric vector quantization: per-vector absolute max "
     "-> scale 127/amax -> floor(x*scale + 0.5) (explicit half-up — round() "
     "half-even vs half-away differs between engines, floor(+0.5) does not); "
     "pure map-side array math, zero shuffles, the compression pass before "
-    "shipping vectors to an ANN index",
+    "shipping vectors to an ANN index.  The registry output serializes q as a "
+    "comma-joined string: the driver comparator canonicalizes via pandas "
+    "sort_values, which cannot sort bare list cells (CORRECTNESS_r03 "
+    "TypeError) — same information, comparator-safe on both engines.",
 )
 def embedding_quantize(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
@@ -322,7 +325,8 @@ def embedding_quantize(spark, sf_dir):
     amaxed = emb.select("vec_id", "embedding", amax.alias("amax"))
     scale = F.when(F.col("amax") == 0, F.lit(0.0)).otherwise(127.0 / F.col("amax"))
     q = F.transform(e, lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"))
-    return amaxed.select("vec_id", "amax", q.alias("q"))
+    q_str = F.array_join(F.transform(q, lambda x: x.cast("string")), ",")
+    return amaxed.select("vec_id", "amax", q_str.alias("q"))
 
 
 # --- ann_pq: product-quantization ANN with ADC scoring ---
