@@ -7,9 +7,23 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
      "unit": "sec", "queries": {<op_id>: sec, ...}, "sf": <sf>,
      "duckdb": {<op_id>: sec, ...}, "ratio_vs_duckdb": <total ratio>}
 
-Per query: one untimed warm-up run then one timed run, identically for both
-engines.  Spark materialization uses the noop sink (full execution, no
+Per query: one warm-up run then the median of 5 timed runs, identically for
+both engines.  Spark materialization uses the noop sink (full execution, no
 driver-side row transfer); DuckDB fetches arrow (its native materialization).
+
+Repeats adapt to query weight so the protocol stays usable at larger SFs
+(the sf1 scaling column, BASELINE.md): a query whose warm-up exceeds 10 s
+records that single run; over 2 s, median of 3.  At sf0.1 every headline
+query warms up in <2 s, so the driver-run protocol is unchanged (median 5).
+
+When run at the default sf0.1 dir, a second leg re-measures the headline
+set at sf1 (~170 MiB, derived from sf0.1 by tools/gen_scale.py — key-offset
+replication, see its docstring) and embeds it under "sf1" in the same JSON
+line.  The job floor that dominates sub-100 ms queries at sf0.1 amortizes
+at sf1, which is the point of recording both (BASELINE.md round-4 section).
+The leg is wall-clock-budgeted (SPARK_GRAFT_SF1_BUDGET sec, default 360;
+SPARK_GRAFT_SF1=0 disables) and failure-isolated, so the primary sf0.1
+output line is never at risk.
 """
 
 from __future__ import annotations
@@ -75,15 +89,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
 
+    def _repeats(warmup_sec: float) -> int:
+        return 1 if warmup_sec >= 10 else 3 if warmup_sec >= 2 else 5
+
     def run_spark(op_id: str) -> float:
+        t0 = time.perf_counter()
         reg[op_id].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+        warm = time.perf_counter() - t0
+        n = _repeats(warm)
+        if n == 1:
+            return warm
         times = []
-        for _ in range(5):
+        for _ in range(n):
             df = reg[op_id].fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
-        return sorted(times)[2]  # median of 5 (codegen/JIT settles after run 1)
+        return sorted(times)[n // 2]  # median (codegen/JIT settles after run 1)
 
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
@@ -94,13 +116,18 @@ def main() -> None:
         sql = reg[op_id].oracle
         if sql is None:
             return None
+        t0 = time.perf_counter()
         con.sql(sql).arrow()  # warm-up
+        warm = time.perf_counter() - t0
+        n = _repeats(warm)
+        if n == 1:
+            return warm
         times = []
-        for _ in range(5):
+        for _ in range(n):
             t0 = time.perf_counter()
             con.sql(sql).arrow()
             times.append(time.perf_counter() - t0)
-        return sorted(times)[2]
+        return sorted(times)[n // 2]
 
     spark_times: dict[str, float] = {}
     duck_times: dict[str, float] = {}
@@ -122,7 +149,106 @@ def main() -> None:
         "duckdb": duck_times,
         "ratio_vs_duckdb": round(comparable / duck_total, 3) if duck_total else None,
     }
+
+    if sf == "0.1" and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        try:
+            out["sf1"] = _sf1_leg(spark, reg)
+        except Exception as e:  # never risk the primary output line
+            out["sf1"] = {"error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps(out))
+
+
+def _sf1_leg(spark, reg) -> dict:
+    """Re-measure the headline set at sf1 inside the same session.
+
+    The session was built with the lean profile (input_bytes = sf0.1); the
+    confs that matter for the 10× leg — shuffle parallelism, AQE, split
+    size — are dynamic SQL confs, so flip them to the scale profile for the
+    leg and restore after.  Budgeted: once SPARK_GRAFT_SF1_BUDGET seconds
+    (default 360) have elapsed, remaining queries are recorded as skipped.
+    """
+    import subprocess
+
+    sf1_dir = "/tmp/sparkmerge_sf1"
+    if not os.path.isdir(sf1_dir):
+        subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "gen_scale.py")],
+            check=True,
+            capture_output=True,
+        )
+    budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "360"))
+    t_start = time.perf_counter()
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={cpus}")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf1_dir}/{t}.parquet')")
+
+    def timed(run) -> float:
+        t0 = time.perf_counter()
+        run()
+        warm = time.perf_counter() - t0
+        n = 1 if warm >= 10 else 3 if warm >= 2 else 5
+        if n == 1:
+            return warm
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        return sorted(times)[n // 2]
+
+    spark_times: dict[str, float] = {}
+    duck_times: dict[str, float] = {}
+    skipped: list[str] = []
+    oracle_skipped: list[str] = []
+    try:
+        for op_id in HEADLINE:
+            if time.perf_counter() - t_start > budget:
+                skipped.append(op_id)
+                continue
+            spec = reg[op_id]
+            spark_times[op_id] = round(
+                timed(lambda: spec.fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()), 4
+            )
+            # The two set-similarity oracles are all-pairs (quadratic) in
+            # DuckDB: ~10 min EACH at sf1 (measured, BASELINE.md round-4
+            # section), and the budget guards entry, not duration — never
+            # run them here; the standalone sf1 runs record them.
+            if op_id in ("dedup_ngram_jaccard", "dedup_containment"):
+                oracle_skipped.append(op_id)
+            elif spec.oracle is not None and time.perf_counter() - t_start <= budget:
+                duck_times[op_id] = round(timed(lambda: con.sql(spec.oracle).arrow()), 4)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+    comparable = sum(spark_times[k] for k in duck_times)
+    duck_total = sum(duck_times.values())
+    return {
+        "sf": 1,
+        "queries": spark_times,
+        "duckdb": duck_times,
+        "ratio_vs_duckdb": round(comparable / duck_total, 3) if duck_total else None,
+        "skipped": skipped,
+        "oracle_skipped": oracle_skipped,
+    }
 
 
 if __name__ == "__main__":

@@ -13,7 +13,13 @@ import os
 from pyspark.sql import SparkSession
 
 
-_SMALL_INPUT_BYTES = 2 * 1024**3  # < 2 GiB → the lean profile wins
+# Below this input size the lean profile (8 partitions, AQE off) wins: every
+# shuffle fits one task's memory and AQE's query-stage barriers plus idle-core
+# scheduling cost more than they save (measured at sf0.1 ≈ 17 MiB).  Above it
+# the work per task dominates the barrier cost and undersized parallelism
+# throttles the box — measured at sf1 ≈ 177 MiB, where the lean profile pinned
+# exactly 8 of 32 cores on the set-similarity joins.
+_SMALL_INPUT_BYTES = 64 * 1024**2
 
 
 def get_spark(
@@ -61,7 +67,17 @@ def get_spark(
         .config("spark.sql.warehouse.dir", "/tmp/sparkmerge_warehouse")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast threshold: under the lean profile every table in a
+        # <64 MiB corpus is dimension-sized, so broadcasting everything is
+        # right.  At scale keep Spark's 10 MiB default — measured at sf1
+        # (BASELINE.md round-4): 64 MiB made the planner broadcast the
+        # 1.5M-row orders table (single-threaded driver hash build), tripling
+        # tpch_q3/q5; the same mistake at 100 TB would OOM the driver.  AQE
+        # still upgrades shuffle joins to broadcast from runtime stats.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024 if small else 10 * 1024 * 1024),
+        )
         # Split size governs scan parallelism.  The local corpus is ~MBs per
         # table, so the 128 MB default would put every file on one task; 4 MB
         # (1 MB under the lean profile) gives the 32 cores work.  A real

@@ -4,10 +4,19 @@ order-insensitive value comparison (exact for ints/strings/bools/timestamps,
 bit-exact for doubles — matching the driver's value-hash gate).
 
 Usage: python tools/check_oracle.py [sf_dir] [op_id ...]
+       python tools/check_oracle.py --json LOCAL_ORACLE.json [sf_dir] [op_id ...]
+
+``--json PATH`` additionally writes a machine-readable artifact
+(op → pass/fail/rows-only + row count + seconds, plus sf dir and a
+UTC timestamp) so the judge can distinguish "untested by the driver's
+50-op window" from "untested entirely" without trusting a commit
+message (round-3 verdict task 8).
 """
 
 from __future__ import annotations
 
+import datetime
+import json
 import sys
 import time
 import traceback
@@ -44,8 +53,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_path = None
+    if argv and argv[0] == "--json":
+        json_path = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from sparkmerge.queries import registry
     from sparkmerge.session import get_spark
@@ -58,6 +72,7 @@ def main() -> int:
 
     reg = registry()
     failures, passed, rows_only = [], 0, 0
+    record: dict[str, dict] = {}
     for op_id, spec in sorted(reg.items()):
         if only and op_id not in only:
             continue
@@ -66,15 +81,18 @@ def main() -> int:
             sdf = spec.fn(spark, sf_dir).toPandas()
         except Exception:
             failures.append((op_id, "SPARK ERROR:\n" + traceback.format_exc(limit=8)))
+            record[op_id] = {"status": "spark_error", "rows": None, "secs": round(time.time() - t0, 2)}
             continue
         if spec.oracle is None:
             rows_only += 1
             print(f"  ~ {op_id:28s} rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            record[op_id] = {"status": "rows_only", "rows": len(sdf), "secs": round(time.time() - t0, 2)}
             continue
         try:
             odf = con.sql(spec.oracle).df()
         except Exception:
             failures.append((op_id, "ORACLE ERROR:\n" + traceback.format_exc(limit=4)))
+            record[op_id] = {"status": "oracle_error", "rows": len(sdf), "secs": round(time.time() - t0, 2)}
             continue
         problems = []
         if len(sdf) != len(odf):
@@ -96,9 +114,25 @@ def main() -> int:
         if problems:
             failures.append((op_id, "; ".join(problems)))
             print(f"  ✗ {op_id:28s} MISMATCH ({time.time()-t0:.1f}s)")
+            record[op_id] = {"status": "mismatch", "rows": len(sdf), "secs": round(time.time() - t0, 2)}
         else:
             passed += 1
             print(f"  ✓ {op_id:28s} ok ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            record[op_id] = {"status": "pass", "rows": len(sdf), "secs": round(time.time() - t0, 2)}
+
+    if json_path:
+        artifact = {
+            "sf_dir": sf_dir,
+            "generated_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
+            "pass": passed,
+            "rows_only": rows_only,
+            "failures": len(failures),
+            "total_registry": len(reg),
+            "ops": record,
+        }
+        with open(json_path, "w", encoding="utf-8") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
 
     print(f"\n{passed} hash-match, {rows_only} rows-only, {len(failures)} failures / {len(reg)} ops")
     for op_id, msg in failures:
