@@ -151,6 +151,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     band_key: str = "hash",
+    carry_sig: bool = True,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature into a bucket; docs
     sharing any (band, bucket) become a candidate pair (a_id < b_id).
@@ -160,10 +161,17 @@ def minhash_lsh_pairs(
     One ``posexplode`` over the band array feeds a single self-join keyed on
     (band index, bucket) — ONE shuffle for all bands, versus the naive
     per-band join which costs ``bands`` shuffles (and ``bands``× the task
-    overhead).  Signatures ride through the band rows so the estimated
-    Jaccard needs no rejoin; that multiplies the shuffle payload by the
-    signature width — for corpora where the signature dominates the row,
-    project it out here and rejoin on id after the pair dedup instead.
+    overhead).
+
+    ``carry_sig=True`` (default) rides the signatures through the band rows
+    so the estimated Jaccard needs no rejoin — fastest when the signature
+    (num_hashes longs) is small next to the rest of the row, which holds at
+    the local SFs.  ``carry_sig=False`` ships only (band, bucket, id)
+    through the candidate shuffle — ``num_hashes``× less shuffle payload —
+    and rejoins the signature table on a_id/b_id after the pair dedup: the
+    shape to pick when pairs ≪ banded rows and the signature dominates the
+    row, i.e. a 100 TB corpus.  Identical output by construction
+    (tests/test_ext.py::test_minhash_carry_sig_modes_identical).
 
     ``band_key='hash'`` (default) buckets each band through xxhash64 — a
     fixed-width shuffle key.  ``band_key='slice'`` joins on the band's raw
@@ -183,26 +191,42 @@ def minhash_lsh_pairs(
     else:
         raise ValueError(f"unknown band_key {band_key!r}")
     bands_arr = F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), bucket_of)
-    banded = sig_arr.select(
-        id_col, "_sig", F.posexplode(bands_arr).alias("_band", "_bucket")
-    )
-    left = banded.select(
-        "_band", "_bucket", F.col(id_col).alias("a_id"), F.col("_sig").alias("_a_sig")
-    )
-    right = banded.select(
-        "_band", "_bucket", F.col(id_col).alias("b_id"), F.col("_sig").alias("_b_sig")
-    )
     matches = F.size(
         F.filter(
             F.zip_with(F.col("_a_sig"), F.col("_b_sig"), lambda x, y: x == y),
             lambda eq: eq,
         )
     )
-    return (
+    est = (matches / float(num_hashes)).alias("est_jaccard")
+    if carry_sig:
+        banded = sig_arr.select(
+            id_col, "_sig", F.posexplode(bands_arr).alias("_band", "_bucket")
+        )
+        left = banded.select(
+            "_band", "_bucket", F.col(id_col).alias("a_id"), F.col("_sig").alias("_a_sig")
+        )
+        right = banded.select(
+            "_band", "_bucket", F.col(id_col).alias("b_id"), F.col("_sig").alias("_b_sig")
+        )
+        return (
+            left.join(right, ["_band", "_bucket"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .dropDuplicates(["a_id", "b_id"])
+            .select("a_id", "b_id", est)
+        )
+    banded = sig_arr.select(id_col, F.posexplode(bands_arr).alias("_band", "_bucket"))
+    left = banded.select("_band", "_bucket", F.col(id_col).alias("a_id"))
+    right = banded.select("_band", "_bucket", F.col(id_col).alias("b_id"))
+    pairs = (
         left.join(right, ["_band", "_bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
-        .select("a_id", "b_id", (matches / float(num_hashes)).alias("est_jaccard"))
+    )
+    a_sig = sig_arr.select(F.col(id_col).alias("a_id"), F.col("_sig").alias("_a_sig"))
+    b_sig = sig_arr.select(F.col(id_col).alias("b_id"), F.col("_sig").alias("_b_sig"))
+    return (
+        pairs.join(a_sig, "a_id").join(b_sig, "b_id").select("a_id", "b_id", est)
     )
 
 
