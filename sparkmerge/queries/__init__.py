@@ -35,6 +35,8 @@ _MODULES = [
     "sparkmerge.queries.ext_streaming",
     "sparkmerge.queries.ext_corpus",
     "sparkmerge.queries.ext_retrieval",
+    "sparkmerge.queries.ext_curation",
+    "sparkmerge.queries.ext_analysis",
 ]
 
 
@@ -77,6 +79,8 @@ _VERIFY_FIRST = [
     #   (c) text_repetition — green in r2 but rewritten after (commit
     #       353e912, hash-based identity); ADVICE.md asks for a driver
     #       re-confirmation of the current implementation;
+    #   (e) the round-4 curation batch (ext_curation.py) — 8 new ops with
+    #       no driver record yet (local check_oracle green at sf0.001/0.01);
     #   (d) fill to 50 with the oldest green records (round-1 window, core
     #       merge ops) so stale-record risk rotates out oldest-first.
     # --- (a) never driver-verified (25) ---
@@ -92,14 +96,18 @@ _VERIFY_FIRST = [
     "embedding_quantize",
     # --- (c) stale record after rewrite (1) ---
     "text_repetition",
-    # --- (d) oldest green records, round-1 window order (23) ---
+    # --- (e) round-4 curation/analysis batches — new ops, no driver record
+    #     yet (15: ext_curation.py 8 + ext_analysis.py 7) ---
+    "pipeline_chunk_split", "pipeline_repeat_upsample",
+    "pipeline_curriculum_order", "agg_reservoir_sample", "text_markup_strip",
+    "ann_range_search", "agg_corr_pairs", "text_keyword_tfidf",
+    "events_anomaly_mad", "text_boilerplate_frac", "retrieval_rrf_fusion",
+    "agg_token_gini", "pipeline_dataset_diff", "events_top_paths",
+    "text_cooccurrence_window",
+    # --- (d) oldest green records, round-1 window order (8) ---
     "merge_full", "join_null_safe_eq", "join_composite_key",
     "change_detect_intersect", "update_changed", "update_suppressed_all_key",
-    "insert_unmatched", "delete_unmatched", "softdelete_unmatched",
-    "keep_unmatched", "target_filter_scope", "badkey_rank", "output_audit",
-    "threshold_guard", "lastupdate_prop", "debug_dry_run", "split_csv",
-    "ident_normalize", "schema_introspect", "schema_align_fullouter",
-    "validate_params", "string_agg_gen", "dynamic_exec",
+    "insert_unmatched", "delete_unmatched",
 ]
 
 

@@ -1,0 +1,533 @@
+"""[EXT] round-4 batch-2 operators (SURVEY.md §2.D, r4): corpus/event
+analysis, hybrid retrieval, dataset versioning.
+
+- ``events_anomaly_mad`` — robust (median/MAD) anomaly flags per event type
+- ``text_boilerplate_frac`` — corpus-level duplicated-5-gram share per doc
+- ``retrieval_rrf_fusion`` — keyword + vector reciprocal-rank fusion
+- ``agg_token_gini`` — Gini coefficient of the corpus token distribution
+- ``pipeline_dataset_diff`` — added/removed/changed audit between versions
+- ``events_top_paths`` — most common 3-step user journeys
+- ``text_cooccurrence_window`` — ±2-token co-occurrence pair counts
+
+Not in the reference (no corpus/event layer there); driver test data cited
+instead.  FP discipline (the registry contract): medians are computed by an
+EXPLICIT window-rank formulation on both sides — never the engines' own
+``median()``, whose interpolation form ``a+(b-a)·f`` vs ``(a+b)/2`` is not
+bit-portable — and every other float output is a single IEEE op on exact
+integers (odds-ratio idf, 1/(60+rank) RRF, Gini's one division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkmerge.ext.similarity import cosine
+from sparkmerge.ext.text import fingerprint
+from sparkmerge.queries import load, register
+from sparkmerge.queries.ext_similarity import _cos_sql
+
+_WS = r"\s+"
+_TOKS = f"list_filter(string_split_regex(lower(text), '{_WS}'), x -> x <> '')"
+
+
+def _spark_toks():
+    return F.filter(F.split(F.lower(F.col("text")), _WS), lambda x: x != "")
+
+
+# --- events_anomaly_mad: robust per-type anomaly detection ---
+
+# Window-rank median: rn over (value, id), central picks lo=(n+1)//2 and
+# hi=(n+2)//2, median = avg of the picked values — (a+b)/2 in BOTH engines.
+_MED_PICK = "rn >= (cnt + 1) // 2 AND rn <= (cnt + 2) // 2"
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+WITH r1 AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM events
+),
+med AS (
+  SELECT event_type, avg(value) FILTER ({_MED_PICK}) AS med
+    FROM r1 GROUP BY event_type
+),
+d AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS dev
+    FROM events e JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM d
+),
+mad AS (
+  SELECT event_type, avg(dev) FILTER ({_MED_PICK}) AS mad
+    FROM r2 GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value, d.med, mad.mad,
+       (d.dev > (3.0 * mad.mad)) AS is_anomaly
+  FROM d JOIN mad USING (event_type)
+""",
+    description="distribution-free anomaly flags: per-event-type median and "
+    "MAD (median absolute deviation), flag |v−med| > 3·MAD — robust where "
+    "mean/stddev break on heavy tails.  Medians via an explicit window-rank "
+    "pick (sort spills to disk; the engines' in-memory median() buffers "
+    "don't survive billion-row groups, and their interpolation isn't "
+    "bit-portable); the per-type stats are group-count-sized and broadcast "
+    "back, so the fact stream shuffles only for the two rank windows",
+)
+def events_anomaly_mad(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    wp = Window.partitionBy("event_type")
+
+    def _median_of(df, col, out):
+        rn = F.row_number().over(wp.orderBy(col, "event_id"))
+        cnt = F.count("*").over(wp)
+        r = df.withColumn("rn", rn).withColumn("cnt", cnt)
+        # integer-div picks: (n+1)//2, (n+2)//2
+        pick = (F.col("rn") >= F.expr("(cnt + 1) DIV 2")) & (
+            F.col("rn") <= F.expr("(cnt + 2) DIV 2")
+        )
+        return r.groupBy("event_type").agg(
+            F.avg(F.when(pick, F.col(col))).alias(out)
+        )
+
+    med = _median_of(e.select("event_id", "event_type", "value"), "value", "med")
+    d = e.select("event_id", "event_type", "value").join(
+        F.broadcast(med), "event_type"
+    ).withColumn("dev", F.abs(F.col("value") - F.col("med")))
+    mad = _median_of(d.select("event_id", "event_type", F.col("dev")), "dev", "mad")
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            (F.col("dev") > (F.lit(3.0) * F.col("mad"))).alias("is_anomaly"),
+        )
+    )
+
+
+# --- text_boilerplate_frac: corpus-duplicated 5-gram share per document ---
+
+_G5_SQL = (
+    "list_transform(generate_series(1, greatest(len(toks) - 4, 0)), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])"
+)
+
+
+@register(
+    "text_boilerplate_frac",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, unnest({_G5_SQL}) AS gram FROM t),
+cc AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram),
+per AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN cc.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+    FROM g JOIN cc USING (gram) GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(per.n_grams, 0) AS n_grams,
+       COALESCE(per.n_boiler, 0) AS n_boiler,
+       CAST(COALESCE(per.n_boiler, 0) AS DOUBLE)
+         / CAST(greatest(COALESCE(per.n_grams, 0), 1) AS DOUBLE) AS boiler_frac
+  FROM t LEFT JOIN per USING (doc_id)
+""",
+    description="Gopher/RefinedWeb-style boilerplate signal: the fraction of "
+    "a document's word 5-grams that occur ≥2 times corpus-wide (nav bars, "
+    "license footers, templated text).  Shingle once per doc behind the "
+    "Generate barrier, one gram-count shuffle, count-join co-partitioned on "
+    "gram, one per-doc agg — everything linear in corpus size, the exact "
+    "complement of text_repetition's WITHIN-doc signal",
+)
+def text_boilerplate_frac(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", _spark_toks().alias("toks"))
+    grams_arr = F.when(
+        F.size("toks") >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 4),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+                F.element_at(F.col("toks"), i + 3),
+                F.element_at(F.col("toks"), i + 4),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t.select("doc_id", F.explode(grams_arr).alias("gram"))
+    cc = g.groupBy("gram").agg(F.count("*").alias("cnt"))
+    per = (
+        g.join(cc, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).alias("n_boiler"),
+        )
+    )
+    return t.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+        (
+            F.coalesce("n_boiler", F.lit(0)).cast("double")
+            / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)).cast("double")
+        ).alias("boiler_frac"),
+    )
+
+
+# --- retrieval_rrf_fusion: hybrid keyword + vector retrieval ---
+
+_RRF_TERMS = [("merge", 3), ("hash", 2), ("window", 1)]
+_RRF_C = 60
+_RRF_POOL = 20
+_RRF_K = 10
+
+
+def _rrf_oracle_sql() -> str:
+    tf_cols = ", ".join(
+        f"CAST(sum(CASE WHEN w = '{t}' THEN {wgt} ELSE 0 END) AS BIGINT) AS s{i}"
+        for i, (t, wgt) in enumerate(_RRF_TERMS)
+    )
+    kscore = " + ".join(f"s{i}" for i in range(len(_RRF_TERMS)))
+    return f"""
+WITH words AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+ks AS (
+  SELECT doc_id, {tf_cols} FROM words GROUP BY doc_id
+),
+kr AS (
+  SELECT doc_id, CAST(rk AS INT) AS krank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY ({kscore}) DESC, doc_id) AS rk
+      FROM ks WHERE ({kscore}) > 0) x
+   WHERE rk <= {_RRF_POOL}
+),
+q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+vr AS (
+  SELECT vec_id, CAST(rk AS INT) AS vrank FROM (
+    SELECT e.vec_id,
+           row_number() OVER (ORDER BY {_cos_sql('q.q_vec', 'e.embedding')} DESC,
+                              e.vec_id) AS rk
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0) x
+   WHERE rk <= {_RRF_POOL}
+)
+SELECT doc_id, rrf, CAST(rank AS INT) AS rank FROM (
+  SELECT COALESCE(kr.doc_id, vr.vec_id) AS doc_id,
+         (COALESCE(1.0 / ({_RRF_C} + kr.krank), 0.0)
+          + COALESCE(1.0 / ({_RRF_C} + vr.vrank), 0.0)) AS rrf,
+         row_number() OVER (
+           ORDER BY (COALESCE(1.0 / ({_RRF_C} + kr.krank), 0.0)
+                     + COALESCE(1.0 / ({_RRF_C} + vr.vrank), 0.0)) DESC,
+                    COALESCE(kr.doc_id, vr.vec_id)) AS rank
+    FROM kr FULL OUTER JOIN vr ON kr.doc_id = vr.vec_id) f
+ WHERE rank <= {_RRF_K}
+"""
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=_rrf_oracle_sql(),
+    description="hybrid retrieval via reciprocal-rank fusion: a weighted "
+    "keyword-hit ranking (exact integers) and a cosine vector ranking "
+    "(registry left-fold) each produce a top-20 pool; RRF combines them as "
+    "1/(60+rank_kw) + 1/(60+rank_vec) — two single IEEE divisions and one "
+    "add, rank-based so no score calibration across modalities is needed "
+    "(the reason production hybrid search uses RRF).  Both pools are "
+    "top-K-bounded, so the fusion join is trivially broadcastable",
+)
+def retrieval_rrf_fusion(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    words = d.select("doc_id", F.explode(_spark_toks()).alias("w"))
+    ks = words.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("w") == t, wgt).otherwise(0)).alias(f"s{i}")
+            for i, (t, wgt) in enumerate(_RRF_TERMS)
+        ]
+    )
+    kscore = sum(F.col(f"s{i}") for i in range(len(_RRF_TERMS)))
+    wk = Window.orderBy(F.desc(kscore), F.asc("doc_id"))
+    kr = (
+        ks.filter(kscore > 0)
+        .withColumn("krank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("krank") <= _RRF_POOL)
+        .select("doc_id", "krank")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    sim = cosine(F.col("q_vec"), F.col("embedding"))
+    wv = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    vr = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("sim"))
+        .withColumn("vrank", F.row_number().over(wv).cast("int"))
+        .filter(F.col("vrank") <= _RRF_POOL)
+        .select("vec_id", "vrank")
+    )
+    fused = kr.join(vr, kr["doc_id"] == vr["vec_id"], "full_outer")
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("krank")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("vrank")), F.lit(0.0)
+    )
+    fid = F.coalesce(kr["doc_id"], vr["vec_id"])
+    wf = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.select(fid.alias("doc_id"), rrf.alias("rrf"))
+        .withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= _RRF_K)
+    )
+
+
+# --- agg_token_gini: corpus token-distribution inequality ---
+
+
+@register(
+    "agg_token_gini",
+    oracle=f"""
+WITH words AS (SELECT unnest({_TOKS}) AS w FROM documents),
+vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY w),
+ranked AS (
+  SELECT cnt,
+         CAST(row_number() OVER (ORDER BY cnt, w) AS BIGINT) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS v
+    FROM vocab
+),
+s AS (
+  SELECT CAST(max(v) AS BIGINT) AS v,
+         CAST(sum(cnt) AS BIGINT) AS total,
+         CAST(sum((2 * i - v - 1) * cnt) AS BIGINT) AS num
+    FROM ranked
+)
+SELECT v AS vocab_size, total AS total_tokens,
+       CAST(num AS DOUBLE) / CAST(v * total AS DOUBLE) AS gini
+  FROM s
+""",
+    description="Gini coefficient of the corpus token-frequency distribution "
+    "(how head-heavy the vocabulary is — drives tokenizer and sampling "
+    "decisions): G = Σ(2i−V−1)·cnt_i / (V·T) over counts ranked ascending. "
+    "The numerator accumulates in exact integers (deterministic under any "
+    "partitioning — a float sum here would not be), one final IEEE "
+    "division.  The rank runs over the VOCAB AGGREGATE, which is orders "
+    "smaller than the corpus; for an extreme vocab, range-partition + "
+    "per-shard offsets (the sequence_pack trick) replaces the single sort",
+)
+def agg_token_gini(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(_spark_toks()).alias("w"))
+    vocab = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    wi = Window.orderBy("cnt", "w")
+    wall = Window.partitionBy()
+    ranked = vocab.select(
+        "cnt",
+        F.row_number().over(wi).cast("bigint").alias("i"),
+        F.count("*").over(wall).cast("bigint").alias("v"),
+    )
+    s = ranked.agg(
+        F.max("v").alias("v"),
+        F.sum("cnt").alias("total"),
+        F.sum((2 * F.col("i") - F.col("v") - 1) * F.col("cnt")).alias("num"),
+    )
+    return s.select(
+        F.col("v").alias("vocab_size"),
+        F.col("total").alias("total_tokens"),
+        (F.col("num").cast("double") / (F.col("v") * F.col("total")).cast("double")).alias(
+            "gini"
+        ),
+    )
+
+
+# --- pipeline_dataset_diff: version-to-version change audit ---
+
+_FP_OF = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({e}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, c) -> (acc * 31 + c) % 1000000007)"
+)
+
+
+@register(
+    "pipeline_dataset_diff",
+    oracle=f"""
+WITH v1 AS (
+  SELECT doc_id, {_FP_OF.format(e='text')} AS fp FROM documents
+),
+v2 AS (
+  SELECT doc_id,
+         {_FP_OF.format(e="CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END")} AS fp
+    FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, {_FP_OF.format(e='text')} AS fp
+    FROM documents WHERE doc_id % 19 = 0
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN v1.doc_id IS NULL THEN 'added'
+            ELSE 'changed' END AS status,
+       v1.fp AS fp_v1, v2.fp AS fp_v2
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+ WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.fp <> v2.fp
+""",
+    description="dataset-version diff (the audit a data-versioning layer "
+    "publishes between releases): full-outer join on doc id, rolling-hash "
+    "content fingerprints decide changed-vs-same, output only the delta "
+    "(added / removed / changed).  v2 is derived deterministically from the "
+    "corpus (drop %17, mutate %13, add %19 under new ids).  One join "
+    "shuffle on the key — the merge engine's own shape, applied to corpus "
+    "governance",
+)
+def pipeline_dataset_diff(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    v1 = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    mutated = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    v2 = (
+        d.filter(F.col("doc_id") % 17 != 0)
+        .select("doc_id", fingerprint(mutated).alias("fp"))
+        .unionAll(
+            d.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                fingerprint(F.col("text")).alias("fp"),
+            )
+        )
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.doc_id").isNull(), "added")
+        .otherwise("changed")
+    )
+    return j.filter(
+        F.col("a.doc_id").isNull()
+        | F.col("b.doc_id").isNull()
+        | (F.col("a.fp") != F.col("b.fp"))
+    ).select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        status.alias("status"),
+        F.col("a.fp").alias("fp_v1"),
+        F.col("b.fp").alias("fp_v2"),
+    )
+
+
+# --- events_top_paths: most common 3-step user journeys ---
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+),
+p AS (
+  SELECT user_id,
+         concat_ws('>',
+           max(CASE WHEN rn = 1 THEN event_type END),
+           max(CASE WHEN rn = 2 THEN event_type END),
+           max(CASE WHEN rn = 3 THEN event_type END)) AS path
+    FROM r WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, n_users FROM (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_users,
+         row_number() OVER (ORDER BY count(*) DESC, path) AS rk
+    FROM p GROUP BY path) x
+ WHERE rk <= 10
+""",
+    description="top onboarding journeys: each user's first three events "
+    "(ordered by ts, event_id) collapse to a '>'-joined path, counted "
+    "corpus-wide, top-10 with deterministic ties.  One user-keyed rank "
+    "window + conditional-max pivot (NO collect_list — its element order is "
+    "partition-dependent), then a map-side-combined count over a "
+    "type³-bounded result",
+)
+def events_top_paths(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.select("user_id", "event_type", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= 3
+    )
+    p = r.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+        ).alias("path")
+    )
+    counts = p.groupBy("path").agg(F.count("*").alias("n_users"))
+    wr = Window.orderBy(F.desc("n_users"), F.asc("path"))
+    return (
+        counts.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 10)
+        .select("path", "n_users")
+    )
+
+
+# --- text_cooccurrence_window: ±2-token co-occurrence counts ---
+
+
+@register(
+    "text_cooccurrence_window",
+    oracle=f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+pairs AS (
+  SELECT unnest(list_concat(
+           list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                          i -> toks[i] || ' ' || toks[i+1]),
+           list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                          i -> toks[i] || ' ' || toks[i+2]))) AS pair
+    FROM t
+)
+SELECT pair, cnt FROM (
+  SELECT pair, CAST(count(*) AS BIGINT) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, pair) AS rk
+    FROM pairs GROUP BY pair) x
+ WHERE rk <= 20
+""",
+    description="skip-gram co-occurrence statistics (the word2vec / PMI "
+    "data-prep kernel): ordered token pairs within a ±2 window, counted "
+    "corpus-wide, top-20.  Pair arrays are built MAP-SIDE per document "
+    "(gap-1 ++ gap-2 transforms over the tokenized array — no positional "
+    "self-join, which would shuffle the corpus twice), then one "
+    "map-side-combined count; integer outputs, deterministic ties",
+)
+def text_cooccurrence_window(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    t = d.select(_spark_toks().alias("toks"))
+
+    def gap_pairs(gap):
+        idxs = F.when(
+            F.size("toks") >= gap + 1, F.sequence(F.lit(1), F.size("toks") - gap)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idxs,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + gap),
+            ),
+        )
+
+    pairs = t.select(
+        F.explode(F.concat(gap_pairs(1), gap_pairs(2))).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("pair", "cnt")
+    )

@@ -34,7 +34,7 @@ SECTIONS = [
         "join_cross", "join_asof", "join_asof_tolerance", "join_fuzzy_name", "join_range_binned", "join_interval_overlap",
         "agg_action_counts", "agg_grouping_sets", "agg_distinct",
         "agg_percentiles", "agg_approx", "agg_outlier_rank", "agg_mode",
-        "agg_skew_profile", "agg_histogram", "agg_hll_native", "pivot_unpivot", "pivot_wide", "subquery_scalar",
+        "agg_skew_profile", "agg_histogram", "agg_hll_native", "agg_cms_sketch", "pivot_unpivot", "pivot_wide", "subquery_scalar",
         "tpch_q1", "tpch_q3", "tpch_q4_style", "tpch_q5", "tpch_q6",
         "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q13", "tpch_q14",
         "tpch_q16_style", "tpch_q18", "tpch_q19_style", "tpch_q22_style",
@@ -64,6 +64,15 @@ SECTIONS = [
         "text_decontaminate", "pipeline_domain_mix", "pipeline_shard_shuffle",
         "text_line_dedup", "text_lm_score", "pipeline_source_cap",
         "text_bm25_topk", "bpe_pair_counts", "pipeline_train_split",
+    ]),
+    ("Curation & analysis (SURVEY §2.D, r4)", [
+        "pipeline_chunk_split", "pipeline_repeat_upsample",
+        "pipeline_curriculum_order", "agg_reservoir_sample",
+        "text_markup_strip", "ann_range_search", "agg_corr_pairs",
+        "text_keyword_tfidf",
+        "events_anomaly_mad", "text_boilerplate_frac", "retrieval_rrf_fusion",
+        "agg_token_gini", "pipeline_dataset_diff", "events_top_paths",
+        "text_cooccurrence_window",
     ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
