@@ -37,6 +37,9 @@ _MODULES = [
     "sparkmerge.queries.ext_retrieval",
     "sparkmerge.queries.ext_curation",
     "sparkmerge.queries.ext_analysis",
+    "sparkmerge.queries.ext_graph",
+    "sparkmerge.queries.ext_timeseries",
+    "sparkmerge.queries.ext_features",
 ]
 
 
@@ -104,10 +107,18 @@ _VERIFY_FIRST = [
     "events_anomaly_mad", "text_boilerplate_frac", "retrieval_rrf_fusion",
     "agg_token_gini", "pipeline_dataset_diff", "events_top_paths",
     "text_cooccurrence_window",
-    # --- (d) oldest green records, round-1 window order (8) ---
-    "merge_full", "join_null_safe_eq", "join_composite_key",
-    "change_detect_intersect", "update_changed", "update_suppressed_all_key",
-    "insert_unmatched", "delete_unmatched",
+    # --- (f) round-4 batch 2 — graph/timeseries/features/sources (13 new
+    #     ops, no driver record; local check_oracle green).  The first 8
+    #     fit the 50-op window; the last 5 spill to the round-5 rotation
+    #     (they replaced the oldest-green refresh slots — never-verified
+    #     ops outrank stale-record refresh) ---
+    "graph_cooccurrence_edges", "graph_degree_profile",
+    "graph_triangle_count", "graph_pagerank_fixedpoint",
+    "timeseries_resample_ffill", "events_gap_islands",
+    "events_ewma_lagchain", "feature_hash_bucket",
+    "tokenizer_vocab_coverage", "embedding_normalize_project",
+    "text_syllable_profile", "pipeline_interleave_sources",
+    "scan_text_lines",
 ]
 
 

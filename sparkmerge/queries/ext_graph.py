@@ -1,0 +1,258 @@
+"""[EXT] round-4 graph-analytics operators (SURVEY.md §2.D, r4 batch 2).
+
+Entity graphs are a standard curation artifact in large-scale data
+pipelines (user/session linkage, near-dup clusters, citation webs).  The
+family here derives an undirected user co-occurrence graph from the
+``events`` table — edge (u, v) weighted by the number of (hour, event_type)
+buckets both users are active in — then runs the three canonical analyses
+over it: degree profiling, triangle counting, and PageRank.
+
+Not in the reference (no graph layer in `sp_SimpleMerge.sql`); the design
+rules shared with the rest of the registry apply:
+
+- native column expressions only — no Python in any path;
+- PageRank uses *fixed-point integer arithmetic* (rank scaled by 10^6,
+  contributions via integer division), so three iterations are
+  bit-reproducible in any engine and the DuckDB oracle replays them
+  exactly — no order-dependent double sums;
+- triangle counting uses the degree-ordered orientation (each undirected
+  edge directed from the (degree, id)-smaller endpoint), which bounds the
+  wedge fan-out by the graph's arboricity — the formulation that survives
+  skewed hub nodes at cluster scale — while the oracle uses the naive
+  id-ordered 3-way self-join, demonstrating that the two strategies agree
+  on the triangle multiset.
+
+Scale notes (100 TB): the edge builder groups per (hour, type) bucket and
+self-joins inside buckets, so cost is sum-of-squares of bucket occupancy,
+never a global cross join; a production corpus with mega-buckets would cap
+or sample bucket membership before pairing (same lever as
+``join_salted_skew``).  PageRank's per-iteration shuffle partitions by
+destination node; lineage is bounded at 3 plan-inlined iterations (an
+open-ended solver would checkpoint per round like
+``dedup_cluster_survivors``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from sparkmerge.queries import load, register
+
+# --- shared: co-occurrence edge derivation ------------------------------
+
+_EDGES_SQL = """
+ev AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS b, event_type, user_id
+    FROM events
+),
+edges AS (
+  SELECT l.user_id AS u, r.user_id AS v, COUNT(*) AS w
+    FROM ev l
+    JOIN ev r
+      ON l.b = r.b AND l.event_type = r.event_type
+         AND l.user_id < r.user_id
+   GROUP BY 1, 2
+)"""
+
+
+def _edges(spark, sf_dir) -> DataFrame:
+    """Undirected weighted edges (u < v) from (hour, event_type) bucket
+    co-occurrence.  Self-join is bucket-local: Spark shuffles both sides on
+    (b, event_type) once and pairs within buckets."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("hour", F.col("ts")).alias("b"),
+            "event_type",
+            "user_id",
+        )
+        .distinct()
+    )
+    l, r = ev.alias("l"), ev.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.b") == F.col("r.b"))
+            & (F.col("l.event_type") == F.col("r.event_type"))
+            & (F.col("l.user_id") < F.col("r.user_id")),
+        )
+        .groupBy(
+            F.col("l.user_id").alias("u"),
+            F.col("r.user_id").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree + weighted degree over the undirected edge set."""
+    both = edges.select(F.col("u").alias("user_id"), "w").unionByName(
+        edges.select(F.col("v").alias("user_id"), "w")
+    )
+    return both.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.sum("w").alias("weighted_degree"),
+    )
+
+
+@register(
+    "graph_cooccurrence_edges",
+    oracle=f"""
+WITH {_EDGES_SQL}
+SELECT u, v, w FROM edges
+""",
+    description="entity-linkage graph builder: users co-active in the same "
+    "(hour, event_type) bucket become a weighted undirected edge; bucket-"
+    "local self-join (shuffle on bucket key, pair within) — never a global "
+    "cross join; mega-bucket corpora cap membership before pairing",
+)
+def graph_cooccurrence_edges(spark, sf_dir):
+    return _edges(spark, sf_dir)
+
+
+@register(
+    "graph_degree_profile",
+    oracle=f"""
+WITH {_EDGES_SQL},
+b2 AS (
+  SELECT u AS user_id, w FROM edges
+  UNION ALL
+  SELECT v AS user_id, w FROM edges
+)
+SELECT user_id, COUNT(*) AS degree,
+       CAST(SUM(w) AS BIGINT) AS weighted_degree
+  FROM b2 GROUP BY 1
+""",
+    description="per-node degree + weighted degree (hub detection / "
+    "skew diagnostic for downstream graph joins); one agg shuffle over the "
+    "doubled edge list",
+)
+def graph_degree_profile(spark, sf_dir):
+    return _degrees(_edges(spark, sf_dir))
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+WITH {_EDGES_SQL},
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT user_id, COUNT(*) AS n_triangles
+  FROM (SELECT unnest([a, b, c]) AS user_id FROM tri)
+ GROUP BY 1
+""",
+    description="per-node triangle participation via degree-ordered edge "
+    "orientation: every undirected edge points from its (degree, id)-"
+    "smaller endpoint, wedges form only at a triangle's lowest-degree "
+    "vertex, closure is a semi-check against the canonical edge set — "
+    "wedge fan-out bounded by arboricity, so hub nodes don't explode the "
+    "join (the oracle's naive id-ordered 3-way self-join agrees on the "
+    "triangle multiset, which is the point: same answer, scale-safe plan)",
+)
+def graph_triangle_count(spark, sf_dir):
+    edges = _edges(spark, sf_dir).select("u", "v")
+    deg = _degrees(edges.withColumn("w", F.lit(1))).select(
+        F.col("user_id"), F.col("degree")
+    )
+    # orient each edge from the (degree, id)-smaller endpoint
+    j = (
+        edges.join(deg.withColumnRenamed("user_id", "u").withColumnRenamed("degree", "du"), "u")
+        .join(deg.withColumnRenamed("user_id", "v").withColumnRenamed("degree", "dv"), "v")
+    )
+    u_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    o = j.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    x, y = o.alias("x"), o.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.src") == F.col("y.src"))
+        & (
+            F.struct(F.col("x.ddst"), F.col("x.dst"))
+            < F.struct(F.col("y.ddst"), F.col("y.dst"))
+        ),
+    ).select(
+        F.col("x.src").alias("a"),
+        F.col("x.dst").alias("p"),
+        F.col("y.dst").alias("q"),
+    )
+    closed = wedges.join(
+        edges,
+        (F.least(F.col("p"), F.col("q")) == F.col("u"))
+        & (F.greatest(F.col("p"), F.col("q")) == F.col("v")),
+        "left_semi",
+    )
+    nodes = closed.select(
+        F.explode(F.array(F.col("a"), F.col("p"), F.col("q"))).alias("user_id")
+    )
+    return nodes.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# --- PageRank: 3 fixed-point iterations, exact integer math --------------
+
+_PR_SCALE = 1_000_000  # rank unit = 1e-6
+_PR_BASE = 150_000  # (1 - 0.85) * SCALE
+_ITERS = 3
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT a.dst AS user_id,
+         CAST({_PR_BASE} + SUM((r.rank * 85) // (a.deg_src * 100)) AS BIGINT)
+           AS rank
+    FROM adj a JOIN {prev} r ON r.user_id = a.src
+   GROUP BY 1
+)"""
+
+
+@register(
+    "graph_pagerank_fixedpoint",
+    oracle=f"""
+WITH {_EDGES_SQL},
+adj0 AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL
+  SELECT v AS src, u AS dst FROM edges
+),
+degs AS (SELECT src, COUNT(*) AS deg_src FROM adj0 GROUP BY 1),
+adj AS (SELECT a.src, a.dst, d.deg_src FROM adj0 a JOIN degs d USING (src)),
+r0 AS (SELECT src AS user_id, CAST({_PR_SCALE} AS BIGINT) AS rank FROM degs),
+{_pr_iter_sql('r0', 'r1')},
+{_pr_iter_sql('r1', 'r2')},
+{_pr_iter_sql('r2', 'r3')}
+SELECT user_id, rank FROM r3
+""",
+    description=f"PageRank over the co-occurrence graph, {_ITERS} power "
+    f"iterations in fixed-point integer arithmetic (rank scaled by "
+    f"{_PR_SCALE}, damping 0.85 as x*85 DIV 100): bit-reproducible on any "
+    f"engine/partitioning because every contribution and sum is exact "
+    f"integer math — the pattern for deterministic iterative algorithms at "
+    f"scale; per-iteration shuffle partitions on destination node, lineage "
+    f"bounded by the fixed iteration count (open-ended solvers would "
+    f"checkpoint per round like dedup_cluster_survivors)",
+)
+def graph_pagerank_fixedpoint(spark, sf_dir):
+    edges = _edges(spark, sf_dir).select("u", "v")
+    adj0 = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    degs = adj0.groupBy("src").agg(F.count(F.lit(1)).alias("deg_src"))
+    adj = adj0.join(degs, "src")
+    ranks = degs.select(
+        F.col("src").alias("user_id"), F.lit(_PR_SCALE).cast("long").alias("rank")
+    )
+    for _ in range(_ITERS):
+        contrib = adj.join(ranks, adj["src"] == ranks["user_id"]).select(
+            F.col("dst"),
+            F.expr("(rank * 85) DIV (deg_src * 100)").alias("c"),
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (F.lit(_PR_BASE) + F.sum("c")).alias("rank")
+        ).select(F.col("dst").alias("user_id"), "rank")
+    return ranks

@@ -1,0 +1,174 @@
+"""[EXT] round-4 time-series operators (SURVEY.md §2.D, r4 batch 2).
+
+Regular-grid resampling with forward fill, gaps-and-islands run detection,
+and lag-chain exponential smoothing over the ``events`` table — the
+standard shapes for turning an irregular event stream into model-ready
+series features.
+
+Not in the reference (no temporal layer); design rules as elsewhere in the
+registry:
+
+- ``timeseries_resample_ffill`` is the union+carry-forward formulation
+  (same single-shuffle pattern as ``join_asof``): grid markers and
+  observations union into one stream, one window pass carries the last
+  observation forward — one shuffle regardless of grid density, versus the
+  per-grid-point probe a correlated subquery would cost.  The DuckDB
+  oracle uses native ASOF JOIN — different strategy, same rows.
+- ``events_ewma_lagchain`` keeps the smoothing *bit-deterministic*: a
+  4-tap kernel with power-of-two weights (8, 4, 2, 1) means every product
+  is an exact exponent shift, the three additions have a fixed
+  parenthesized association, and the single /15.0 is one correctly-rounded
+  IEEE op — so Spark and DuckDB agree to the last bit without any float
+  tolerance, at any partitioning.
+- ties are impossible by construction: observations pre-aggregate to one
+  row per (user_id, ts), and window orders always extend with event_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from sparkmerge.queries import load, register
+
+
+@register(
+    "timeseries_resample_ffill",
+    oracle="""
+WITH obs AS (
+  SELECT user_id, ts, max(value) AS v FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id,
+         date_trunc('hour', min(ts)) AS mn,
+         date_trunc('hour', max(ts)) AS mx
+    FROM obs GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+    FROM span
+)
+SELECT g.user_id, g.hour_ts, o.v AS value_ffill
+  FROM grid g
+  ASOF LEFT JOIN obs o
+    ON g.user_id = o.user_id AND g.hour_ts >= o.ts
+""",
+    description="irregular events -> hourly grid with forward fill, via "
+    "union+carry-forward: per-user grid ticks union with observations, one "
+    "window pass (order ts, ties grid-after-obs) carries last value — ONE "
+    "shuffle total at any grid density; oracle is DuckDB's native ASOF "
+    "JOIN, a different physical strategy agreeing on every row; the first "
+    "tick of a series (before its first observation) is NULL on both sides",
+)
+def timeseries_resample_ffill(spark, sf_dir):
+    obs = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    span = obs.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("ts"),
+    )
+    both = obs.select(
+        "user_id", "ts", "v", F.lit(0).alias("is_grid")
+    ).unionByName(
+        grid.select(
+            "user_id", "ts", F.lit(None).cast("double").alias("v"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        both.withColumn("value_ffill", F.last("v", ignorenulls=True).over(w))
+        .filter(F.col("is_grid") == 1)
+        .select("user_id", F.col("ts").alias("hour_ts"), "value_ffill")
+    )
+
+
+@register(
+    "events_gap_islands",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS grp
+    FROM events
+)
+SELECT user_id, event_type,
+       min(ts) AS island_start, max(ts) AS island_end,
+       COUNT(*) AS n_events
+  FROM s GROUP BY user_id, event_type, grp
+""",
+    description="gaps-and-islands: maximal runs of consecutive same-type "
+    "events per user via the row_number-difference trick (two window "
+    "passes sharing ONE user-partitioned shuffle, then an agg on the same "
+    "keys); run ordering is total (ts, event_id) so islands are "
+    "deterministic under timestamp ties",
+)
+def events_gap_islands(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    return s.groupBy("user_id", "event_type", "grp").agg(
+        F.min("ts").alias("island_start"),
+        F.max("ts").alias("island_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("grp")
+
+
+@register(
+    "events_ewma_lagchain",
+    oracle="""
+WITH l AS (
+  SELECT user_id, event_id, ts, value,
+         COALESCE(lag(value, 1) OVER w, 0.0) AS l1,
+         COALESCE(lag(value, 2) OVER w, 0.0) AS l2,
+         COALESCE(lag(value, 3) OVER w, 0.0) AS l3
+    FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, ts, value,
+       ((((value * 8.0) + (l1 * 4.0)) + (l2 * 2.0)) + l3) / 15.0 AS ewma
+  FROM l
+""",
+    description="4-tap exponential smoothing per user series; power-of-two "
+    "weights (8/4/2/1) make every product an exact exponent shift, the "
+    "additions carry a fixed association, and the /15.0 is one "
+    "correctly-rounded IEEE division — bit-identical across engines and "
+    "partitionings with no float tolerance; missing lags at series start "
+    "coalesce to 0 (documented cold-start bias); one window shuffle",
+)
+def events_ewma_lagchain(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.coalesce(F.lag("value", 1).over(w), F.lit(0.0)).alias("l1"),
+        F.coalesce(F.lag("value", 2).over(w), F.lit(0.0)).alias("l2"),
+        F.coalesce(F.lag("value", 3).over(w), F.lit(0.0)).alias("l3"),
+    )
+    ewma = (
+        (((F.col("value") * 8.0) + (F.col("l1") * 4.0)) + (F.col("l2") * 2.0))
+        + F.col("l3")
+    ) / 15.0
+    return l.select("user_id", "event_id", "ts", "value", ewma.alias("ewma"))

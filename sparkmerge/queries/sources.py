@@ -90,6 +90,36 @@ def scan_orc(spark, sf_dir):
     return spark.read.orc(dst)
 
 
+def _ensure_documents_txt(sf_dir: str) -> str:
+    import pyarrow.parquet as pq
+
+    dst = _derived(sf_dir, "documents_txt/part-0.txt")
+    if not os.path.exists(dst):
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        rows = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).to_pylist()
+        tmp = f"{dst}.{os.getpid()}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for r in sorted(rows, key=lambda r: r["doc_id"]):
+                f.write(r["text"] + "\n")
+        os.replace(tmp, dst)
+    return os.path.dirname(dst)
+
+
+@register(
+    "scan_text_lines",
+    oracle="SELECT text AS value FROM documents",
+    description="raw line-oriented text source (spark.read.text — the "
+    "format web-crawl corpora arrive in before any schema exists); the "
+    "fixture serializes each document as one line, the reader splits on "
+    "newlines in parallel by byte range; hash match against the parquet "
+    "source of truth proves a lossless round trip (corpus text is "
+    "newline-free by construction — a real crawl uses JSONL, scan_json)",
+)
+def scan_text_lines(spark, sf_dir):
+    path = _ensure_documents_txt(sf_dir)
+    return spark.read.text(path)
+
+
 @register(
     "sink_partitioned_parquet",
     oracle="""

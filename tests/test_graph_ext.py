@@ -1,0 +1,112 @@
+"""Behavior + plan-shape tests for the round-4 ext_graph operators
+(co-occurrence edges, degree profile, degree-ordered triangle counting,
+fixed-point PageRank).  Brute-force Python recomputations from the raw
+events table are the ground truth at sf0.001."""
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from sparkmerge.queries import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _brute_edges(spark):
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select(
+            F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"
+        )
+        .collect()
+    )
+    buckets = defaultdict(set)
+    for r in rows:
+        buckets[(r["b"], r["event_type"])].add(r["user_id"])
+    w = Counter()
+    for users in buckets.values():
+        us = sorted(users)
+        for i, a in enumerate(us):
+            for c in us[i + 1 :]:
+                w[(a, c)] += 1
+    return w
+
+
+def test_cooccurrence_edges_match_bruteforce(spark):
+    got = {
+        (r["u"], r["v"]): r["w"]
+        for r in registry()["graph_cooccurrence_edges"].fn(spark, SF_DIR).collect()
+    }
+    assert got == dict(_brute_edges(spark))
+    assert all(u < v for (u, v) in got)
+
+
+def test_degree_profile_matches_edges(spark):
+    edges = _brute_edges(spark)
+    deg, wdeg = Counter(), Counter()
+    for (u, v), w in edges.items():
+        deg[u] += 1
+        deg[v] += 1
+        wdeg[u] += w
+        wdeg[v] += w
+    got = registry()["graph_degree_profile"].fn(spark, SF_DIR).collect()
+    assert {r["user_id"]: r["degree"] for r in got} == dict(deg)
+    assert {r["user_id"]: r["weighted_degree"] for r in got} == dict(wdeg)
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    edges = set(_brute_edges(spark))
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    tri = Counter()
+    for u, v in edges:
+        for c in nbrs[u] & nbrs[v]:
+            # count each triangle once at its smallest vertex pair order
+            if c > v:
+                for node in (u, v, c):
+                    tri[node] += 1
+    got = {
+        r["user_id"]: r["n_triangles"]
+        for r in registry()["graph_triangle_count"].fn(spark, SF_DIR).collect()
+    }
+    assert got == dict(tri)
+
+
+def test_triangle_plan_has_no_cartesian(spark):
+    plan = plan_of(registry()["graph_triangle_count"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pagerank_matches_integer_bruteforce(spark):
+    edges = set(_brute_edges(spark))
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    ranks = {u: 1_000_000 for u in adj}
+    for _ in range(3):
+        nxt = {v: 150_000 for v in adj}
+        for u, outs in adj.items():
+            c = (ranks[u] * 85) // (len(outs) * 100)
+            for v in outs:
+                nxt[v] += c
+        ranks = nxt
+    got = {
+        r["user_id"]: r["rank"]
+        for r in registry()["graph_pagerank_fixedpoint"].fn(spark, SF_DIR).collect()
+    }
+    assert got == ranks
+
+
+def test_pagerank_rerun_is_byte_identical(spark):
+    fn = registry()["graph_pagerank_fixedpoint"].fn
+    a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert a == b

@@ -74,6 +74,15 @@ SECTIONS = [
         "agg_token_gini", "pipeline_dataset_diff", "events_top_paths",
         "text_cooccurrence_window",
     ]),
+    ("Graph / time-series / featurization (SURVEY §2.D, r4 batch 2)", [
+        "graph_cooccurrence_edges", "graph_degree_profile",
+        "graph_triangle_count", "graph_pagerank_fixedpoint",
+        "timeseries_resample_ffill", "events_gap_islands",
+        "events_ewma_lagchain",
+        "feature_hash_bucket", "tokenizer_vocab_coverage",
+        "embedding_normalize_project", "text_syllable_profile",
+        "pipeline_interleave_sources", "scan_text_lines",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",
