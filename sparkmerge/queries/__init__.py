@@ -40,6 +40,7 @@ _MODULES = [
     "sparkmerge.queries.ext_graph",
     "sparkmerge.queries.ext_timeseries",
     "sparkmerge.queries.ext_features",
+    "sparkmerge.queries.ext_sketch",
 ]
 
 
@@ -119,6 +120,16 @@ _VERIFY_FIRST = [
     "tokenizer_vocab_coverage", "embedding_normalize_project",
     "text_syllable_profile", "pipeline_interleave_sources",
     "scan_text_lines",
+    # --- (g) round-4 batch 3 — sketch/iterative-ML/scale patterns (6 new
+    #     ops; local check_oracle green at sf0.001+sf0.01; outside this
+    #     round's 50-op window, first in line for the round-5 rotation) ---
+    "agg_kmv_distinct", "embedding_kmeans_fixedpoint", "join_hybrid_skew",
+    "window_ntile_buckets", "scan_jsonl_gz",
+    # --- (h) round-4 batch 4 — attribution/interpolation/soft-dedup/
+    #     streaming-SCD2 (4 new ops; local check_oracle green at
+    #     sf0.001+sf0.01; round-5 rotation territory) ---
+    "events_attribution_lasttouch", "timeseries_interpolate_linear",
+    "dedup_soft_weights", "stream_scd2_foreachbatch",
 ]
 
 

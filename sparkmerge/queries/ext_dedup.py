@@ -339,3 +339,44 @@ def dedup_containment(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     pairs = containment_pairs(d, "doc_id", "text", "lang", threshold=0.95)
     return pairs.filter(F.col("a_id") % 20 == 0)
+
+
+@register(
+    "dedup_soft_weights",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ''),
+               c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+    FROM documents
+),
+g AS (
+  SELECT doc_id, fp, CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_dups
+    FROM fp
+)
+SELECT doc_id, fp, n_dups, 1.0 / CAST(n_dups AS DOUBLE) AS weight
+  FROM g
+""",
+    description="soft deduplication: instead of DROPPING exact duplicates "
+    "(dedup_exact), every copy survives with training weight 1/n_dups — "
+    "the cluster's total influence stays 1.0 while preserving corpus "
+    "coverage (the SoftDedup idea); one fingerprint-keyed window shuffle, "
+    "weight is a single IEEE division of exact integers",
+)
+def dedup_soft_weights(spark, sf_dir):
+    from sparkmerge.ext.text import fingerprint
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    fp = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    n = F.count(F.lit(1)).over(Window.partitionBy("fp")).cast("long")
+    g = fp.withColumn("n_dups", n)
+    return g.select(
+        "doc_id",
+        "fp",
+        "n_dups",
+        (F.lit(1.0) / F.col("n_dups").cast("double")).alias("weight"),
+    )

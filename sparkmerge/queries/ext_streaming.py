@@ -327,3 +327,90 @@ def window_retention_cohort(spark, sf_dir):
         joined.groupBy("cohort_week", offset.alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("n_active_users"))
     )
+
+
+# --- stream_scd2_foreachbatch: streaming dimension loads into SCD2 history ---
+
+
+@register(
+    "stream_scd2_foreachbatch",
+    oracle=None,  # set below — built from core's _scd2_apply_sql helper
+    description="streaming SCD2 sink: readStream over ordered extract files "
+    "-> foreachBatch(scd2_merge) into a versioned SnapshotTable; each "
+    "micro-batch is one dimension load, re-changed keys accumulate version "
+    "chains exactly as sequential batch loads would (the oracle replays "
+    "both loads in SQL from an EMPTY history); state lives in the table, "
+    "not stream memory, so the sink is bounded at any corpus size",
+)
+def stream_scd2_foreachbatch(spark, sf_dir):
+    from sparkmerge.ext.streaming import scd2_foreachbatch_stream
+
+    c = load(spark, sf_dir, "customer")
+    s1 = c.filter(F.col("c_custkey") % 7 == 3).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 10.0
+    )
+    s2 = c.filter(F.col("c_custkey") % 14 == 3).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 20.0
+    )
+    root = tempfile.mkdtemp(prefix="sm_scd2_stream_")
+    src = os.path.join(root, "loads")
+    os.makedirs(src)
+    try:
+        for i, batch in enumerate([s1, s2]):
+            staging = os.path.join(root, f"b{i}")
+            batch.coalesce(1).write.parquet(staging)
+            part = next(
+                p for p in os.listdir(staging) if p.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"load{i}.parquet")
+            os.rename(os.path.join(staging, part), dst)
+            # pinned mtimes fix the micro-batch order
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        table = scd2_foreachbatch_stream(
+            spark,
+            src,
+            os.path.join(root, "dim"),
+            key="c_custkey",
+            batch_load_ts=["2024-02-01 00:00:00", "2024-03-01 00:00:00"],
+        )
+        hist = table.read(spark)
+        rows = hist.collect()  # materialize before the temp dir is removed
+        return spark.createDataFrame(rows, hist.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _install_scd2_stream_oracle() -> None:
+    """The oracle replays both streaming loads as batch SCD2 SQL, reusing
+    core's _scd2_apply_sql (the merge_scd2_multibatch machinery) from an
+    empty starting history."""
+    from sparkmerge.queries import _REGISTRY
+    from sparkmerge.queries.core import _SCD2_COLS, _scd2_apply_sql
+
+    sql = f"""
+WITH h0 AS (
+  SELECT {_SCD2_COLS},
+         CAST(NULL AS TIMESTAMP) AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM customer WHERE FALSE
+),
+s1 AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 10.0 AS c_acctbal,
+         c_mktsegment
+    FROM customer WHERE c_custkey % 7 = 3
+),
+h1 AS ({_scd2_apply_sql('h0', 's1', '2024-02-01 00:00:00')}),
+s2 AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 20.0 AS c_acctbal,
+         c_mktsegment
+    FROM customer WHERE c_custkey % 14 = 3
+)
+{_scd2_apply_sql('h1', 's2', '2024-03-01 00:00:00')}
+"""
+    spec = _REGISTRY["stream_scd2_foreachbatch"]
+    _REGISTRY["stream_scd2_foreachbatch"] = type(spec)(
+        spec.op_id, spec.fn, sql, spec.description
+    )
+
+
+_install_scd2_stream_oracle()

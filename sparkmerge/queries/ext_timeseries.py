@@ -31,6 +31,15 @@ from pyspark.sql import Window, functions as F
 from sparkmerge.queries import load, register
 
 
+def _us(col):
+    """Exact epoch microseconds.  The corpus timestamps are TIMESTAMP_NTZ;
+    unix_micros needs TIMESTAMP, and the ntz->tz cast applies the session
+    offset — safe here because every use is a DIFFERENCE of two casts, so
+    the offset cancels exactly (integer arithmetic)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+
 @register(
     "timeseries_resample_ffill",
     oracle="""
@@ -172,3 +181,166 @@ def events_ewma_lagchain(spark, sf_dir):
         + F.col("l3")
     ) / 15.0
     return l.select("user_id", "event_id", "ts", "value", ewma.alias("ewma"))
+
+
+_ATTR_WINDOW_H = 72  # attribution lookback
+
+
+@register(
+    "events_attribution_lasttouch",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER w AS c_ts,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS) OVER w AS c_id
+    FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN c_ts >= ts - INTERVAL {_ATTR_WINDOW_H} HOURS
+            THEN c_id END AS click_event_id,
+       CASE WHEN c_ts >= ts - INTERVAL {_ATTR_WINDOW_H} HOURS
+            THEN epoch_us(ts) - epoch_us(c_ts) END AS gap_us
+  FROM c WHERE event_type = 'purchase'
+""",
+    description=f"last-touch conversion attribution: each purchase credits "
+    f"the user's most recent strictly-preceding click within "
+    f"{_ATTR_WINDOW_H} h (else unattributed NULL); the carry-forward window "
+    f"(frame ends 1 PRECEDING — a same-instant click never self-attributes) "
+    f"is ONE user-keyed shuffle at any history length, vs the per-purchase "
+    f"probe a correlated subquery would cost; the gap rides as exact "
+    f"epoch-microsecond integers",
+)
+def events_attribution_lasttouch(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    c = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w).alias("c_ts"),
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("c_id"),
+    )
+    in_window = F.col("c_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {_ATTR_WINDOW_H} HOURS"
+    )
+    return c.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(in_window, F.col("c_id")).alias("click_event_id"),
+        F.when(
+            in_window, _us(F.col("ts")) - _us(F.col("c_ts"))
+        ).alias("gap_us"),
+    )
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle="""
+WITH obs AS (
+  SELECT user_id, ts, max(value) AS v FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id,
+         date_trunc('hour', min(ts)) AS mn,
+         date_trunc('hour', max(ts)) AS mx
+    FROM obs GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+    FROM span
+),
+fw AS (
+  SELECT g.user_id, g.hour_ts, o.v AS pv, o.ts AS pts
+    FROM grid g
+    ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND g.hour_ts >= o.ts
+),
+bw AS (
+  SELECT g.user_id, g.hour_ts, o.v AS nv, o.ts AS nts
+    FROM grid g
+    ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND g.hour_ts < o.ts
+)
+SELECT f.user_id, f.hour_ts,
+       CASE WHEN f.pts IS NULL THEN b.nv
+            WHEN b.nts IS NULL THEN f.pv
+            ELSE f.pv + ((b.nv - f.pv)
+                 * (CAST(epoch_us(f.hour_ts) - epoch_us(f.pts) AS DOUBLE)
+                    / CAST(epoch_us(b.nts) - epoch_us(f.pts) AS DOUBLE)))
+       END AS value_interp
+  FROM fw f JOIN bw b ON f.user_id = b.user_id AND f.hour_ts = b.hour_ts
+""",
+    description="hourly grid with LINEAR interpolation (the gap-fill "
+    "complement of timeseries_resample_ffill): one union+window pass "
+    "carries the last observation forward AND the next observation "
+    "backward — still ONE shuffle; the blend is a fixed expression tree "
+    "(exact epoch-µs integers, one division, one multiply, one add), so "
+    "both engines produce bit-identical doubles; series edges extrapolate "
+    "flat from the nearest observation",
+)
+def timeseries_interpolate_linear(spark, sf_dir):
+    obs = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    span = obs.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("ts"),
+    )
+    both = obs.select(
+        "user_id", "ts", "v", F.lit(0).alias("is_grid")
+    ).unionByName(
+        grid.select(
+            "user_id", "ts", F.lit(None).cast("double").alias("v"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "is_grid")
+    w_fw = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_bw = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_ts = F.when(F.col("v").isNotNull(), F.col("ts"))
+    g = (
+        both.withColumn("pv", F.last("v", ignorenulls=True).over(w_fw))
+        .withColumn("pts", F.last(obs_ts, ignorenulls=True).over(w_fw))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(w_bw))
+        .withColumn("nts", F.first(obs_ts, ignorenulls=True).over(w_bw))
+        .filter(F.col("is_grid") == 1)
+    )
+    # match the oracle's association exactly: pv + ((nv - pv) * (Δg / Δobs))
+    blend = F.col("pv") + (
+        (F.col("nv") - F.col("pv"))
+        * (
+            (_us(F.col("ts")) - _us(F.col("pts"))).cast(
+                "double"
+            )
+            / (_us(F.col("nts")) - _us(F.col("pts"))).cast(
+                "double"
+            )
+        )
+    )
+    interp = (
+        F.when(F.col("pts").isNull(), F.col("nv"))
+        .when(F.col("nts").isNull(), F.col("pv"))
+        .otherwise(blend)
+    )
+    return g.select(
+        "user_id", F.col("ts").alias("hour_ts"), interp.alias("value_interp")
+    )

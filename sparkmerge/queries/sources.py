@@ -120,6 +120,38 @@ def scan_text_lines(spark, sf_dir):
     return spark.read.text(path)
 
 
+def _ensure_region_jsonl_gz(sf_dir: str) -> str:
+    import gzip
+    import json
+
+    import pyarrow.parquet as pq
+
+    dst = _derived(sf_dir, "region_jsonl_gz/part-0.json.gz")
+    if not os.path.exists(dst):
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        rows = pq.read_table(f"{sf_dir}/region.parquet").to_pylist()
+        tmp = f"{dst}.{os.getpid()}.tmp"
+        with gzip.open(tmp, "wt", encoding="utf-8") as f:
+            for r in sorted(rows, key=lambda r: r["r_regionkey"]):
+                f.write(json.dumps(r) + "\n")
+        os.replace(tmp, dst)
+    return os.path.dirname(dst)
+
+
+@register(
+    "scan_jsonl_gz",
+    oracle="SELECT * FROM region",
+    description="gzip-compressed JSONL source (the format web-crawl "
+    "dumps actually ship in): spark.read.json transparently decodes by "
+    "extension; note gzip is NOT splittable — one file = one task, so a "
+    "100 TB corpus must arrive as many shard files (the layout "
+    "sink_jsonl_shards writes) or recompress to a splittable codec",
+)
+def scan_jsonl_gz(spark, sf_dir):
+    path = _ensure_region_jsonl_gz(sf_dir)
+    return spark.read.schema("r_regionkey int, r_name string").json(path)
+
+
 @register(
     "sink_partitioned_parquet",
     oracle="""

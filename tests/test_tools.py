@@ -20,8 +20,9 @@ def test_verify_first_entries_exist_and_unique():
     missing = [op for op in _VERIFY_FIRST if op not in reg]
     assert not missing, f"_VERIFY_FIRST references unknown ops: {missing}"
     assert len(_VERIFY_FIRST) == len(set(_VERIFY_FIRST)), "duplicate queue entries"
-    # the queue must fill the driver's 50-op window exactly from the front
-    assert len(_VERIFY_FIRST) == 50
+    # the queue must at least fill the driver's 50-op window; entries past
+    # position 50 are explicitly round-5-rotation spill (see sections g/h)
+    assert len(_VERIFY_FIRST) >= 50
     # registry() ordering puts the queue first, rest after, nothing dropped
     ordered = list(reg)
     assert ordered[: len(_VERIFY_FIRST)] == _VERIFY_FIRST

@@ -48,6 +48,7 @@ SECTIONS = [
         "fn_regexp_ops", "fn_conditional_ops", "fn_math_ops", "fn_bitwise_ops", "fn_try_cast_ops", "fn_url_ops", "fn_setop_intersect", "fn_setop_unionall", "fn_setop_except",
     ]),
     ("Dedup (SURVEY §2.D)", [
+        "dedup_soft_weights",
         "dedup_exact", "dedup_minhash", "dedup_fuzzy", "dedup_simhash",
         "dedup_ngram_jaccard", "dedup_embedding", "dedup_cluster_survivors",
         "dedup_incremental", "dedup_embedding_clusters", "dedup_containment",
@@ -77,11 +78,16 @@ SECTIONS = [
     ("Graph / time-series / featurization (SURVEY §2.D, r4 batch 2)", [
         "graph_cooccurrence_edges", "graph_degree_profile",
         "graph_triangle_count", "graph_pagerank_fixedpoint",
-        "timeseries_resample_ffill", "events_gap_islands",
-        "events_ewma_lagchain",
+        "timeseries_resample_ffill", "timeseries_interpolate_linear",
+        "events_gap_islands", "events_ewma_lagchain",
+        "events_attribution_lasttouch",
         "feature_hash_bucket", "tokenizer_vocab_coverage",
         "embedding_normalize_project", "text_syllable_profile",
         "pipeline_interleave_sources", "scan_text_lines",
+    ]),
+    ("Sketches, iterative ML & scale patterns (SURVEY §2.D-E, r4 batch 3)", [
+        "agg_kmv_distinct", "embedding_kmeans_fixedpoint",
+        "join_hybrid_skew", "window_ntile_buckets", "scan_jsonl_gz",
     ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
@@ -92,7 +98,7 @@ SECTIONS = [
         "watermark_late_drop", "stream_merge_foreachbatch", "funnel_conversion", "rollup_incremental",
         "stream_stateful_counts", "stream_dedup_watermark", "stream_stream_join",
         "stream_session_window", "window_retention_cohort",
-        "events_transition_counts",
+        "events_transition_counts", "stream_scd2_foreachbatch",
     ]),
 ]
 
