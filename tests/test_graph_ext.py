@@ -59,7 +59,8 @@ def test_degree_profile_matches_edges(spark):
 
 
 def test_triangle_count_matches_bruteforce(spark):
-    edges = set(_brute_edges(spark))
+    # the op prunes weight-1 noise edges before the cubic statistic
+    edges = {e for e, w in _brute_edges(spark).items() if w >= 2}
     nbrs = defaultdict(set)
     for u, v in edges:
         nbrs[u].add(v)

@@ -29,9 +29,16 @@ OPS = [
     "bitext_margin_mine",
     # r4 batch-2/3 families: the edge builder's bucket-density question
     # (×10 users in the same time span → ×100 pairs per bucket) and the
-    # map-side featurization / one-shuffle resample shapes
+    # map-side featurization / one-shuffle resample shapes.
+    # graph_triangle_count is deliberately NOT here: this corpus densifies
+    # with SF (users grow, the time span doesn't), so by sf0.1 the
+    # co-occurrence graph is near-complete over ~1500 nodes and triangle
+    # PARTICIPATION is Θ(m^1.5) — measured 178 s Spark / 324 s DuckDB at
+    # sf0.1 and a >80 GB shuffle spill at sf1.  That is inherent to the
+    # statistic on a dense graph, not a plan defect; the production lever
+    # is the bucket-membership cap / edge-weight pruning documented in
+    # ext_graph.py, which keeps the derived graph sparse by construction.
     "graph_cooccurrence_edges",
-    "graph_triangle_count",
     "feature_hash_bucket",
     "timeseries_resample_ffill",
 ]
