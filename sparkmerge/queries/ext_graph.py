@@ -257,7 +257,17 @@ def graph_pagerank_fixedpoint(spark, sf_dir):
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
     degs = adj0.groupBy("src").agg(F.count(F.lit(1)).alias("deg_src"))
-    adj = adj0.join(degs, "src")
+    # materialize the (static) degree-annotated adjacency ONCE, hash-
+    # partitioned on the join key: every iteration's join then shuffles
+    # only the (node-sized) rank table against a stationary edge layout —
+    # without this each of the 4 joins re-executes the bucket self-join
+    # lineage AND re-shuffles the full edge set; same truncation
+    # discipline as dedup_cluster_survivors
+    adj = (
+        adj0.join(degs, "src")
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=True)
+    )
     ranks = degs.select(
         F.col("src").alias("user_id"), F.lit(_PR_SCALE).cast("long").alias("rank")
     )
