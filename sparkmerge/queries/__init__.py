@@ -41,6 +41,7 @@ _MODULES = [
     "sparkmerge.queries.ext_timeseries",
     "sparkmerge.queries.ext_features",
     "sparkmerge.queries.ext_sketch",
+    "sparkmerge.queries.ext_warehouse",
 ]
 
 
@@ -130,6 +131,10 @@ _VERIFY_FIRST = [
     #     sf0.001+sf0.01; round-5 rotation territory) ---
     "events_attribution_lasttouch", "timeseries_interpolate_linear",
     "dedup_soft_weights", "stream_scd2_foreachbatch",
+    # --- (i) round-4 batch 5 — warehouse patterns (3 new ops; local
+    #     check_oracle green at sf0.001+sf0.01; round-5 rotation) ---
+    "agg_bitmap_distinct", "join_point_in_time", "scan_schema_merge",
+    "stream_hll_rollup",
 ]
 
 

@@ -414,3 +414,124 @@ s2 AS (
 
 
 _install_scd2_stream_oracle()
+
+
+# --- stream_hll_rollup: mergeable sketch state across ingest shards ---
+
+
+def _hll_rollup_oracle() -> str:
+    from sparkmerge.ext.hashing import mix32_sql_chain
+    from sparkmerge.queries.analytics import (
+        _HLL_M,
+        _HLL_NUM,
+        _hll_rho_sql,
+        _hll_term_sql,
+    )
+
+    return f"""
+WITH du AS (
+  SELECT date_trunc('day', ts) AS day, event_type, user_id FROM events
+),
+{mix32_sql_chain('hashed', 'du', 'day, event_type, user_id', 'user_id')},
+slotted AS (
+  SELECT day, event_type, h % {_HLL_M} AS bucket,
+         CAST((h - (h % {_HLL_M})) / {_HLL_M} AS BIGINT) AS rest
+    FROM hashed),
+regs AS (
+  SELECT day, event_type, bucket, max({_hll_rho_sql('rest')}) AS rho
+    FROM slotted GROUP BY 1, 2, 3),
+z AS (
+  SELECT day, event_type,
+         CAST(sum({_hll_term_sql('rho')}) AS BIGINT)
+           + ({_HLL_M} - CAST(count(*) AS BIGINT)) * {1 << 40} AS z_scaled,
+         CAST({_HLL_M} - count(*) AS BIGINT) AS zero_regs
+    FROM regs GROUP BY 1, 2),
+ex AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+    FROM events GROUP BY 1, 2)
+SELECT z.day, z.event_type,
+       {_HLL_NUM!r} / CAST(z.z_scaled AS DOUBLE) AS raw_est,
+       z.zero_regs, ex.exact_distinct
+  FROM z JOIN ex ON z.day = ex.day AND z.event_type = ex.event_type
+"""
+
+
+@register(
+    "stream_hll_rollup",
+    oracle=_hll_rollup_oracle(),
+    description="incremental distinct-user rollup via mergeable HLL state: "
+    "per-(day, event_type) registers are computed INDEPENDENTLY on three "
+    "ingest shards (event_id mod 3 — arrival order is irrelevant), then "
+    "merged by register-wise max — associative and commutative, so shard "
+    "count, batch order, and partitioning cannot change the result; the "
+    "oracle computes the same sketch in ONE pass over all events and the "
+    "hash match PROVES state merging is lossless.  This is the rollup "
+    "shape that lets a 100 TB pipeline maintain daily distinct counts "
+    "with constant-size state per window instead of re-scanning history "
+    "(exact per-day distincts ride along as the quality audit)",
+)
+def stream_hll_rollup(spark, sf_dir):
+    from sparkmerge.ext.hashing import mix32
+    from sparkmerge.queries.analytics import (
+        _HLL_M,
+        _HLL_NUM,
+        _HLL_REST_BITS,
+    )
+
+    e = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+        "user_id",
+        "event_id",
+    )
+
+    h = mix32(F.col("user_id"))
+    bucket = h % _HLL_M
+    rest = ((h - bucket) / F.lit(float(_HLL_M))).cast("long")
+
+    rho = None
+    for k in range(1, _HLL_REST_BITS + 1):
+        cond = F.col("rest") >= (1 << (_HLL_REST_BITS - k))
+        rho = F.when(cond, k) if rho is None else rho.when(cond, k)
+    rho = rho.otherwise(_HLL_REST_BITS + 1)
+
+    term = None
+    for k in range(1, _HLL_REST_BITS + 2):
+        c = F.col("rho") == k
+        t = F.lit(1 << (40 - k))
+        term = F.when(c, t) if term is None else term.when(c, t)
+
+    def shard_regs(shard: int):
+        return (
+            e.filter(F.col("event_id") % 3 == shard)
+            .select("day", "event_type", bucket.alias("bucket"), rest.alias("rest"))
+            .withColumn("rho_row", rho)
+            .groupBy("day", "event_type", "bucket")
+            .agg(F.max("rho_row").alias("rho"))
+        )
+
+    merged = (
+        shard_regs(0)
+        .unionByName(shard_regs(1))
+        .unionByName(shard_regs(2))
+        .groupBy("day", "event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    z = merged.groupBy("day", "event_type").agg(
+        (
+            F.sum(term).cast("long")
+            + (F.lit(_HLL_M) - F.count("*")) * F.lit(1 << 40)
+        ).alias("z_scaled"),
+        (F.lit(_HLL_M) - F.count("*")).cast("long").alias("zero_regs"),
+    )
+    ex = e.groupBy("day", "event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return z.join(ex, ["day", "event_type"]).select(
+        "day",
+        "event_type",
+        (F.lit(_HLL_NUM) / F.col("z_scaled").cast("double")).alias("raw_est"),
+        "zero_regs",
+        "exact_distinct",
+    )

@@ -88,6 +88,7 @@ SECTIONS = [
     ("Sketches, iterative ML & scale patterns (SURVEY §2.D-E, r4 batch 3)", [
         "agg_kmv_distinct", "embedding_kmeans_fixedpoint",
         "join_hybrid_skew", "window_ntile_buckets", "scan_jsonl_gz",
+        "agg_bitmap_distinct", "join_point_in_time", "scan_schema_merge",
     ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
@@ -99,6 +100,7 @@ SECTIONS = [
         "stream_stateful_counts", "stream_dedup_watermark", "stream_stream_join",
         "stream_session_window", "window_retention_cohort",
         "events_transition_counts", "stream_scd2_foreachbatch",
+        "stream_hll_rollup",
     ]),
 ]
 
