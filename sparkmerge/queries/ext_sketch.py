@@ -118,7 +118,13 @@ SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
 )
 def agg_kmv_distinct(spark, sf_dir):
     du = load(spark, sf_dir, "events").select("event_type", "user_id").distinct()
-    hh = du.select("event_type", "user_id", mix32(F.col("user_id")).alias("h"))
+    # the sketch's whole point is ONE scan of the input: materialize the
+    # (much smaller) distinct hash set once, then every per-set / union /
+    # intersection branch below reads the checkpoint instead of re-scanning
+    # events (the un-checkpointed plan re-scanned the fact table 7x)
+    hh = du.select(
+        "event_type", "user_id", mix32(F.col("user_id")).alias("h")
+    ).localCheckpoint(eager=True)
 
     est_num = F.lit(float(_EST_NUM))
 
