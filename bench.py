@@ -200,6 +200,17 @@ def _sf1_leg(spark, reg) -> dict:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf1_dir}/{t}.parquet')")
 
+    # Pre-warm the read-optimized table cache OUTSIDE any timing: the first
+    # query touching a table at sf1 otherwise pays the one-time row-group
+    # rewrite inside its warm-up — and when that pushes the warm-up over
+    # 10 s, the adaptive protocol records the warm-up itself (this is
+    # exactly how BENCH's embedded leg once read topk_similarity at 10.3 s
+    # vs 1.2 s under the standalone protocol; BASELINE.md round-4 final).
+    from sparkmerge.queries import table_path
+
+    for t in TABLES:
+        table_path(sf1_dir, t)
+
     def timed(run) -> float:
         t0 = time.perf_counter()
         run()
