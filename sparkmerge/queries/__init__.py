@@ -134,7 +134,7 @@ _VERIFY_FIRST = [
     # --- (i) round-4 batch 5 — warehouse patterns (3 new ops; local
     #     check_oracle green at sf0.001+sf0.01; round-5 rotation) ---
     "agg_bitmap_distinct", "join_point_in_time", "scan_schema_merge",
-    "stream_hll_rollup",
+    "stream_hll_rollup", "table_time_travel",
 ]
 
 

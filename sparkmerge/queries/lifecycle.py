@@ -378,3 +378,102 @@ def sink_audit_append(spark, sf_dir):
         return spark.createDataFrame(counts, "action string, n bigint")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- table_time_travel: MVCC version-pinned reads ---
+
+
+_TT_SUMMARY = """COUNT(*) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       CAST(SUM(CASE WHEN o_orderstatus IN ('X', 'N', 'Z') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mutated"""
+
+_TT_SRC2_SQL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'Z' ELSE o_orderstatus END
+         AS o_orderstatus,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 5.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 13 <> 0
+""".strip()
+
+
+@register(
+    "table_time_travel",
+    oracle=None,  # installed below (needs the shared orders-mutation SQL)
+    description="MVCC time travel: after TWO further merge commits, read "
+    "the table pinned at versions 1, 2, and 3 and summarize each — a "
+    "converged merge makes version k ≡ its source extract, so the oracle "
+    "recomputes all three states from the raw table and a hash match "
+    "proves historical versions stay byte-readable after later commits "
+    "(the snapshot-pointer design: a commit writes a NEW version and swaps "
+    "a pointer, it never touches existing files); exact-integer summaries "
+    "(price cents, mutation counts) keep the check value-strict",
+)
+def table_time_travel(spark, sf_dir):
+    d = _scratch()
+    try:
+        o = load(spark, sf_dir, "orders")
+        tbl = SnapshotTable.create(spark, os.path.join(d, "t"), o)  # v1
+        src1 = orders_source(spark, sf_dir)
+        simple_merge(spark, tbl, src1, "o_orderkey")  # v2
+        mut2 = F.col("o_orderkey") % 3 == 0
+        src2 = o.where(F.col("o_orderkey") % 13 != 0).select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(mut2, F.lit("Z")).otherwise(F.col("o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            F.when(mut2, F.col("o_totalprice") + 5.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        simple_merge(spark, tbl, src2, "o_orderkey")  # v3
+
+        def summary(version: int):
+            df = tbl.read(spark, version=version)
+            return df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                )
+                .cast("long")
+                .alias("price_cents"),
+                F.sum(
+                    F.when(
+                        F.col("o_orderstatus").isin("X", "N", "Z"), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_mutated"),
+            ).select(F.lit(version).alias("version"), "*")
+
+        out = summary(1).unionByName(summary(2)).unionByName(summary(3))
+        rows = out.collect()  # materialize before the scratch dir is removed
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _install_time_travel_oracle() -> None:
+    from sparkmerge.queries import _REGISTRY
+    from sparkmerge.queries.fixtures import ORDERS_MUT_SQL
+
+    sql = f"""
+SELECT 1 AS version, {_TT_SUMMARY} FROM orders
+UNION ALL
+SELECT 2 AS version, {_TT_SUMMARY} FROM ({ORDERS_MUT_SQL})
+UNION ALL
+SELECT 3 AS version, {_TT_SUMMARY} FROM ({_TT_SRC2_SQL})
+"""
+    spec = _REGISTRY["table_time_travel"]
+    _REGISTRY["table_time_travel"] = type(spec)(
+        spec.op_id, spec.fn, sql, spec.description
+    )
+
+
+_install_time_travel_oracle()

@@ -64,3 +64,24 @@ def test_hll_rollup_register_sanity_and_determinism(spark):
         assert r["raw_est"] > 0
     again = fn(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_time_travel_versions_match_fixture_shapes(spark):
+    rows = {r["version"]: r for r in registry()["table_time_travel"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {1, 2, 3}
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n = o.count()
+    assert rows[1]["n_rows"] == n
+    assert rows[1]["n_mutated"] == 0  # original statuses are untouched
+    # v2 = mutated source: drops %7==0, adds one row per %11==0 key
+    from pyspark.sql import functions as F
+
+    dropped = o.filter(F.col("o_orderkey") % 7 == 0).count()
+    added = o.filter(F.col("o_orderkey") % 11 == 0).count()
+    assert rows[2]["n_rows"] == n - dropped + added
+    # v3 = second source: drops %13==0 keys of the ORIGINAL table
+    dropped13 = o.filter(F.col("o_orderkey") % 13 == 0).count()
+    assert rows[3]["n_rows"] == n - dropped13
+    assert rows[3]["n_mutated"] == o.filter(
+        (F.col("o_orderkey") % 13 != 0) & (F.col("o_orderkey") % 3 == 0)
+    ).count()

@@ -27,7 +27,7 @@ SECTIONS = [
         "join_bucketed_colocated", "join_salted_skew", "join_bloom_prefilter",
         "sink_jsonl_shards",
         "scan_stats_pruned", "table_zorder_layout", "table_profile",
-        "validate_constraints",
+        "validate_constraints", "table_time_travel",
     ]),
     ("Relational surface", [
         "project_subset", "filter_predicate", "join_semi", "join_anti",
