@@ -16,10 +16,18 @@ from which the new snapshot (``apply_changes``), the CDC audit record
 (``audit``) and the threshold guard counts (``action_counts``) all derive.
 
 Scale notes (100 TB posture):
-- The join shuffles both sides by the key once; everything downstream reuses
-  that partitioning.  A full-outer join cannot be broadcast in Spark, so this
-  is a sort-merge/shuffled-hash join by design; AQE skew-join splitting
-  handles hot keys.
+- Default strategy: the join shuffles both sides by the key once; everything
+  downstream reuses that partitioning.  A full-outer join cannot be broadcast
+  in Spark, so this is a sort-merge/shuffled-hash join by design; AQE
+  skew-join splitting handles hot keys.
+- ``strategy='broadcast'`` is the small-source fast path: a daily delta
+  merged into a 100 TB table must NOT shuffle the table.  The full outer is
+  decomposed into target ⟕ broadcast(source) (classifies UPDATE / KEEP /
+  DELETE / SOFT_DELETE) plus source ▷ broadcast(matched target keys)
+  (the INSERTs) — identical changeset, ZERO shuffles of the target; the
+  price is a second, key-column-pruned scan of the target for the semi join.
+  ``strategy='auto'`` picks broadcast when Catalyst's size estimate of the
+  source is under ``spark.sql.autoBroadcastJoinThreshold``.
 - Nothing here collects to the driver; action counts ride on an
   ``Observation`` in merge.py where possible.
 - Change detection and null-safe key equality are plain codegen'd column
@@ -187,6 +195,27 @@ class Changeset:
         return {r[_ACTION]: r["count"] for r in rows}
 
 
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate (parquet footer stats with
+    filter/project selectivity applied).  Used only by ``strategy='auto'``;
+    any failure → a conservative huge value (falls back to shuffle)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
+def _broadcast_threshold(df: DataFrame) -> int:
+    raw = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    raw = raw.lower().rstrip("b")
+    mult = {"k": 1024, "m": 1024**2, "g": 1024**3}.get(raw[-1:], 1)
+    digits = raw.rstrip("kmg")
+    try:
+        return int(digits) * mult
+    except ValueError:
+        return 10 * 1024**2
+
+
 def build_changeset(
     target_df: DataFrame,
     source_df: DataFrame,
@@ -196,12 +225,22 @@ def build_changeset(
     bad_key: bool = False,
     bad_key_order: list[str] | None = None,
     plan: MergePlan | None = None,
+    strategy: str = "shuffle",
 ) -> Changeset:
     """Classify every row of ``target_df ⟗ source_df`` into a merge action.
 
     Parameters mirror sp_SimpleMerge (@joinColumns :60, @delete :61,
     @badKey :63).  ``bad_key_order`` is the deterministic-tiebreak variant of
     the reference's %%physloc%% ordering (see ``_rank_duplicates``).
+
+    ``strategy``: ``'shuffle'`` (default — one full-outer sort-merge join),
+    ``'broadcast'`` (small-source fast path, zero target shuffles — see
+    module docstring), or ``'auto'`` (broadcast iff the source's Catalyst
+    size estimate fits ``spark.sql.autoBroadcastJoinThreshold``).  The
+    changeset CONTENT is identical under every strategy; only the physical
+    plan differs.  ``bad_key`` forces the shuffle strategy: duplicate-key
+    ranking is a window over the key partitioning, so the key shuffle exists
+    anyway and the broadcast decomposition would pay it twice.
     """
     if plan is None:
         plan = MergePlan.build(target_df.schema, source_df.schema, join_columns)
@@ -209,6 +248,22 @@ def build_changeset(
     if clash:
         raise MergeValidationError(f"Target columns collide with reserved names: {sorted(clash)!r}")
     mode = DeleteMode.parse(delete)
+
+    if strategy not in ("shuffle", "broadcast", "auto"):
+        raise MergeValidationError(f"Unknown changeset strategy: {strategy!r}")
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if not bad_key
+            and _estimated_bytes(source_df) <= _broadcast_threshold(source_df)
+            else "shuffle"
+        )
+    if strategy == "broadcast" and bad_key:
+        raise MergeValidationError(
+            "strategy='broadcast' is incompatible with bad_key=True — the "
+            "duplicate-rank window shuffles by the key anyway; use 'shuffle' "
+            "or 'auto'."
+        )
 
     t_df = target_df.withColumn("__t_present", F.lit(True))
     # Rename source columns so bare identifiers resolve to the target side.
@@ -225,7 +280,35 @@ def build_changeset(
         s_df = _rank_duplicates(s_df, s_keys, s_order, "__s_rn")
         join_cond = join_cond & (F.col("__t_rn") == F.col("__s_rn"))
 
-    joined = t_df.join(s_df, join_cond, "full_outer")
+    if strategy == "broadcast":
+        # Small-source decomposition — ZERO shuffles of the target:
+        #   (1) target ⟕ broadcast(source): every target row classified
+        #       (matched → UPDATE/KEEP, unmatched → delete-mode action);
+        #   (2) source ▷ broadcast(matched target keys): the INSERT rows.
+        #       The matched-key set is produced by a key-column-pruned semi
+        #       scan of the target and is bounded by the matched row count
+        #       (≈ |source|), so it broadcasts by construction.  Duplicate
+        #       build rows are harmless to a hash anti join — no distinct(),
+        #       which would add the very shuffle this path avoids.
+        # unionByName aligns (1)'s join layout with (2)'s typed-NULL target
+        # side; the classification expressions below then apply unchanged.
+        matched_keys = t_df.select(*plan.key_columns).join(
+            F.broadcast(s_df), _key_condition(plan, "", _SRC), "left_semi"
+        )
+        inserts = s_df.join(
+            F.broadcast(matched_keys), _key_condition(plan, "", _SRC), "left_anti"
+        )
+        t_fields = {f.name: f.dataType for f in target_df.schema.fields}
+        insert_rows = inserts.select(
+            *[F.lit(None).cast(t_fields[c]).alias(c) for c in target_df.columns],
+            F.lit(None).cast("boolean").alias("__t_present"),
+            *[F.col(c) for c in s_df.columns],
+        )
+        joined = t_df.join(F.broadcast(s_df), join_cond, "left_outer").unionByName(
+            insert_rows
+        )
+    else:
+        joined = t_df.join(s_df, join_cond, "full_outer")
 
     t_present = F.col("__t_present").isNotNull()
     s_present = F.col("__s_present").isNotNull()

@@ -181,16 +181,22 @@ def merge_preview(
     bad_key: bool = False,
     bad_key_order: list[str] | None = None,
     schema_evolution: bool = False,
+    strategy: str = "shuffle",
 ) -> DataFrame:
     """Pure-DataFrame merge: the final target state as a lazy plan, no
     storage involved.  This is the engine's composable form — usable on any
     two relations (and inside ``foreachBatch`` for streaming upserts); the
-    SnapshotTable path in ``simple_merge`` adds transactionality on top."""
+    SnapshotTable path in ``simple_merge`` adds transactionality on top.
+
+    ``strategy='broadcast'`` (or ``'auto'``) selects the small-source fast
+    path: zero shuffles of the target (see changeset.py) — the right plan
+    when a delta batch merges into a table orders of magnitude larger."""
     if schema_evolution:
         target_df = evolve_target_schema(target_df, source_df.schema)
     in_scope, out_scope = _scope_split(target_df, target_filter)
     cs = build_changeset(in_scope, source_df, join_columns, delete=delete,
-                         bad_key=bad_key, bad_key_order=bad_key_order)
+                         bad_key=bad_key, bad_key_order=bad_key_order,
+                         strategy=strategy)
     new_state = cs.apply_changes()
     if out_scope is not None:
         new_state = new_state.unionByName(out_scope)
@@ -233,6 +239,7 @@ def merge_partitioned(
     audit_path: str | None = None,
     threshold: str | float | None = None,
     debug: bool = False,
+    strategy: str = "shuffle",
 ) -> MergeResult | MergeReport:
     """Merge into a :class:`~sparkmerge.ptable.PartitionedSnapshotTable`,
     rewriting ONLY the partitions the changeset touches (SURVEY.md §7.2's
@@ -299,7 +306,8 @@ def merge_partitioned(
         in_scope = target.read(spark)
 
     cs = build_changeset(in_scope, source_df, join_columns, delete=delete,
-                         bad_key=bad_key, bad_key_order=bad_key_order)
+                         bad_key=bad_key, bad_key_order=bad_key_order,
+                         strategy=strategy)
 
     if debug:
         # dry run, zero side effects — like simple_merge(debug=True), plus
@@ -418,6 +426,7 @@ def simple_merge(
     threshold: str | float | None = None,
     debug: bool = False,
     schema_evolution: bool = False,
+    strategy: str = "shuffle",
 ) -> MergeResult | MergeReport:
     """Merge ``source_df`` into ``target`` — see module docstring.
 
@@ -425,7 +434,9 @@ def simple_merge(
     uses the reference's default name (``<target>_SimpleMergeOutput``).
     ``schema_evolution=True`` relaxes the source ⊆ target schema rule by
     widening the target with typed-NULL columns first (the committed
-    snapshot carries the evolved schema)."""
+    snapshot carries the evolved schema).  ``strategy='broadcast'``/
+    ``'auto'`` selects the zero-target-shuffle small-source path
+    (changeset.py); the merge result is identical under every strategy."""
     if audit and audit_path is None:
         audit_path = default_audit_path(target)
     thr = _parse_threshold(threshold)
@@ -438,7 +449,8 @@ def simple_merge(
 
     if debug:
         cs = build_changeset(in_scope, source_df, join_columns, delete=delete,
-                             bad_key=bad_key, bad_key_order=bad_key_order, plan=plan)
+                             bad_key=bad_key, bad_key_order=bad_key_order, plan=plan,
+                             strategy=strategy)
         return MergeReport(
             merge_sql=render_merge_sql(plan, delete=delete, target_filter=target_filter),
             physical_plan=_captured_explain(cs.df),
@@ -453,7 +465,8 @@ def simple_merge(
     # under badKey), so count(_old) IS the reference's pre-merge count
     # (sp_SimpleMerge.sql:141-150) at zero extra cost.
     cs = build_changeset(in_scope, source_df, join_columns, delete=delete,
-                         bad_key=bad_key, bad_key_order=bad_key_order, plan=plan)
+                         bad_key=bad_key, bad_key_order=bad_key_order, plan=plan,
+                         strategy=strategy)
     cs_obs = Observation("sparkmerge_changeset")
     observed = cs.df.observe(
         cs_obs,

@@ -135,6 +135,9 @@ _VERIFY_FIRST = [
     #     check_oracle green at sf0.001+sf0.01; round-5 rotation) ---
     "agg_bitmap_distinct", "join_point_in_time", "scan_schema_merge",
     "stream_hll_rollup", "table_time_travel",
+    # --- (j) round-4 session-2 additions (local check_oracle green at
+    #     sf0.01; round-5 rotation territory) ---
+    "merge_broadcast_delta",
 ]
 
 

@@ -19,11 +19,13 @@ from sparkmerge.queries.fixtures import (
     CUST_NULL_TGT_SQL,
     LINEITEM_MUT_SQL,
     ORDERS_COLS,
+    ORDERS_DELTA_SQL,
     ORDERS_MUT_SQL,
     PART_MUT_SQL,
     classify_sql,
     customer_nullkey,
     lineitem_source,
+    orders_delta,
     orders_source,
     part_source,
 )
@@ -678,4 +680,49 @@ def merge_multi_source(spark, sf_dir):
         .when(F.col("w.c_custkey").isNull(), "KEEP")
         .otherwise("UPDATE")
         .alias("action"),
+    )
+
+
+# --- merge_broadcast_delta: the small-source zero-target-shuffle strategy ---
+# (a ~0.5 % delta merged into orders; at 100 TB the target MUST NOT shuffle —
+# changeset.py decomposes the full outer into target ⟕ broadcast(delta) plus
+# delta ▷ broadcast(matched keys); content identical to strategy='shuffle',
+# proven op-for-op by tests/test_golden_merge.py::TestBroadcastStrategy)
+
+
+@register(
+    "merge_broadcast_delta",
+    oracle=f"""
+WITH src AS ({ORDERS_DELTA_SQL})
+SELECT s.o_orderkey,
+       CASE WHEN t.o_orderkey IS NULL THEN 'INSERT' ELSE 'UPDATE' END AS action,
+       s.o_orderstatus AS new_status,
+       s.o_totalprice AS new_totalprice
+  FROM src s
+  LEFT JOIN orders t ON t.o_orderkey = s.o_orderkey
+ WHERE t.o_orderkey IS NULL
+    OR t.o_custkey IS DISTINCT FROM s.o_custkey
+    OR t.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+    OR t.o_totalprice IS DISTINCT FROM s.o_totalprice
+    OR t.o_orderdate IS DISTINCT FROM s.o_orderdate
+    OR t.o_orderpriority IS DISTINCT FROM s.o_orderpriority
+""",
+    description="small-source broadcast merge: a ~0.5% delta upserts into the "
+    "full table with ZERO shuffles of the target (left-outer broadcast probe "
+    "+ key-pruned semi scan for the INSERT anti join); unchanged delta rows "
+    "are KEEP-suppressed by the same null-safe change detection as merge_full",
+)
+def merge_broadcast_delta(spark, sf_dir):
+    cs = build_changeset(
+        load(spark, sf_dir, "orders"),
+        orders_delta(spark, sf_dir),
+        "o_orderkey",
+        delete="NO",  # a delta covers only changed keys — unmatched rows stay
+        strategy="broadcast",
+    )
+    return cs.df.filter(F.col("_action") != "KEEP").select(
+        "o_orderkey",
+        F.col("_action").alias("action"),
+        F.col("_new.o_orderstatus").alias("new_status"),
+        F.col("_new.o_totalprice").alias("new_totalprice"),
     )

@@ -43,6 +43,47 @@ SELECT o_orderkey + 1000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderp
 ORDERS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
 ORDERS_NONKEY = ORDERS_COLS[1:]
 
+# A SMALL delta (~0.5 % of orders): the canonical input of the broadcast
+# small-source merge strategy.  Even keys in the slice are mutated, odd keys
+# are byte-identical (exercises change-detection → KEEP suppression), plus a
+# band of brand-new keys (INSERTs).
+ORDERS_DELTA_SQL = """
+SELECT o_orderkey,
+       o_custkey,
+       CASE WHEN o_orderkey % 2 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 5.0 ELSE o_totalprice END AS o_totalprice,
+       o_orderdate,
+       o_orderpriority
+  FROM orders
+ WHERE o_orderkey % 97 = 0
+UNION ALL
+SELECT o_orderkey + 2000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority
+  FROM orders
+ WHERE o_orderkey % 131 = 0
+""".strip()
+
+
+def orders_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    mut = F.col("o_orderkey") % 2 == 0
+    base = o.where(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(mut, F.lit("X")).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.when(mut, F.col("o_totalprice") + 5.0).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    extra = o.where(F.col("o_orderkey") % 131 == 0).select(
+        (F.col("o_orderkey") + 2000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    return base.unionAll(extra)
+
 
 def orders_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")

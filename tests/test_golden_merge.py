@@ -302,3 +302,70 @@ def test_badkey_on_real_corpus_duplicates(spark, tmp_path):
     final = table.read(spark)
     assert final.exceptAll(src).count() == 0 and src.exceptAll(final).count() == 0
     assert res.changed_rows > 0
+
+
+class TestBroadcastStrategy:
+    """strategy='broadcast' must produce the IDENTICAL changeset to the
+    default shuffle full-outer — same rows, same actions, same images —
+    while its physical plan contains zero shuffle Exchanges."""
+
+    def _assert_equivalent(self, t, s, keys, **kw):
+        a = build_changeset(t, s, keys, strategy="shuffle", **kw).df
+        b = build_changeset(t, s, keys, strategy="broadcast", **kw).df
+        flat = lambda df: sorted(
+            map(repr, df.select(F.to_json(F.struct(*df.columns))).collect())
+        )
+        assert flat(a) == flat(b)
+
+    def test_equivalence_all_delete_modes(self, spark):
+        schema = "k int, v1 string, v2 double"
+        t = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (4, "d", 4.0)], schema
+        )
+        s = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "B", 2.0), (5, "e", 5.0), (3, None, 3.0)], schema
+        )
+        for delete in ("YES", "NO", "set v1 = 'gone'"):
+            self._assert_equivalent(t, s, "k", delete=delete)
+
+    def test_equivalence_null_keys_and_dup_source(self, spark):
+        schema = "k int, k2 string, v double"
+        t = spark.createDataFrame([(1, None, 1.0), (2, "x", 2.0)], schema)
+        s = spark.createDataFrame(
+            [(1, None, 9.0), (3, "y", 3.0), (3, "y", 3.5)], schema
+        )
+        self._assert_equivalent(t, s, "k, k2")
+
+    def test_auto_picks_broadcast_for_tiny_source(self, spark, tmp_path):
+        # 'auto' keys off Catalyst's size estimate, which is only meaningful
+        # for file-backed relations (createDataFrame RDD scans report the
+        # conservative default and correctly fall back to shuffle).
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "k int, v double"
+        ).write.parquet(str(tmp_path / "t"))
+        spark.createDataFrame(
+            [(1, 10.0), (200, 1.0)], "k int, v double"
+        ).write.parquet(str(tmp_path / "s"))
+        t = spark.read.parquet(str(tmp_path / "t"))
+        s = spark.read.parquet(str(tmp_path / "s"))
+        cs = build_changeset(t, s, "k", strategy="auto")
+        plan = cs.df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        got = {r["k"]: r["_action"] for r in cs.df.filter("_action <> 'KEEP'").collect()}
+        assert got[1] == "UPDATE" and got[200] == "INSERT"
+        # DELETE classification also present under broadcast decomposition
+        assert cs.df.filter("_action = 'DELETE'").count() == 99
+
+    def test_broadcast_plan_has_zero_shuffles(self, spark):
+        from sparkmerge.queries import registry
+
+        df = registry()["merge_broadcast_delta"].fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert "BroadcastExchange" in plan
+
+    def test_badkey_rejects_broadcast(self, spark):
+        t = spark.createDataFrame([Row(k=1, v="x")])
+        s = spark.createDataFrame([Row(k=1, v="y")])
+        with pytest.raises(MergeValidationError):
+            build_changeset(t, s, "k", bad_key=True, strategy="broadcast")
