@@ -367,3 +367,22 @@ def test_partitioned_debug_dry_run(spark, orders, tmp_path):
     assert "scan-pruned" in rep.merge_sql and "MERGE INTO" in rep.merge_sql
     assert rep.target_rows == orders.filter("o_orderstatus = 'O'").count()
     assert t.current_version() == 1 and t.properties() == {}  # zero side effects
+
+
+def test_prune_scan_with_broadcast_strategy(spark, orders, tmp_path):
+    """The full 100 TB combination: partition-pruned target scan + the
+    zero-target-shuffle broadcast changeset.  Must match the shuffle
+    strategy's end state exactly, and untouched partitions must still be
+    carried forward by reference."""
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "o_orderstatus")
+    v1_parts = t.partitions()
+    src = mutated(orders.filter("o_orderstatus = 'O'"))
+    merge_partitioned(spark, t, src, ["o_orderkey", "o_orderstatus"],
+                      prune_scan=True, strategy="broadcast")
+    t2 = PartitionedSnapshotTable.create(spark, str(tmp_path / "t2"), orders, "o_orderstatus")
+    merge_partitioned(spark, t2, src, ["o_orderkey", "o_orderstatus"],
+                      prune_scan=True, strategy="shuffle")
+    assert same_rows(t.read(spark), t2.read(spark))
+    parts = t.partitions()
+    assert parts["F"] == v1_parts["F"] and parts["P"] == v1_parts["P"]
+    assert parts["O"].startswith(os.path.join("files", "v2"))

@@ -18,6 +18,7 @@ import duckdb
 
 OPS = [
     "merge_full",
+    "merge_broadcast_delta",  # zero-target-shuffle strategy vs merge_full's shuffle pair
     "badkey_rank",
     "dedup_minhash",
     "dedup_ngram_jaccard",
