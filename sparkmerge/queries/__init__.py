@@ -138,6 +138,10 @@ _VERIFY_FIRST = [
     # --- (j) round-4 session-2 additions (local check_oracle green at
     #     sf0.01; round-5 rotation territory) ---
     "merge_broadcast_delta",
+    # --- (k) rewritten after their last driver-green record (variant-based
+    #     JSON extraction) — driver re-confirmation wanted, same policy as
+    #     text_repetition in (c) ---
+    "json_extract_props",
 ]
 
 
