@@ -323,7 +323,7 @@ def incremental_rollup(
             F.least(F.col("c.min_value"), F.col("d.min_value")).alias("min_value"),
             F.greatest(F.col("c.max_value"), F.col("d.max_value")).alias("max_value"),
         )
-        simple_merge(spark, table, combined, keys, delete="NO")
+        simple_merge(spark, table, combined, keys, delete="NO", strategy="auto")
     return table
 
 
@@ -441,7 +441,11 @@ def foreachbatch_merge_stream(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        simple_merge(spark, table, latest, key, delete="NO")
+        # a micro-batch is delta-sized by construction → 'auto' picks the
+        # zero-target-shuffle broadcast changeset whenever Catalyst can
+        # bound the batch size, and falls back to the shuffle join when it
+        # can't (e.g. a backfill batch too big to broadcast)
+        simple_merge(spark, table, latest, key, delete="NO", strategy="auto")
 
     q = (
         spark.readStream.schema(schema)
@@ -486,7 +490,7 @@ def foreachbatch_merge_replay(
         batch = events.filter((events.ts >= start) & upper).select(state_cols)
         w = Window.partitionBy(key).orderBy(F.desc("ts"), F.desc("event_id"))
         latest = batch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-        simple_merge(spark, table, latest, key, delete="NO")
+        simple_merge(spark, table, latest, key, delete="NO", strategy="auto")
     return table
 
 

@@ -168,6 +168,10 @@ def main() -> None:
         "case: the DuckDB all-pairs formulation grows super-linearly while the",
         "prefix-filtered Spark plan stays near-linear, crossing over well before",
         "sf0.1 — at 100 TB the quadratic formulation does not finish.",
+        "`merge_broadcast_delta` tracks `merge_full` at these SFs (both floor-",
+        "dominated on a ≤170 MiB table) — its scale case is structural, not a",
+        "stopwatch one: zero target Exchanges (PLANS.md) versus the full-outer's",
+        "shuffle pair, i.e. at 100 TB it moves the delta, not the table.",
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w") as f:
