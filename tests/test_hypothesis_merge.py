@@ -113,3 +113,26 @@ def test_scd2_history_invariants_hold_for_any_extract(spark, pair):
         # a closed version exists iff the key existed and actually changed
         should_close = k in tgt_map and k in src_map and tgt_map[k] != src_map[k]
         assert bool(closed) == should_close, (k, closed)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pair=_pair())
+def test_broadcast_strategy_equals_shuffle_for_random_tables(spark, pair):
+    """For ANY (target, source) pair — including NULL keys on both sides and
+    duplicate source keys — the broadcast decomposition must produce the
+    same changeset multiset as the full-outer shuffle join, per delete
+    mode.  Physical strategy can never change merge content."""
+    t_rows, s_rows = pair  # deliberately NOT deduped: dup keys must agree too
+    target = spark.createDataFrame(t_rows, "k int, v int")
+    source = spark.createDataFrame(s_rows, "k int, v int")
+    for delete in ("YES", "NO"):
+        a = build_changeset(target, source, "k", delete=delete, strategy="shuffle").df
+        b = build_changeset(target, source, "k", delete=delete, strategy="broadcast").df
+        flat = lambda df: sorted(
+            map(repr, df.select(F.to_json(F.struct(*df.columns))).collect())
+        )
+        assert flat(a) == flat(b)
