@@ -24,8 +24,11 @@ Scale notes (100 TB posture):
   merged into a 100 TB table must NOT shuffle the table.  The full outer is
   decomposed into target ⟕ broadcast(source) (classifies UPDATE / KEEP /
   DELETE / SOFT_DELETE) plus source ▷ broadcast(matched target keys)
-  (the INSERTs) — identical changeset, ZERO shuffles of the target; the
-  price is a second, key-column-pruned scan of the target for the semi join.
+  (the INSERTs) — identical changeset, and no Exchange ever carries target
+  rows: the only shuffle moves the distinct matched-key set (delta-sized).
+  The price is a second, key-column-pruned scan of the target for the semi
+  join.  Requires a deterministic source (it is evaluated more than once —
+  the same contract Spark task retries already impose).
   ``strategy='auto'`` picks broadcast when Catalyst's size estimate of the
   source is under ``spark.sql.autoBroadcastJoinThreshold``.
 - Nothing here collects to the driver; action counts ride on an
@@ -208,8 +211,8 @@ def _estimated_bytes(df: DataFrame) -> int:
 def _broadcast_threshold(df: DataFrame) -> int:
     raw = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     raw = raw.lower().rstrip("b")
-    mult = {"k": 1024, "m": 1024**2, "g": 1024**3}.get(raw[-1:], 1)
-    digits = raw.rstrip("kmg")
+    mult = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}.get(raw[-1:], 1)
+    digits = raw.rstrip("kmgt")
     try:
         return int(digits) * mult
     except ValueError:
@@ -281,23 +284,30 @@ def build_changeset(
         join_cond = join_cond & (F.col("__t_rn") == F.col("__s_rn"))
 
     if strategy == "broadcast":
-        # Small-source decomposition — ZERO shuffles of the target:
+        # Small-source decomposition — no shuffle touches the target:
         #   (1) target ⟕ broadcast(source): every target row classified
         #       (matched → UPDATE/KEEP, unmatched → delete-mode action);
         #   (2) source ▷ broadcast(matched target keys): the INSERT rows.
-        #       The matched-key set is produced by a key-column-pruned semi
-        #       scan of the target and is bounded by the matched row count
-        #       (≈ |source|), so it broadcasts by construction.  Duplicate
-        #       build rows are harmless to a hash anti join — no distinct(),
-        #       which would add the very shuffle this path avoids.
+        #       The matched-key set comes from a key-column-pruned semi scan
+        #       of the target; distinct() bounds it by the number of DISTINCT
+        #       matched keys (≤ source keys) — without it a duplicate-key
+        #       target could broadcast one row per matched target row and
+        #       OOM the driver.  The distinct's Exchange moves only that
+        #       key set (map-side partial agg first), i.e. delta-sized bytes,
+        #       never the table.
+        # The source subtree is evaluated once into the broadcast exchange
+        # (reused by joins 1 and the semi) and once more as the anti-join
+        # probe — like Spark's own task-retry semantics, this requires a
+        # deterministic source; a rand()/limit-without-order source is
+        # outside the merge contract under EVERY strategy.
         # unionByName aligns (1)'s join layout with (2)'s typed-NULL target
         # side; the classification expressions below then apply unchanged.
-        matched_keys = t_df.select(*plan.key_columns).join(
-            F.broadcast(s_df), _key_condition(plan, "", _SRC), "left_semi"
+        matched_keys = (
+            t_df.select(*plan.key_columns)
+            .join(F.broadcast(s_df), join_cond, "left_semi")
+            .distinct()
         )
-        inserts = s_df.join(
-            F.broadcast(matched_keys), _key_condition(plan, "", _SRC), "left_anti"
-        )
+        inserts = s_df.join(F.broadcast(matched_keys), join_cond, "left_anti")
         t_fields = {f.name: f.dataType for f in target_df.schema.fields}
         insert_rows = inserts.select(
             *[F.lit(None).cast(t_fields[c]).alias(c) for c in target_df.columns],

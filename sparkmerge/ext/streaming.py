@@ -442,7 +442,7 @@ def foreachbatch_merge_stream(
             .drop("_rn")
         )
         # a micro-batch is delta-sized by construction → 'auto' picks the
-        # zero-target-shuffle broadcast changeset whenever Catalyst can
+        # broadcast changeset (no target-row shuffle) whenever Catalyst can
         # bound the batch size, and falls back to the shuffle join when it
         # can't (e.g. a backfill batch too big to broadcast)
         simple_merge(spark, table, latest, key, delete="NO", strategy="auto")

@@ -189,7 +189,7 @@ def merge_preview(
     SnapshotTable path in ``simple_merge`` adds transactionality on top.
 
     ``strategy='broadcast'`` (or ``'auto'``) selects the small-source fast
-    path: zero shuffles of the target (see changeset.py) — the right plan
+    path: no shuffle carries target rows (see changeset.py) — the right plan
     when a delta batch merges into a table orders of magnitude larger."""
     if schema_evolution:
         target_df = evolve_target_schema(target_df, source_df.schema)
@@ -435,7 +435,7 @@ def simple_merge(
     ``schema_evolution=True`` relaxes the source ⊆ target schema rule by
     widening the target with typed-NULL columns first (the committed
     snapshot carries the evolved schema).  ``strategy='broadcast'``/
-    ``'auto'`` selects the zero-target-shuffle small-source path
+    ``'auto'`` selects the broadcast small-source path (no target-row shuffle)
     (changeset.py); the merge result is identical under every strategy."""
     if audit and audit_path is None:
         audit_path = default_audit_path(target)

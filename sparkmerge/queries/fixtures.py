@@ -46,7 +46,9 @@ ORDERS_NONKEY = ORDERS_COLS[1:]
 # A SMALL delta (~0.5 % of orders): the canonical input of the broadcast
 # small-source merge strategy.  Even keys in the slice are mutated, odd keys
 # are byte-identical (exercises change-detection → KEEP suppression), plus a
-# band of brand-new keys (INSERTs).
+# band of brand-new keys (INSERTs).  The insert offset (9e9) clears the
+# orderkey space of every derived SF (gen_scale.py replication reaches
+# ~6e6 at sf1, ~6e8 at sf100), so the band stays pure INSERTs at any scale.
 ORDERS_DELTA_SQL = """
 SELECT o_orderkey,
        o_custkey,
@@ -57,7 +59,7 @@ SELECT o_orderkey,
   FROM orders
  WHERE o_orderkey % 97 = 0
 UNION ALL
-SELECT o_orderkey + 2000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority
+SELECT o_orderkey + 9000000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority
   FROM orders
  WHERE o_orderkey % 131 = 0
 """.strip()
@@ -75,7 +77,7 @@ def orders_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     extra = o.where(F.col("o_orderkey") % 131 == 0).select(
-        (F.col("o_orderkey") + 2000000).alias("o_orderkey"),
+        (F.col("o_orderkey") + 9000000000).alias("o_orderkey"),
         "o_custkey",
         F.lit("N").alias("o_orderstatus"),
         "o_totalprice",

@@ -22,3 +22,12 @@ def spark():
 @pytest.fixture()
 def tmp_table_dir(tmp_path):
     return str(tmp_path / "table")
+
+
+def changeset_flat(df):
+    """Order-insensitive canonical form of a changeset frame (struct columns
+    included) for strategy-equivalence assertions — single definition shared
+    by the golden and hypothesis suites."""
+    from pyspark.sql import functions as F
+
+    return sorted(map(repr, df.select(F.to_json(F.struct(*df.columns))).collect()))

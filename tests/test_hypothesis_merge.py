@@ -129,10 +129,9 @@ def test_broadcast_strategy_equals_shuffle_for_random_tables(spark, pair):
     t_rows, s_rows = pair  # deliberately NOT deduped: dup keys must agree too
     target = spark.createDataFrame(t_rows, "k int, v int")
     source = spark.createDataFrame(s_rows, "k int, v int")
+    from tests.conftest import changeset_flat
+
     for delete in ("YES", "NO"):
         a = build_changeset(target, source, "k", delete=delete, strategy="shuffle").df
         b = build_changeset(target, source, "k", delete=delete, strategy="broadcast").df
-        flat = lambda df: sorted(
-            map(repr, df.select(F.to_json(F.struct(*df.columns))).collect())
-        )
-        assert flat(a) == flat(b)
+        assert changeset_flat(a) == changeset_flat(b)

@@ -371,7 +371,7 @@ def test_partitioned_debug_dry_run(spark, orders, tmp_path):
 
 def test_prune_scan_with_broadcast_strategy(spark, orders, tmp_path):
     """The full 100 TB combination: partition-pruned target scan + the
-    zero-target-shuffle broadcast changeset.  Must match the shuffle
+    broadcast changeset (no target-row shuffle).  Must match the shuffle
     strategy's end state exactly, and untouched partitions must still be
     carried forward by reference."""
     t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "o_orderstatus")

@@ -18,7 +18,7 @@ import duckdb
 
 OPS = [
     "merge_full",
-    "merge_broadcast_delta",  # zero-target-shuffle strategy vs merge_full's shuffle pair
+    "merge_broadcast_delta",  # broadcast strategy (no target-row shuffle) vs merge_full's shuffle pair
     "badkey_rank",
     "dedup_minhash",
     "dedup_ngram_jaccard",
@@ -170,7 +170,7 @@ def main() -> None:
         "sf0.1 — at 100 TB the quadratic formulation does not finish.",
         "`merge_broadcast_delta` tracks `merge_full` at these SFs (both floor-",
         "dominated on a ≤170 MiB table) — its scale case is structural, not a",
-        "stopwatch one: zero target Exchanges (PLANS.md) versus the full-outer's",
+        "stopwatch one: no Exchange carries target rows (PLANS.md) versus the full-outer's",
         "shuffle pair, i.e. at 100 TB it moves the delta, not the table.",
         "",
     ]
