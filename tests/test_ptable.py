@@ -386,3 +386,46 @@ def test_prune_scan_with_broadcast_strategy(spark, orders, tmp_path):
     parts = t.partitions()
     assert parts["F"] == v1_parts["F"] and parts["P"] == v1_parts["P"]
     assert parts["O"].startswith(os.path.join("files", "v2"))
+
+
+def test_incremental_ingest_loop(spark, tmp_path):
+    """Condensed tools/soak_incremental.py: three ingest days through a
+    month-partitioned table (pruned scan + auto strategy), asserting
+    copy-forward, pruned rewrites, metadata-only idempotent commits, and
+    convergence to the pure-dataflow replay."""
+    from sparkmerge.merge import merge_preview
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "ds", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    months = sorted(r["ds"] for r in orders.select("ds").distinct().collect())
+    keys = ["o_orderkey", "ds"]
+
+    def day_delta(i):
+        m = orders.filter(F.col("ds") == months[i])
+        mut = F.col("o_orderkey") % 2 == 0
+        return m.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", "o_custkey",
+            F.when(mut, F.lit("X")).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+            F.when(mut, F.col("o_totalprice") + 1.0).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            "o_orderdate", "o_orderpriority", "ds",
+        )
+
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "t"), orders, "ds")
+    expected = orders
+    for i in range(3):
+        before = t.partitions()
+        delta = day_delta(i)
+        merge_partitioned(spark, t, delta, keys, delete="NO",
+                          prune_scan=True, strategy="auto")
+        after = t.partitions()
+        assert all(after[m] == before[m] for m in before if m != months[i])
+        assert {m for m in after if after[m] != before.get(m)} <= {months[i]}
+        expected = merge_preview(expected, delta, keys, delete="NO")
+        v = t.current_version()
+        merge_partitioned(spark, t, delta, keys, delete="NO",
+                          prune_scan=True, strategy="auto")
+        assert t.current_version() == v + 1  # committed...
+        assert not os.path.exists(str(tmp_path / "t" / "files" / f"v{v + 1}"))  # ...metadata-only
+    assert same_rows(t.read(spark), expected)
+    assert same_rows(t.read(spark, version=1), orders)
