@@ -183,3 +183,142 @@ def events_transition_counts(spark, sf_dir):
     return seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count("*").alias("n")
     )
+
+
+# --- bpe_train_rounds: the iterative BPE trainer (k fixed merge rounds) ---
+
+_BPE_ROUNDS = 3
+_BPE_TOPW = 2000
+
+# Symbol-sequence encoding that makes plain leftmost-nonoverlapping string
+# replace() EXACTLY the greedy left-to-right BPE merge in BOTH engines:
+# every symbol is wrapped in '|' (alphabet is [a-z]+, so '|' never occurs
+# inside a symbol) and symbols are joined by one space -- "the" becomes
+# "|t| |h| |e|".  The wrapping pipes give every match a hard boundary on
+# both sides (pattern "|b| |c|" cannot match inside "|ab| |c|"), and runs
+# resolve greedily exactly like the per-word fold: "|a| |a| |a| |a|" under
+# pattern "|a| |a|" -> "|aa| |aa|"; odd runs leave the tail symbol.
+
+
+def _bpe_words_sql() -> str:
+    return f"""
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents)
+   GROUP BY w
+   ORDER BY freq DESC, word
+   LIMIT {_BPE_TOPW}
+""".strip()
+
+
+def _bpe_round_sql(r: int) -> str:
+    """CTEs for round r: pair counts over s{r-1}, the winning pair, s{r}."""
+    return f"""
+pr{r} AS (
+  SELECT l[i] || ' ' || l[i + 1] AS pat, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM (SELECT l, freq, unnest(generate_series(1, len(l) - 1)) AS i
+            FROM (SELECT string_split(syms, ' ') AS l, freq FROM s{r - 1}))
+   GROUP BY 1),
+win{r} AS (
+  SELECT pat, '|' || replace(replace(pat, '|', ''), ' ', '') || '|' AS rep, cnt
+    FROM pr{r} ORDER BY cnt DESC, pat LIMIT 1),
+s{r} AS (
+  SELECT replace(s.syms, w.pat, w.rep) AS syms, s.freq
+    FROM s{r - 1} s CROSS JOIN win{r} w)
+""".strip()
+
+
+def _bpe_oracle_sql() -> str:
+    rounds = ",\n".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, replace(pat, '|', '') AS merged_pair, "
+        f"cnt AS pair_count FROM win{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+WITH w0 AS ({_bpe_words_sql()}),
+s0 AS (
+  SELECT '|' || array_to_string(string_split(word, ''), '| |') || '|' AS syms,
+         freq
+    FROM w0),
+{rounds}
+{selects}
+""".strip()
+
+
+@register(
+    "bpe_train_rounds",
+    oracle=_bpe_oracle_sql(),
+    description=f"iterative BPE training, {_BPE_ROUNDS} merge rounds over the "
+    f"top-{_BPE_TOPW} word types: per round, frequency-weighted adjacent-pair "
+    "counts pick a deterministic winner ((count desc, pair asc) -- the merge a "
+    "BPE trainer learns next), and the merge is applied to every word via ONE "
+    "boundary-safe string replace (pipe-wrapped symbols make leftmost-"
+    "nonoverlapping replace equal the greedy per-word fold, identically in "
+    "both engines).  The winner joins back by broadcast cross-join -- fully "
+    "declarative, no driver-side collect; per round: one agg shuffle + one "
+    "map-side merge, the fixed-point family shape (kmeans/pagerank)",
+)
+def bpe_train_rounds(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(_BPE_TOPW)
+    )
+    # "the" -> "|t| |h| |e|": wrap every char, join with one space
+    syms0 = F.concat(
+        F.lit("|"), F.array_join(F.split(F.col("w"), ""), "| |"), F.lit("|")
+    )
+    state = words.select(syms0.alias("syms"), "freq")
+
+    outs = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        toks = F.split(F.col("syms"), " ")
+        arr = state.select(toks.alias("l"), "freq")
+        idxs = F.when(
+            F.size(F.col("l")) >= 2, F.sequence(F.lit(1), F.size(F.col("l")) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pair_arr = F.transform(
+            idxs,
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("l"), i), F.element_at(F.col("l"), i + 1)
+            ),
+        )
+        pairs = arr.select(F.explode(pair_arr).alias("pat"), "freq")
+        counts = pairs.groupBy("pat").agg(F.sum("freq").alias("cnt"))
+        win = (
+            counts.orderBy(F.desc("cnt"), F.asc("pat"))
+            .limit(1)
+            .select(
+                "pat",
+                F.concat(
+                    F.lit("|"),
+                    F.translate(F.col("pat"), "| ", ""),
+                    F.lit("|"),
+                ).alias("rep"),
+                "cnt",
+            )
+        )
+        outs.append(
+            win.select(
+                F.lit(r).alias("round"),
+                F.translate(F.col("pat"), "|", "").alias("merged_pair"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        state = state.crossJoin(F.broadcast(win)).select(
+            F.replace(F.col("syms"), F.col("pat"), F.col("rep")).alias("syms"),
+            "freq",
+        )
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

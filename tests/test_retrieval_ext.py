@@ -153,3 +153,52 @@ def test_transition_counts_hand_stream(spark):
         got = registry()["events_transition_counts"].fn(spark, td)
         trans = {(r.prev_type, r.next_type): r.n for r in got.collect()}
     assert trans == {("view", "click"): 2, ("click", "buy"): 1}
+
+
+def test_bpe_replace_encoding_matches_greedy_fold(spark):
+    """The pipe-wrapped string encoding must make leftmost-nonoverlapping
+    replace() identical to the greedy left-to-right BPE merge fold — the
+    property bpe_train_rounds rests on — including adversarial same-symbol
+    runs and boundary-collision symbols."""
+    from pyspark.sql import functions as F
+
+    def fold(syms, p1, p2):
+        out = []
+        for s in syms:
+            if out and out[-1] == p1 and s == p2:
+                out[-1] = p1 + p2
+            else:
+                out.append(s)
+        return out
+
+    def enc(syms):
+        return "".join(f"|{s}|" for s in syms).replace("||", "| |")
+
+    cases = [
+        (["a", "a", "a", "a"], "a", "a"),     # even run -> two merges
+        (["a", "a", "a"], "a", "a"),          # odd run -> tail survives
+        (["a", "b", "a", "b"], "a", "b"),     # adjacent pattern repeats
+        (["ab", "c", "b", "c"], "b", "c"),    # 'b c' must not match inside 'ab c'
+        (["x", "ab", "b"], "ab", "b"),        # merged symbol as left element
+        (["t", "h", "e"], "t", "h"),
+    ]
+    rows = [(enc(s), f"|{p1}| |{p2}|", f"|{p1}{p2}|", enc(fold(s, p1, p2)))
+            for s, p1, p2 in cases]
+    df = spark.createDataFrame(rows, "syms string, pat string, rep string, want string")
+    got = df.select(
+        F.replace(F.col("syms"), F.col("pat"), F.col("rep")).alias("got"), "want"
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"], (r["got"], r["want"])
+
+
+def test_bpe_train_rounds_monotone_counts(spark):
+    """Merge-pair counts must be non-increasing across rounds (each round
+    removes the most frequent pair) and pairs must be distinct."""
+    from sparkmerge.queries import registry
+
+    rows = registry()["bpe_train_rounds"].fn(spark, SF_DIR).collect()
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert len({r["merged_pair"] for r in rows}) == 3

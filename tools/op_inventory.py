@@ -65,7 +65,7 @@ SECTIONS = [
         "pipeline_sequence_pack", "pipeline_quality_filter", "pipeline_dataset_card",
         "text_decontaminate", "pipeline_domain_mix", "pipeline_shard_shuffle",
         "text_line_dedup", "text_lm_score", "pipeline_source_cap",
-        "text_bm25_topk", "bpe_pair_counts", "pipeline_train_split",
+        "text_bm25_topk", "bpe_pair_counts", "bpe_train_rounds", "pipeline_train_split",
     ]),
     ("Curation & analysis (SURVEY §2.D, r4)", [
         "pipeline_chunk_split", "pipeline_repeat_upsample",
