@@ -20,6 +20,8 @@ OPS = [
     "agg_kmv_distinct",               # order-statistic sketch
     "agg_bitmap_distinct",            # bit_or fold
     "graph_triangle_count",           # multi-join orientation
+    "bpe_train_rounds",               # iterative argmax winner + merge chain
+    "merge_broadcast_delta",          # broadcast changeset decomposition
 ]
 
 
