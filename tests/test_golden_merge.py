@@ -376,3 +376,17 @@ class TestBroadcastStrategy:
         s = spark.createDataFrame([Row(k=1, v="y")])
         with pytest.raises(MergeValidationError):
             build_changeset(t, s, "k", bad_key=True, strategy="broadcast")
+
+    def test_auto_falls_back_to_shuffle_for_big_source(self, spark, tmp_path):
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(5000)], "k int, v double"
+        ).write.parquet(str(tmp_path / "t"))
+        t = spark.read.parquet(str(tmp_path / "t"))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+            cs = build_changeset(t, t, "k", strategy="auto")
+            plan = cs.df._jdf.queryExecution().executedPlan().toString()
+            assert "FullOuter" in plan  # fell back to the shuffle full-outer
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
