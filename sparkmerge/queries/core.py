@@ -708,9 +708,10 @@ SELECT s.o_orderkey,
     OR t.o_orderpriority IS DISTINCT FROM s.o_orderpriority
 """,
     description="small-source broadcast merge: a ~0.5% delta upserts into the "
-    "full table without shuffling it: left-outer broadcast probe plus a "
-    "+ key-pruned semi scan for the INSERT anti join); unchanged delta rows "
-    "are KEEP-suppressed by the same null-safe change detection as merge_full",
+    "full table without shuffling it (left-outer broadcast probe plus a "
+    "key-pruned semi scan feeding the INSERT anti join); unchanged delta "
+    "rows are KEEP-suppressed by the same null-safe change detection as "
+    "merge_full",
 )
 def merge_broadcast_delta(spark, sf_dir):
     cs = build_changeset(

@@ -197,7 +197,10 @@ def test_bpe_train_rounds_monotone_counts(spark):
     removes the most frequent pair) and pairs must be distinct."""
     from sparkmerge.queries import registry
 
-    rows = registry()["bpe_train_rounds"].fn(spark, SF_DIR).collect()
+    rows = sorted(
+        registry()["bpe_train_rounds"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["round"],
+    )  # union child order is not contractual — sort before asserting
     assert [r["round"] for r in rows] == [1, 2, 3]
     counts = [r["pair_count"] for r in rows]
     assert counts == sorted(counts, reverse=True)

@@ -55,12 +55,16 @@ TABLES = [
 
 
 def _adaptive(run) -> float:
+    """bench.py's adaptive protocol (bench.py:92 `_repeats` — keep in sync;
+    bench.py nests it inside main() so it cannot be imported): a warm-up
+    >= 10 s IS the measurement, 2-10 s warm-ups get median-of-3, < 2 s
+    get median-of-5."""
     t0 = time.perf_counter()
     run()
     warm = time.perf_counter() - t0
     if warm >= 10:
         return warm
-    n = 3 if warm < 2 else 1
+    n = 3 if warm >= 2 else 5
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
@@ -75,7 +79,10 @@ def main() -> None:
     from sparkmerge.session import get_spark
 
     for d, src, factor in ((SF1, "/root/testdata/sf0.1", 10), (SF10, SF1, 10)):
-        if not os.path.isdir(d):
+        # completeness check, not isdir: gen_scale makedirs before writing,
+        # so an interrupted generation leaves a partial dir — regenerate
+        # unless every table's parquet is present
+        if not all(os.path.exists(os.path.join(d, f"{t}.parquet")) for t in TABLES):
             subprocess.run(
                 [sys.executable, os.path.join(os.path.dirname(__file__), "gen_scale.py"),
                  src, d, str(factor)],
