@@ -95,6 +95,22 @@ def main() -> int:
             record[op_id] = {"status": "oracle_error", "rows": len(sdf), "secs": round(time.time() - t0, 2)}
             continue
         problems = []
+        # Driver-comparator safety: the driver canonicalizes via pandas
+        # sort_values over all columns, which raises on unhashable cells
+        # (list/dict/np.ndarray — how embedding_quantize went red in r3).
+        # Registry outputs must therefore be scalar-only; flag any offender
+        # here even when our own cell-wise canon would cope with it.
+        for col in sdf.columns:
+            nonnull = sdf[col].dropna()
+            if not len(nonnull):
+                continue
+            cell = nonnull.iloc[0]
+            if isinstance(cell, (list, dict)) or getattr(cell, "ndim", 0) > 0:
+                problems.append(
+                    f"non-scalar output column {col!r} "
+                    f"({type(cell).__name__}) would crash the driver's "
+                    "canonicalizer — serialize it (array_join etc.)"
+                )
         if len(sdf) != len(odf):
             problems.append(f"row count: spark={len(sdf)} duckdb={len(odf)}")
         s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
