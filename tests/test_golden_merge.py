@@ -390,3 +390,22 @@ class TestBroadcastStrategy:
             assert "FullOuter" in plan  # fell back to the shuffle full-outer
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    def test_broadcast_with_schema_evolution(self, spark):
+        """Evolution widens the target with typed NULLs; the broadcast
+        decomposition must union those against real source values without
+        type or column-order drift, matching the shuffle path exactly."""
+        from sparkmerge.merge import merge_preview
+
+        t = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+        s = spark.createDataFrame(
+            [(2, "B", 9.5), (3, "c", 1.5)], "k int, v string, score double"
+        )
+        a = merge_preview(t, s, "k", delete="NO", schema_evolution=True,
+                          strategy="shuffle")
+        b = merge_preview(t, s, "k", delete="NO", schema_evolution=True,
+                          strategy="broadcast")
+        assert a.schema == b.schema
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        rows = {r["k"]: (r["v"], r["score"]) for r in b.collect()}
+        assert rows == {1: ("a", None), 2: ("B", 9.5), 3: ("c", 1.5)}
