@@ -409,3 +409,31 @@ class TestBroadcastStrategy:
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
         rows = {r["k"]: (r["v"], r["score"]) for r in b.collect()}
         assert rows == {1: ("a", None), 2: ("B", 9.5), 3: ("c", 1.5)}
+
+    def test_broadcast_with_target_filter_and_audit(self, spark, tmp_path):
+        """Filter-scoped merge + CDC audit through SnapshotTable under the
+        broadcast strategy: out-of-scope rows immune, audit row set equal to
+        the shuffle strategy's (timestamps excluded)."""
+        rows = [(i, "keep" if i % 2 else "flip", i * 1.0) for i in range(1, 9)]
+        t = spark.createDataFrame(rows, "k int, v string, f double")
+        s = spark.createDataFrame(
+            [(2, "FLIPPED", 2.0), (99, "new", 0.5)], "k int, v string, f double"
+        )
+        results = {}
+        for strat in ("shuffle", "broadcast"):
+            tbl = SnapshotTable.create(spark, str(tmp_path / strat), t)
+            res = simple_merge(
+                spark, tbl, s, "k",
+                delete="NO", target_filter="f <= 4.0",
+                audit_path=str(tmp_path / f"audit_{strat}"), strategy=strat,
+            )
+            audit = spark.read.parquet(str(tmp_path / f"audit_{strat}")).drop("actionTime")
+            results[strat] = (
+                sorted(map(tuple, tbl.read(spark).collect())),
+                sorted(map(tuple, audit.collect())),
+                res.changed_rows,
+            )
+        assert results["shuffle"] == results["broadcast"]
+        final, audit_rows, changed = results["broadcast"]
+        assert changed == 2  # one UPDATE in scope + one INSERT
+        assert (6, "flip", 6.0) in final  # out-of-scope row untouched
