@@ -12,9 +12,14 @@ import tempfile
 from pyspark.sql import functions as F
 
 from sparkmerge.errors import MergeThresholdExceeded, MergeValidationError
-from sparkmerge.merge import simple_merge
+from sparkmerge.merge import diff_versions, simple_merge
 from sparkmerge.queries import load, register
-from sparkmerge.queries.fixtures import classify_sql, orders_source
+from sparkmerge.queries.fixtures import (
+    ORDERS_DELTA_SQL,
+    classify_sql,
+    orders_delta,
+    orders_source,
+)
 from sparkmerge.table import SnapshotTable
 
 
@@ -477,3 +482,56 @@ SELECT 3 AS version, {_TT_SUMMARY} FROM ({_TT_SRC2_SQL})
 
 
 _install_time_travel_oracle()
+
+
+# --- merge_version_diff: after-the-fact CDC from MVCC history ---
+# (diff_versions re-derives the audit record by classifying read(v1) against
+# read(v2) — useful when a merge ran without an audit_path.  The oracle is
+# the SAME ground truth as merge_broadcast_delta's: v2 ≡ orders ⊕ delta, so
+# reconstructing the changeset from STORAGE must reproduce exactly what the
+# live classification produced — proving the MVCC history loses nothing.)
+
+
+@register(
+    "merge_version_diff",
+    oracle=f"""
+WITH src AS ({ORDERS_DELTA_SQL})
+SELECT s.o_orderkey,
+       CASE WHEN t.o_orderkey IS NULL THEN 'INSERT' ELSE 'UPDATE' END AS action,
+       s.o_orderstatus AS new_status,
+       s.o_totalprice AS new_totalprice
+  FROM src s
+  LEFT JOIN orders t ON t.o_orderkey = s.o_orderkey
+ WHERE t.o_orderkey IS NULL
+    OR t.o_custkey IS DISTINCT FROM s.o_custkey
+    OR t.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+    OR t.o_totalprice IS DISTINCT FROM s.o_totalprice
+    OR t.o_orderdate IS DISTINCT FROM s.o_orderdate
+    OR t.o_orderpriority IS DISTINCT FROM s.o_orderpriority
+""",
+    description="after-the-fact CDC between two retained snapshot versions: "
+    "commit a delta merge (v1 → v2, broadcast strategy), then diff_versions "
+    "reconstructs the classified changeset purely from the stored versions; "
+    "the oracle recomputes the same rows from the raw inputs, so a hash "
+    "match proves the MVCC history preserves the merge's full change record "
+    "without an audit table",
+)
+def merge_version_diff(spark, sf_dir):
+    d = _scratch()
+    try:
+        o = load(spark, sf_dir, "orders")
+        tbl = SnapshotTable.create(spark, os.path.join(d, "t"), o)  # v1
+        delta = orders_delta(spark, sf_dir)
+        simple_merge(spark, tbl, delta, "o_orderkey", delete="NO",
+                     strategy="broadcast")  # v2
+        cs = diff_versions(spark, tbl, "o_orderkey", from_version=1, to_version=2)
+        out = cs.filter(F.col("_action") != "KEEP").select(
+            "o_orderkey",
+            F.col("_action").alias("action"),
+            F.col("_new.o_orderstatus").alias("new_status"),
+            F.col("_new.o_totalprice").alias("new_totalprice"),
+        )
+        rows = out.collect()  # materialize before the scratch dir is removed
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -14,7 +14,7 @@ SECTIONS = [
         "keep_unmatched", "target_filter_scope", "badkey_rank", "output_audit",
         "threshold_guard", "lastupdate_prop", "debug_dry_run", "merge_scd2",
         "merge_scd2_multibatch", "merge_schema_evolution", "merge_multi_source",
-        "merge_broadcast_delta",
+        "merge_broadcast_delta", "merge_version_diff",
     ]),
     ("Generator / lifecycle (SURVEY §2.B)", [
         "split_csv", "ident_normalize", "schema_introspect",
