@@ -142,9 +142,9 @@ _VERIFY_FIRST = [
     #     JSON extraction) — driver re-confirmation wanted, same policy as
     #     text_repetition in (c) ---
     "json_extract_props",
-    # --- (l) round-4 session-2: iterative BPE trainer + MVCC version diff
-    #     (local check_oracle green; round-5 rotation territory) ---
-    "bpe_train_rounds", "merge_version_diff",
+    # --- (l) round-4 session-2: iterative BPE trainer, MVCC version diff,
+    #     CSV quarantine (local check_oracle green; round-5 rotation) ---
+    "bpe_train_rounds", "merge_version_diff", "scan_csv_quarantine",
 ]
 
 

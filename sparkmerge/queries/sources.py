@@ -350,3 +350,71 @@ def scan_stats_pruned(spark, sf_dir):
         datetime.datetime(1996, 1, 1), datetime.datetime(1996, 3, 31),
     )
     return df.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+
+# --- scan_csv_quarantine: malformed-row routing on the CSV ingest path ---
+# (the CSV sibling of json_parse_quarantine: every 10th customer row is
+# written with a non-numeric account balance — the classic upstream-export
+# corruption — and PERMISSIVE parsing must ROUTE those rows to a corrupt
+# column, not silently null or drop them)
+
+
+def _ensure_corrupt_customer_csv(sf_dir: str) -> str:
+    import pyarrow.parquet as pq
+
+    dst = _derived(sf_dir, "customer_corrupt_csv/part-0.csv")
+    if not os.path.exists(dst):
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        rows = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+        ).to_pylist()
+        tmp = f"{dst}.{os.getpid()}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("c_custkey,c_mktsegment,c_acctbal\n")
+            for r in sorted(rows, key=lambda r: r["c_custkey"]):
+                bal = "N/A" if r["c_custkey"] % 10 == 0 else repr(r["c_acctbal"])
+                f.write(f"{r['c_custkey']},{r['c_mktsegment']},{bal}\n")
+        os.replace(tmp, dst)
+    return os.path.dirname(dst)
+
+
+@register(
+    "scan_csv_quarantine",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) FILTER (c_custkey % 10 <> 0) AS BIGINT) AS n_valid,
+       CAST(count(*) FILTER (c_custkey % 10 = 0) AS BIGINT) AS n_quarantined,
+       CAST(count(*) FILTER (c_custkey % 10 <> 0) AS BIGINT) AS n_parsed_bal,
+       min(CASE WHEN c_custkey % 10 = 0 THEN c_custkey END) AS first_quarantined_key
+  FROM customer GROUP BY c_mktsegment
+""",
+    description="CSV ingestion quarantine: a deterministic 10% of the feed "
+    "carries a non-numeric acctbal ('N/A'); PERMISSIVE mode with "
+    "columnNameOfCorruptRecord routes those rows to a corrupt column for "
+    "quarantine instead of silently nulling or dropping them (FAILFAST "
+    "would kill a 100 TB ingest on one bad upstream row; DROPMALFORMED "
+    "would lose data unaudited).  The oracle recomputes the counts from "
+    "the corruption rule on the clean table — a hash match proves routing "
+    "is exact: no row lost, none misclassified",
+)
+def scan_csv_quarantine(spark, sf_dir):
+    path = _ensure_corrupt_customer_csv(sf_dir)
+    df = spark.read.csv(
+        path,
+        header=True,
+        mode="PERMISSIVE",
+        schema="c_custkey long, c_mktsegment string, c_acctbal double, _corrupt string",
+        columnNameOfCorruptRecord="_corrupt",
+    )
+    bad = F.col("_corrupt").isNotNull()
+    # count(c_acctbal) is load-bearing beyond the statistic: the CSV parser
+    # prunes unreferenced columns, and an unparsed column can never fail
+    # conversion — without a reference to c_acctbal NOTHING would be routed
+    # to the corrupt column (spark.sql.csv.parser.columnPruning)
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.when(~bad, 1)).alias("n_valid"),
+        F.count(F.when(bad, 1)).alias("n_quarantined"),
+        F.count(F.col("c_acctbal")).alias("n_parsed_bal"),
+        F.min(F.when(bad, F.col("c_custkey"))).alias("first_quarantined_key"),
+    )

@@ -24,7 +24,8 @@ SECTIONS = [
     ]),
     ("Storage & scale patterns", [
         "scan_parquet", "scan_csv", "scan_json", "scan_orc",
-        "sink_partitioned_parquet", "sink_audit_append", "json_parse_quarantine", "merge_partition_pruned", "table_maintenance",
+        "sink_partitioned_parquet", "sink_audit_append", "json_parse_quarantine",
+        "scan_csv_quarantine", "merge_partition_pruned", "table_maintenance",
         "join_bucketed_colocated", "join_salted_skew", "join_bloom_prefilter",
         "sink_jsonl_shards",
         "scan_stats_pruned", "table_zorder_layout", "table_profile",
