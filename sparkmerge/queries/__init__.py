@@ -68,94 +68,82 @@ def register(op_id: str, *, oracle: str | None = None, description: str = ""):
     return deco
 
 
-# Ops the round-1 driver never reached (CORRECTNESS_r01.json covered exactly
-# the first 50 registration-order entries).  They are emitted FIRST so a
-# capped correctness run verifies the still-unverified surface before
-# re-verifying ops that already have a green row; round-1-green ops follow.
-# Drop/trim this list as driver coverage accumulates.
-_VERIFY_FIRST = [
-    # Round-4 rotation.  After r1∪r2∪r3 the driver has verified 145/170 ops
-    # (144 green, 1 harness error).  The 50-op window below is:
-    #   (a) the 25 ops with NO driver record after three rounds (r3 verdict
-    #       "What's missing" #1 — positions 51-75 of the r3 queue);
-    #   (b) embedding_quantize — the one red row (array<int> output crashed
-    #       the driver's pandas canonicalizer; output now serialized as a
-    #       comma-joined string, needs a green re-run);
-    #   (c) text_repetition — green in r2 but rewritten after (commit
-    #       353e912, hash-based identity); ADVICE.md asks for a driver
-    #       re-confirmation of the current implementation;
-    #   (e) the round-4 curation batch (ext_curation.py) — 8 new ops with
-    #       no driver record yet (local check_oracle green at sf0.001/0.01);
-    #   (d) fill to 50 with the oldest green records (round-1 window, core
-    #       merge ops) so stale-record risk rotates out oldest-first.
-    # --- (a) never driver-verified (25) ---
-    "pivot_unpivot", "agg_distinct", "agg_percentiles", "agg_approx",
-    "subquery_scalar", "text_bm25_topk", "bpe_pair_counts",
-    "events_transition_counts", "text_line_dedup", "text_lm_score",
-    "pipeline_source_cap", "pipeline_train_split", "merge_schema_evolution",
-    "fn_url_ops", "bitext_margin_mine", "ann_pq", "merge_multi_source",
-    "join_fuzzy_name", "table_profile", "validate_constraints",
-    "join_bloom_prefilter", "agg_hll_native", "agg_cms_sketch",
-    "table_zorder_layout", "scan_stats_pruned",
-    # --- (b) red row, now fixed (1) ---
-    "embedding_quantize",
-    # --- (c) stale record after rewrite (1) ---
-    "text_repetition",
-    # --- (e) round-4 curation/analysis batches — new ops, no driver record
-    #     yet (15: ext_curation.py 8 + ext_analysis.py 7) ---
-    "pipeline_chunk_split", "pipeline_repeat_upsample",
-    "pipeline_curriculum_order", "agg_reservoir_sample", "text_markup_strip",
-    "ann_range_search", "agg_corr_pairs", "text_keyword_tfidf",
-    "events_anomaly_mad", "text_boilerplate_frac", "retrieval_rrf_fusion",
-    "agg_token_gini", "pipeline_dataset_diff", "events_top_paths",
-    "text_cooccurrence_window",
-    # --- (f) round-4 batch 2 — graph/timeseries/features/sources (13 new
-    #     ops, no driver record; local check_oracle green).  The first 8
-    #     fit the 50-op window; the last 5 spill to the round-5 rotation
-    #     (they replaced the oldest-green refresh slots — never-verified
-    #     ops outrank stale-record refresh) ---
-    "graph_cooccurrence_edges", "graph_degree_profile",
-    "graph_triangle_count", "graph_pagerank_fixedpoint",
-    "timeseries_resample_ffill", "events_gap_islands",
-    "events_ewma_lagchain", "feature_hash_bucket",
-    "tokenizer_vocab_coverage", "embedding_normalize_project",
-    "text_syllable_profile", "pipeline_interleave_sources",
-    "scan_text_lines",
-    # --- (g) round-4 batch 3 — sketch/iterative-ML/scale patterns (6 new
-    #     ops; local check_oracle green at sf0.001+sf0.01; outside this
-    #     round's 50-op window, first in line for the round-5 rotation) ---
-    "agg_kmv_distinct", "embedding_kmeans_fixedpoint", "join_hybrid_skew",
-    "window_ntile_buckets", "scan_jsonl_gz",
-    # --- (h) round-4 batch 4 — attribution/interpolation/soft-dedup/
-    #     streaming-SCD2 (4 new ops; local check_oracle green at
-    #     sf0.001+sf0.01; round-5 rotation territory) ---
-    "events_attribution_lasttouch", "timeseries_interpolate_linear",
-    "dedup_soft_weights", "stream_scd2_foreachbatch",
-    # --- (i) round-4 batch 5 — warehouse patterns (3 new ops; local
-    #     check_oracle green at sf0.001+sf0.01; round-5 rotation) ---
-    "agg_bitmap_distinct", "join_point_in_time", "scan_schema_merge",
-    "stream_hll_rollup", "table_time_travel",
-    # --- (j) round-4 session-2 additions (local check_oracle green at
-    #     sf0.01; round-5 rotation territory) ---
-    "merge_broadcast_delta",
-    # --- (k) rewritten after their last driver-green record (variant-based
-    #     JSON extraction) — driver re-confirmation wanted, same policy as
-    #     text_repetition in (c) ---
+# Ops whose implementation changed AFTER their last driver-green
+# CORRECTNESS row (the staleness ordering below only sees round numbers,
+# not code edits).  They sort right after never-verified ops so the next
+# capped driver window re-confirms the current code.  Remove an entry once
+# a post-rewrite green row lands.
+_FORCE_REVERIFY = {
+    # r5: the MVCC/partitioned-table work grew the lifecycle surface after
+    # these four went green (r4 verdict ask #6).
+    "table_maintenance", "table_time_travel", "txn_commit_rollback",
+    "merge_version_diff",
+    # Rewritten to the Spark-4 VARIANT path after its last green row.
     "json_extract_props",
-    # --- (l) round-4 session-2: iterative BPE trainer, MVCC version diff,
-    #     CSV quarantine (local check_oracle green; round-5 rotation) ---
-    "bpe_train_rounds", "merge_version_diff", "scan_csv_quarantine",
-]
+}
+
+
+def _last_verified_round() -> dict[str, int]:
+    """op_id → highest round N whose committed CORRECTNESS_r{N}.json has a
+    row for the op (regardless of pass/fail — a red row still proves the
+    driver reached it, and red ops are also in _FORCE_REVERIFY territory
+    only if their code changed; otherwise staleness keeps them early)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    seen: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for op in rows:
+            seen[op] = max(seen.get(op, -1), rnd)
+    return seen
+
+
+def verify_order(op_ids: list[str]) -> list[str]:
+    """Order ops for a capped driver correctness window, derived from the
+    committed CORRECTNESS_r*.json artifacts (r4 verdict ask #2 — no more
+    hand-rotated lists):
+
+    1. never driver-verified (no row in any round), registration order;
+    2. _FORCE_REVERIFY (code changed after last green row);
+    3. everything else, stalest driver record first (ascending round).
+
+    Ties break on registration order, so the queue is deterministic.
+    """
+    seen = _last_verified_round()
+    idx = {op: i for i, op in enumerate(op_ids)}
+
+    def key(op: str):
+        if op not in seen:
+            tier = 0
+        elif op in _FORCE_REVERIFY:
+            tier = 1
+        else:
+            tier = 2
+        return (tier, seen.get(op, -1), idx[op])
+
+    return sorted(op_ids, key=key)
 
 
 def registry() -> dict[str, QuerySpec]:
     """Import all query modules (idempotent) and return the full registry,
-    ordered so driver-unverified ops come first (see _VERIFY_FIRST)."""
+    ordered so driver-unverified ops come first (see verify_order)."""
     for mod in _MODULES:
         importlib.import_module(mod)
-    first = [op for op in _VERIFY_FIRST if op in _REGISTRY]
-    rest = [op for op in _REGISTRY if op not in set(first)]
-    return {op: _REGISTRY[op] for op in [*first, *rest]}
+    return {op: _REGISTRY[op] for op in verify_order(list(_REGISTRY))}
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
