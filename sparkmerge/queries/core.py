@@ -684,7 +684,7 @@ def merge_multi_source(spark, sf_dir):
 
 
 # --- merge_broadcast_delta: the small-source broadcast strategy ---
-# (a ~0.5 % delta merged into orders; at 100 TB the target MUST NOT shuffle —
+# (a ~1.8 % delta merged into orders; at 100 TB the target MUST NOT shuffle —
 # changeset.py decomposes the full outer into target ⟕ broadcast(delta) plus
 # delta ▷ broadcast(matched keys); content identical to strategy='shuffle',
 # proven op-for-op by tests/test_golden_merge.py::TestBroadcastStrategy)
@@ -707,7 +707,7 @@ SELECT s.o_orderkey,
     OR t.o_orderdate IS DISTINCT FROM s.o_orderdate
     OR t.o_orderpriority IS DISTINCT FROM s.o_orderpriority
 """,
-    description="small-source broadcast merge: a ~0.5% delta upserts into the "
+    description="small-source broadcast merge: a ~1.8% delta upserts into the "
     "full table without shuffling it (left-outer broadcast probe plus a "
     "key-pruned semi scan feeding the INSERT anti join); unchanged delta "
     "rows are KEEP-suppressed by the same null-safe change detection as "

@@ -27,15 +27,15 @@ SELECT e.event_id, e.user_id, e.ts, o.last_orderkey
     ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """,
     description="as-of join: latest order at-or-before each event, via the "
-    "union + partitioned-window carry-forward (ONE shuffle — never a "
-    "nested-loop theta join); oracle is DuckDB's native ASOF JOIN",
+    "union + partitioned-window carry-forward (ONE shuffle total — never a "
+    "nested-loop theta join); the (key,time) dedup that the oracle's GROUP "
+    "BY performs rides the window's sort via right_dups='max' instead of "
+    "spending a second Exchange; oracle is DuckDB's native ASOF JOIN",
 )
 def join_asof(spark, sf_dir):
     events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    orders = (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_custkey", "o_orderdate")
-        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", F.col("o_orderkey").alias("last_orderkey")
     )
     return asof_join(
         events,
@@ -43,6 +43,7 @@ def join_asof(spark, sf_dir):
         key=("user_id", "o_custkey"),
         time=("ts", "o_orderdate"),
         right_payload=["last_orderkey"],
+        right_dups="max",
     )
 
 

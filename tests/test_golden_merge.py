@@ -307,7 +307,9 @@ def test_badkey_on_real_corpus_duplicates(spark, tmp_path):
 class TestBroadcastStrategy:
     """strategy='broadcast' must produce the IDENTICAL changeset to the
     default shuffle full-outer — same rows, same actions, same images —
-    while its physical plan contains zero shuffle Exchanges."""
+    while no shuffle Exchange in its physical plan carries target rows (the
+    only Exchange moves the delta-sized matched-key set; see the plan-shape
+    assertions below)."""
 
     def _assert_equivalent(self, t, s, keys, **kw):
         from tests.conftest import changeset_flat
