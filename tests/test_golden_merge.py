@@ -337,6 +337,30 @@ class TestBroadcastStrategy:
         )
         self._assert_equivalent(t, s, "k, k2")
 
+    def test_equivalence_duplicate_key_target(self, spark):
+        """The distinct() OOM-guard (changeset.py broadcast branch): a
+        duplicate-key TARGET must (a) produce the shuffle-identical
+        changeset — every dup row classified — and (b) broadcast one row
+        per DISTINCT matched key, not one per matched target row."""
+        schema = "k int, v1 string, v2 double"
+        t = spark.createDataFrame(
+            [(1, "a", 1.0), (1, "a2", 1.5), (1, "a3", 1.75), (2, "b", 2.0),
+             (2, "b2", 2.5), (3, "c", 3.0), (None, "n", 0.0), (None, "n2", 0.5)],
+            schema,
+        )
+        s = spark.createDataFrame(
+            [(1, "A", 9.0), (2, "b", 2.0), (5, "e", 5.0), (None, "N", 9.9)], schema
+        )
+        for delete in ("YES", "NO", "set v1 = 'gone'"):
+            self._assert_equivalent(t, s, "k", delete=delete)
+        # (b): the matched-key set is bounded by distinct matched keys (3:
+        # k=1, k=2, k=NULL — null-safe match), not the 7 matched target rows
+        cs = build_changeset(t, s, "k", strategy="broadcast")
+        plan = cs.df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Deduplicate" in plan or "Aggregate" in plan, plan
+        matched_dups = cs.df.filter("_action = 'UPDATE'").count()
+        assert matched_dups == 6  # 3+2+2 dup rows minus the unchanged (2,b)
+
     def test_auto_picks_broadcast_for_tiny_source(self, spark, tmp_path):
         # 'auto' keys off Catalyst's size estimate, which is only meaningful
         # for file-backed relations (createDataFrame RDD scans report the
