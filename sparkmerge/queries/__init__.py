@@ -42,6 +42,8 @@ _MODULES = [
     "sparkmerge.queries.ext_features",
     "sparkmerge.queries.ext_sketch",
     "sparkmerge.queries.ext_warehouse",
+    "sparkmerge.queries.ext_stats",
+    "sparkmerge.queries.ext_spatial",
 ]
 
 

@@ -280,3 +280,113 @@ def graph_pagerank_fixedpoint(spark, sf_dir):
             (F.lit(_PR_BASE) + F.sum("c")).alias("rank")
         ).select(F.col("dst").alias("user_id"), "rank")
     return ranks
+
+
+# --- r5: connected components + neighborhood Jaccard ---------------------
+
+# A sparse subgraph (sampled nodes, weight ≥ 2) keeps the oracle's exact
+# recursive-CTE reachability quadratic-in-component-size cost bounded; the
+# Spark side would handle the full graph (min-label propagation is linear
+# per round), the restriction is purely oracle-affordability — same policy
+# as dedup_ngram_jaccard's sampled probe set.
+_SPARSE_EDGES_SQL = """
+sedges AS (
+  SELECT u, v FROM edges
+   WHERE u % 3 = 0 AND v % 3 = 0 AND w >= 4
+)"""
+
+
+def _sparse_edges(spark, sf_dir) -> DataFrame:
+    return _edges(spark, sf_dir).filter(
+        (F.col("u") % 3 == 0) & (F.col("v") % 3 == 0) & (F.col("w") >= 4)
+    )
+
+
+@register(
+    "graph_connected_components",
+    oracle=f"""
+WITH RECURSIVE
+{_EDGES_SQL},
+{_SPARSE_EDGES_SQL},
+bi AS (SELECT u, v FROM sedges UNION SELECT v, u FROM sedges),
+reach AS (
+  SELECT u AS node, u AS r FROM bi
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN bi e ON e.u = reach.r
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT component,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       min(node) AS min_node, max(node) AS max_node
+  FROM comp GROUP BY component
+""",
+    description="connected components as a first-class graph surface: "
+    "iterative min-label propagation (per-round localCheckpoint, label-sum "
+    "convergence — the scalable formulation) summarized per component; the "
+    "oracle computes exact components via recursive-CTE reachability, "
+    "certifying the fixed-point labels",
+)
+def graph_connected_components(spark, sf_dir):
+    from sparkmerge.ext.dedup import connected_components
+
+    labels = connected_components(_sparse_edges(spark, sf_dir), "u", "v", max_iters=12)
+    return labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+WITH
+{_EDGES_SQL},
+bi AS (SELECT u, v, w FROM edges UNION ALL SELECT v, u, w FROM edges),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM bi GROUP BY u),
+wedge AS (
+  SELECT a.u AS u, b.u AS v, CAST(count(*) AS BIGINT) AS common
+    FROM bi a JOIN bi b ON a.v = b.v AND a.u < b.u
+   GROUP BY 1, 2
+)
+SELECT w.u, w.v, w.common,
+       CAST(w.common AS DOUBLE) / CAST(du.d + dv.d - w.common AS DOUBLE)
+         AS jaccard
+  FROM wedge w
+  JOIN edges e ON e.u = w.u AND e.v = w.v
+  JOIN deg du ON du.node = w.u
+  JOIN deg dv ON dv.node = w.v
+""",
+    description="link-prediction feature: neighborhood Jaccard |N(u)∩N(v)| / "
+    "|N(u)∪N(v)| for ADJACENT node pairs only — common neighbors via the "
+    "wedge join (bounded by Σdeg², the triangle-count shape), adjacency "
+    "semi-restriction keeps the output edge-sized, never all-pairs; exact "
+    "integer counts + ONE IEEE division",
+)
+def graph_jaccard_neighbors(spark, sf_dir):
+    edges = _edges(spark, sf_dir)
+    bi = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("u", "node")
+    a, b = bi.alias("a"), bi.alias("b")
+    wedge = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.u") < F.col("b.u")))
+        .groupBy(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    adj = edges.select("u", "v")
+    return (
+        wedge.join(adj, ["u", "v"])
+        .join(deg.withColumnRenamed("d", "du"), wedge["u"] == F.col("node"))
+        .drop("node")
+        .join(deg.withColumnRenamed("d", "dv"), wedge["v"] == F.col("node"))
+        .drop("node")
+        .select(
+            "u", "v", "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,345 @@
+"""[EXT] round-5 statistics & relational-completeness operators (SURVEY.md
+§2.E, r5 batch 1).
+
+Six surfaces a warehouse/pipeline user expects that the registry didn't yet
+cover as first-class ops:
+
+- ``agg_rollup_cube`` — CUBE hierarchy aggregates (the OLAP subtotal
+  lattice).  Spark's ``df.cube`` is one Expand + one shuffle — the grouping
+  sets never re-scan the input; NULL group keys are sentinel-coalesced so
+  both engines emit identical label columns.
+- ``agg_linear_fit`` — per-group OLS (slope/intercept) from EXACT integer
+  moment sums (n, Σx, Σy, Σxy, Σx²) combined in ONE fixed-association IEEE
+  expression — the distributed-regression shape with zero order-dependent
+  float accumulation (same discipline as ``agg_corr_pairs``).
+- ``agg_weighted_median`` — weighted median via the cumulative-weight
+  window (first value whose running weight reaches half the total) —
+  the exact weighted-quantile formulation that needs one key shuffle and
+  no per-group sort-all-to-driver.
+- ``fn_window_distribution`` — the remaining rank-family window surface:
+  cume_dist / percent_rank / nth_value / first_value / last_value over an
+  explicitly unique ordering (ties broken by key) so both engines agree
+  bit-for-bit on the FP divisions.
+- ``text_simpson_diversity`` — per-language vocabulary concentration via
+  the Simpson repeat probability Σc(c−1)/(N(N−1)) — the entropy-class
+  diversity signal expressed in exact integers + ONE division (log-free,
+  bit-portable; complement of ``agg_token_gini``).
+- ``timeseries_changepoint_cusum`` — CUSUM drift detection over per-type
+  hourly counts, in scaled integers (S_t = Σ m·cᵢ − t·… — see op) so the
+  running statistic is bit-reproducible under any partitioning.
+
+Scale notes (100 TB): every op is one agg shuffle + (where needed) one
+window over the same key, or map-side only; no collect, no cross join, no
+Python.  The weighted-median window partitions by the group key — skewed
+groups spill, never OOM the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkmerge.queries import load, register
+
+# --- agg_rollup_cube -----------------------------------------------------
+
+
+@register(
+    "agg_rollup_cube",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+ GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    description="OLAP subtotal lattice: CUBE(status, priority) with count + "
+    "exact integer-cents sum; one Expand + ONE shuffle (grouping sets never "
+    "re-scan the fact table); NULL group keys coalesced to a sentinel so "
+    "the label columns are engine-portable",
+)
+def agg_rollup_cube(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents_raw"),
+    )
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents_raw").alias("cents"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "cents",
+        )
+    )
+
+
+# --- agg_linear_fit ------------------------------------------------------
+
+# x = hour-of-week (0..167): small enough that every moment sum stays exact
+# in int64 AND in double (< 2^53) at any realistic SF; y = value in integer
+# cents.  slope/intercept are then ONE fixed-association double expression
+# over the five per-group scalars — both engines evaluate the identical
+# tree, so the result is bit-identical without being order-dependent.
+
+
+@register(
+    "agg_linear_fit",
+    oracle="""
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((epoch_us(ts) // 3600000000) % 168) AS BIGINT) AS sx,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(((epoch_us(ts) // 3600000000) % 168)
+                  * CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(sum(((epoch_us(ts) // 3600000000) % 168)
+                  * ((epoch_us(ts) // 3600000000) % 168)) AS BIGINT) AS sxx
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n, sx, sy, sxy, sxx,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         AS slope_cents_per_hour
+  FROM m
+""",
+    description="distributed per-group OLS: value-cents vs hour-of-week from "
+    "five EXACT integer moment sums (each < 2^53 — exact in int64 and in "
+    "double) combined in one fixed-association IEEE expression; ONE "
+    "map-side-combined aggregate, no order-dependent float sums",
+)
+def agg_linear_fit(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    # integer `div`, not double `/`+cast: FP division can round up across an
+    # integer boundary before the cast truncates, off-by-one vs DuckDB's `//`
+    x = F.expr("unix_seconds(CAST(ts AS TIMESTAMP)) div 3600") % 168
+    y = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    return m.select(
+        "event_type", "n", "sx", "sy", "sxy", "sxx",
+        (
+            (d("n") * d("sxy") - d("sx") * d("sy"))
+            / (d("n") * d("sxx") - d("sx") * d("sx"))
+        ).alias("slope_cents_per_hour"),
+    )
+
+
+# --- agg_weighted_median -------------------------------------------------
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+WITH v AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+cum AS (
+  SELECT lang, doc_id, n_tokens, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY n_tokens, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cumw,
+         sum(n_chars) OVER (PARTITION BY lang) AS total_w
+    FROM v
+)
+SELECT lang,
+       min(n_tokens ORDER BY n_tokens, doc_id) AS weighted_median_tokens,
+       CAST(min(total_w) AS BIGINT) AS total_weight
+  FROM cum
+ WHERE 2 * cumw >= total_w
+ GROUP BY lang
+""",
+    description="exact weighted median (doc token count weighted by chars): "
+    "cumulative-weight window ordered by (value, id) — deterministic under "
+    "ties — first row whose running weight reaches half the total; the two "
+    "windows and the final agg share ONE lang-keyed shuffle, all integer "
+    "comparisons",
+)
+def agg_weighted_median(spark, sf_dir):
+    from sparkmerge.ext.text import token_count
+
+    d = load(spark, sf_dir, "documents")
+    v = d.select(
+        "lang", "doc_id", "n_chars",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("n_tokens", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    cum = v.select(
+        "lang", "doc_id", "n_tokens",
+        F.sum("n_chars").over(w_cum).alias("cumw"),
+        F.sum("n_chars").over(w_all).alias("total_w"),
+    )
+    return (
+        cum.filter(2 * F.col("cumw") >= F.col("total_w"))
+        .groupBy("lang")
+        .agg(
+            F.min(F.struct("n_tokens", "doc_id")).getField("n_tokens").alias(
+                "weighted_median_tokens"
+            ),
+            F.min("total_w").alias("total_weight"),
+        )
+    )
+
+
+# --- fn_window_distribution ----------------------------------------------
+
+
+@register(
+    "fn_window_distribution",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       cume_dist() OVER w AS cd,
+       percent_rank() OVER w AS pr,
+       nth_value(c_custkey, 2) OVER
+         (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key,
+       first_value(c_custkey) OVER w AS poorest_key,
+       last_value(c_custkey) OVER
+         (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest_key
+  FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+""",
+    description="rank-family window completeness: cume_dist / percent_rank / "
+    "nth_value / first_value / last_value per nation over an explicitly "
+    "UNIQUE ordering (acctbal, custkey) — no peer groups, so the two FP "
+    "divisions (rn/n, (rn−1)/(n−1)) are bit-identical across engines; all "
+    "five functions share ONE nation-keyed shuffle",
+)
+def fn_window_distribution(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey", "c_nationkey",
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("second_key"),
+        F.first("c_custkey").over(w).alias("poorest_key"),
+        F.last("c_custkey").over(w_full).alias("richest_key"),
+    )
+
+
+# --- text_simpson_diversity ----------------------------------------------
+
+
+@register(
+    "text_simpson_diversity",
+    oracle="""
+WITH toks AS (
+  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS tok
+    FROM documents
+),
+cnts AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+    FROM toks GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(c * (c - 1)) AS DOUBLE)
+         / CAST(sum(c) * (sum(c) - 1) AS DOUBLE) AS simpson_repeat_prob
+  FROM cnts GROUP BY lang
+""",
+    description="per-language vocabulary concentration: Simpson repeat "
+    "probability Σc(c−1)/(N(N−1)) + vocab size — the log-free diversity "
+    "signal (bit-portable: exact integer numerator/denominator, ONE IEEE "
+    "division); one explode + two map-side-combined agg shuffles",
+)
+def text_simpson_diversity(spark, sf_dir):
+    from sparkmerge.ext.text import whitespace_tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    cnts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return cnts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("c").alias("n_tokens"),
+        (
+            F.sum(F.col("c") * (F.col("c") - 1)).cast("double")
+            / (F.sum("c") * (F.sum("c") - 1)).cast("double")
+        ).alias("simpson_repeat_prob"),
+    )
+
+
+# --- timeseries_changepoint_cusum ----------------------------------------
+
+# Scaled-integer CUSUM: with m hourly buckets per type and total count T,
+#   S_t = Σ_{i≤t} (m·cᵢ − T)
+# is the classic CUSUM of (cᵢ − mean) scaled by m — exact int64 (counts are
+# < 2^31, m < 10^5), so the running statistic is bit-reproducible and the
+# drift flag |S_t| > T is an integer comparison.
+
+
+@register(
+    "timeseries_changepoint_cusum",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, h, c,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS t
+    FROM hourly
+)
+SELECT event_type, h, c,
+       CAST(sum(m * c - t) OVER (PARTITION BY event_type ORDER BY h
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum,
+       CAST(abs(sum(m * c - t) OVER (PARTITION BY event_type ORDER BY h
+                                     ROWS UNBOUNDED PRECEDING)) > t AS BOOLEAN)
+         AS drift_flag
+  FROM stats
+""",
+    description="CUSUM changepoint detection over per-type hourly counts in "
+    "scaled integers (S_t = Σ m·cᵢ − T ≡ m·CUSUM(cᵢ − mean); exact int64, "
+    "no FP mean) with an integer drift flag |S_t| > T; one agg shuffle + "
+    "one type-keyed window shuffle",
+)
+def timeseries_changepoint_cusum(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_all = Window.partitionBy("event_type")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stats = hourly.select(
+        "event_type", "h", "c",
+        F.count(F.lit(1)).over(w_all).alias("m"),
+        F.sum("c").over(w_all).alias("t"),
+    )
+    cusum = F.sum(F.col("m") * F.col("c") - F.col("t")).over(w_cum)
+    return stats.select(
+        "event_type", "h", "c",
+        cusum.alias("cusum"),
+        (F.abs(cusum) > F.col("t")).alias("drift_flag"),
+    )

@@ -209,3 +209,48 @@ def scan_schema_merge(spark, sf_dir):
         .parquet(f"{path}/epoch=1", f"{path}/epoch=2")
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal", "s_tier")
     )
+
+
+# --- merge_deletion_vectors (r5) ----------------------------------------
+
+
+def _ensure_dv_orders(spark, sf_dir: str) -> str:
+    import hashlib
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dst = f"/tmp/sparkmerge_formats/{key}/orders_dv"
+    if not os.path.exists(os.path.join(dst, "_DONE")):
+        o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 2 == 0)
+        o.repartition(4, "o_orderkey").write.mode("overwrite").parquet(f"{dst}/data")
+        open(os.path.join(dst, "_DONE"), "w").close()
+    return dst
+
+
+@register(
+    "merge_deletion_vectors",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus
+  FROM orders
+ WHERE o_orderkey % 2 = 0 AND NOT o_orderkey % 13 = 0
+""",
+    description="deletion-vector merge (the Delta/Iceberg DV pattern): a "
+    "DELETE against an immutable 100 TB table records (file, row-position) "
+    "tombstones instead of rewriting data files; reads subtract the DV via "
+    "a BROADCAST anti-join on the parquet _metadata (file_path, row_index) "
+    "columns — position-based, so it works without any key column, and the "
+    "DV stays delta-sized.  The oracle recomputes the surviving rows from "
+    "the delete predicate, certifying no row lost or resurrected",
+)
+def merge_deletion_vectors(spark, sf_dir):
+    path = f"{_ensure_dv_orders(spark, sf_dir)}/data"
+    scan = spark.read.parquet(path).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("_metadata.file_path").alias("_file"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    # the "DELETE" commit: evaluate the predicate ONCE, store only positions
+    dv = scan.filter(F.col("o_orderkey") % 13 == 0).select("_file", "_pos")
+    return (
+        scan.join(F.broadcast(dv), ["_file", "_pos"], "left_anti")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )

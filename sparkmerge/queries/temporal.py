@@ -182,10 +182,11 @@ def join_asof_tolerance(spark, sf_dir):
     from sparkmerge.ext.temporal import asof_join
 
     events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    orders = (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_custkey", "o_orderdate")
-        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    # right_dups='max': payload struct leads with last_orderkey, so the
+    # lexicographic max at a duplicate (key, time) IS the oracle's
+    # max(o_orderkey) — no pre-aggregate shuffle (same fold as join_asof)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", F.col("o_orderkey").alias("last_orderkey")
     )
     joined = asof_join(
         events,
@@ -193,6 +194,7 @@ def join_asof_tolerance(spark, sf_dir):
         key=("user_id", "o_custkey"),
         time=("ts", "o_orderdate"),
         right_payload=["last_orderkey", "o_orderdate"],
+        right_dups="max",
     )
     fresh = F.col("o_orderdate") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
     return joined.select(
@@ -201,4 +203,105 @@ def join_asof_tolerance(spark, sf_dir):
         "ts",
         F.when(fresh, F.col("last_orderkey")).alias("last_orderkey"),
         F.when(fresh, F.col("o_orderdate")).alias("matched_ts"),
+    )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+WITH u AS (
+  SELECT o_custkey AS k, epoch_us(o_orderdate) AS t_us, 0 AS side,
+         NULL AS event_id, o_orderkey AS payload
+    FROM orders
+  UNION ALL
+  SELECT user_id AS k, epoch_us(ts) AS t_us, 1 AS side,
+         event_id, NULL AS payload
+    FROM events
+),
+carried AS (
+  SELECT k, t_us, side, event_id,
+         last_value(payload IGNORE NULLS) OVER
+           (PARTITION BY k ORDER BY t_us, side, payload
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_pay,
+         last_value(CASE WHEN side = 0 THEN t_us END IGNORE NULLS) OVER
+           (PARTITION BY k ORDER BY t_us, side, payload
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+         first_value(payload IGNORE NULLS) OVER
+           (PARTITION BY k ORDER BY t_us, side, payload DESC
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_pay,
+         first_value(CASE WHEN side = 0 THEN t_us END IGNORE NULLS) OVER
+           (PARTITION BY k ORDER BY t_us, side, payload DESC
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+    FROM u
+)
+SELECT event_id, k AS user_id, t_us,
+       CASE WHEN prev_t IS NULL THEN next_pay
+            WHEN next_t IS NULL THEN prev_pay
+            WHEN t_us - prev_t <= next_t - t_us THEN prev_pay
+            ELSE next_pay END AS nearest_orderkey,
+       CASE WHEN prev_t IS NULL THEN next_t - t_us
+            WHEN next_t IS NULL THEN t_us - prev_t
+            WHEN t_us - prev_t <= next_t - t_us THEN t_us - prev_t
+            ELSE next_t - t_us END AS gap_us
+  FROM carried WHERE side = 1
+""",
+    description="nearest-neighbor as-of join (backward OR forward, whichever "
+    "closer; ties prefer backward): ONE key shuffle carries the latest "
+    "preceding AND earliest following order through two frames of the same "
+    "partitioned window — never a theta join; duplicate right timestamps "
+    "resolve to max orderkey in BOTH directions (backward scan orders "
+    "payload asc so last wins; forward scan orders payload desc so first "
+    "wins), exact integer-µs gaps",
+)
+def join_asof_nearest(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t_us"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("payload"),
+    )
+    events = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("payload"),
+    )
+    u = orders.unionByName(events)
+    w_back = (
+        Window.partitionBy("k")
+        .orderBy("t_us", "side", "payload")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t_us"), F.col("side"), F.col("payload").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    right_t = F.when(F.col("side") == 0, F.col("t_us"))
+    carried = u.select(
+        "k", "t_us", "side", "event_id",
+        F.last("payload", ignorenulls=True).over(w_back).alias("prev_pay"),
+        F.last(right_t, ignorenulls=True).over(w_back).alias("prev_t"),
+        F.first("payload", ignorenulls=True).over(w_fwd).alias("next_pay"),
+        F.first(right_t, ignorenulls=True).over(w_fwd).alias("next_t"),
+    )
+    back_gap = F.col("t_us") - F.col("prev_t")
+    fwd_gap = F.col("next_t") - F.col("t_us")
+    prefer_back = F.col("next_t").isNull() | (back_gap <= fwd_gap)
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        "t_us",
+        F.when(F.col("prev_t").isNull(), F.col("next_pay"))
+        .when(prefer_back, F.col("prev_pay"))
+        .otherwise(F.col("next_pay"))
+        .alias("nearest_orderkey"),
+        F.when(F.col("prev_t").isNull(), fwd_gap)
+        .when(prefer_back, back_gap)
+        .otherwise(fwd_gap)
+        .alias("gap_us"),
     )

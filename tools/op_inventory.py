@@ -92,6 +92,13 @@ SECTIONS = [
         "join_hybrid_skew", "window_ntile_buckets", "scan_jsonl_gz",
         "agg_bitmap_distinct", "join_point_in_time", "scan_schema_merge",
     ]),
+    ("Statistics, spatial & warehouse (SURVEY §2.E, r5 batch 1)", [
+        "agg_rollup_cube", "agg_linear_fit", "agg_weighted_median",
+        "fn_window_distribution", "text_simpson_diversity",
+        "timeseries_changepoint_cusum", "join_spatial_grid",
+        "graph_connected_components", "graph_jaccard_neighbors",
+        "merge_deletion_vectors", "join_asof_nearest",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",
