@@ -544,3 +544,89 @@ def scd2_foreachbatch_stream(
     )
     _await_or_raise(q, timeout_s)
     return table
+
+
+def stream_stream_outer_join(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    window_minutes: int = 30,
+    watermark: str = "1 hour",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Watermarked LEFT-OUTER stream-stream join: every click emits — paired
+    if a purchase followed within ``window_minutes``, NULL-padded otherwise.
+
+    The outer semantics are what makes this harder than the inner join: a
+    null row may only materialize once the watermark PROVES no match can
+    still arrive, so clicks near the stream's tail stay pending in state
+    when the stream ends.  To keep the emitted set deterministic (and batch-
+    comparable), the result is restricted to the decided region — clicks
+    old enough that their join window + watermark delay closed strictly
+    before the stream's max event time, with an extra hour of margin so no
+    row sits on the eviction boundary.  The batch oracle applies the same
+    cutoff to a plain left join."""
+    schema = spark.read.parquet(source_dir).schema
+    base = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes * 60} SECONDS")
+        ),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+    name = "sparkmerge_ss_outer_join"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sm_ssoj_ckpt_"))
+        .start()
+    )
+    _await_or_raise(q, timeout_s)
+    # the global watermark is the MIN over both sides of (max event time
+    # seen - delay): the side whose events end earliest gates the flush, so
+    # the decided region keys off least(max click ts, max purchase ts)
+    src = spark.read.parquet(source_dir)
+    side_max = (
+        src.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(F.min("m"))
+        .first()[0]
+    )
+    cutoff = F.lit(side_max) - F.expr(
+        f"INTERVAL {window_minutes * 60} SECONDS"
+    ) - F.expr("INTERVAL 2 HOURS")
+    return spark.table(name).filter(F.col("click_ts") < cutoff)

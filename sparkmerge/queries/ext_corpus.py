@@ -254,3 +254,114 @@ def fn_url_ops(spark, sf_dir):
         F.expr("parse_url(url, 'QUERY', 'p')").alias("p_param"),
         F.expr("parse_url(url, 'REF')").alias("fragment"),
     )
+
+
+# --- pipeline_mix_temperature (r5) ---------------------------------------
+
+
+@register(
+    "pipeline_mix_temperature",
+    oracle="""
+WITH t AS (
+  SELECT source,
+         CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS tokens
+    FROM documents GROUP BY source
+),
+m AS (SELECT t.*, (SELECT max(tokens) FROM t) AS max_tokens FROM t)
+SELECT source, tokens,
+       sqrt(CAST(tokens AS DOUBLE) / CAST(max_tokens AS DOUBLE)) AS rel_weight,
+       sqrt(CAST(max_tokens AS DOUBLE) / CAST(tokens AS DOUBLE)) AS upsample_rate
+  FROM m
+""",
+    description="temperature-scaled (α=0.5) sampling mix across sources — "
+    "the multilingual/multi-domain rebalancing rule (p_i ∝ T_i^α): per-"
+    "domain exact integer token totals, weights RELATIVE TO THE LARGEST "
+    "domain so the only FP ops are one division + one correctly-rounded "
+    "IEEE sqrt (no order-dependent cross-domain float sum); one agg "
+    "shuffle + a window over the domain-sized aggregate",
+)
+def pipeline_mix_temperature(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from sparkmerge.ext.text import token_count
+
+    d = load(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.sum(token_count(F.col("text")).cast("long")).alias("tokens")
+    )
+    w = Window.partitionBy()  # domain-count rows only — never data-sized
+    m = t.withColumn("max_tokens", F.max("tokens").over(w))
+    ratio = F.col("tokens").cast("double") / F.col("max_tokens").cast("double")
+    inv = F.col("max_tokens").cast("double") / F.col("tokens").cast("double")
+    return m.select(
+        "source", "tokens",
+        F.sqrt(ratio).alias("rel_weight"),
+        F.sqrt(inv).alias("upsample_rate"),
+    )
+
+
+# --- pipeline_bpe_apply (r5) ---------------------------------------------
+
+# A fixed learned merge table (the artifact bpe_train_rounds produces),
+# applied in training order.  Later merges compose over earlier ones
+# ("t h" -> "th", then "th e" -> "the"), exactly like a real tokenizer's
+# merges.txt replay.
+_BPE_MERGES = [("t", "h"), ("th", "e"), ("e", "r"), ("i", "n"), ("a", "n")]
+
+
+def _bpe_apply_word_sql() -> str:
+    expr = "'|' || array_to_string(string_split(w, ''), '| |') || '|'"
+    for a, b in _BPE_MERGES:
+        expr = f"replace({expr}, '|{a}| |{b}|', '|{a}{b}|')"
+    return expr
+
+
+@register(
+    "pipeline_bpe_apply",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+', 0) AS ws
+    FROM documents
+),
+sym AS (
+  SELECT doc_id, ws,
+         list_transform(ws, w ->
+           {_bpe_apply_word_sql()}
+         ) AS merged
+    FROM words
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(coalesce(list_sum(list_transform(merged,
+              s -> len(string_split(s, ' ')))), 0) AS BIGINT) AS n_symbols
+  FROM sym
+""",
+    description="tokenizer-inference twin of bpe_train_rounds: replay a "
+    "fixed merge table (training order, later merges composing over "
+    "earlier) against every word via chained boundary-safe pipe-wrapped "
+    "replaces — identical leftmost-nonoverlapping semantics in both "
+    "engines; pure map-side (ZERO shuffles), the shape of applying "
+    "merges.txt to a 100 TB corpus",
+)
+def pipeline_bpe_apply(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+
+    def apply_merges(w):
+        s = F.concat(F.lit("|"), F.array_join(F.split(w, ""), "| |"), F.lit("|"))
+        for a, b in _BPE_MERGES:
+            s = F.replace(s, F.lit(f"|{a}| |{b}|"), F.lit(f"|{a}{b}|"))
+        return s
+
+    merged = F.transform(words, apply_merges)
+    n_symbols = F.aggregate(
+        F.transform(merged, lambda s: F.size(F.split(s, " "))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        n_symbols.alias("n_symbols"),
+    )

@@ -380,3 +380,81 @@ def dedup_soft_weights(spark, sf_dir):
         "n_dups",
         (F.lit(1.0) / F.col("n_dups").cast("double")).alias("weight"),
     )
+
+
+# --- dedup_phonetic_key: soundex-style phonetic blocking (r5) ------------
+
+# Soundex-class consonant mapping, expressed as chained regexp/replace
+# passes that both engines execute identically (no engine soundex builtin —
+# DuckDB has none, and RE2 lacks the backreference a regex run-collapse
+# would need, so repeat-collapse is three plain replace passes per digit,
+# covering runs up to length 8).
+_PH_CLASSES = [("[bfpv]", "1"), ("[cgjkqsxz]", "2"), ("[dt]", "3"),
+               ("l", "4"), ("[mn]", "5"), ("r", "6")]
+
+
+def _phonetic_sql_simple(word: str) -> str:
+    """Phonetic key: initial letter + first 3 consonant-class digits of the
+    remainder, zero-padded."""
+    s = f"lower(substr({word}, 2))"
+    for pat, digit in _PH_CLASSES:
+        s = f"regexp_replace({s}, '{pat}', '{digit}', 'g')"
+    for d in "123456":
+        for _ in range(3):
+            s = f"replace({s}, '{d}{d}', '{d}')"
+    s = f"regexp_replace({s}, '[a-z]', '', 'g')"
+    return f"upper(left({word}, 1)) || rpad(left({s}, 3), 3, '0')"
+
+
+def _phonetic_col(word):
+    s = F.lower(F.substring(word, 2, 1_000_000))
+    for pat, digit in _PH_CLASSES:
+        s = F.regexp_replace(s, pat, digit)
+    for d in "123456":
+        for _ in range(3):
+            s = F.replace(s, F.lit(d + d), F.lit(d))
+    s = F.regexp_replace(s, "[a-z]", "")
+    return F.concat(
+        F.upper(F.substring(word, 1, 1)),
+        F.rpad(F.substring(s, 1, 3), 3, "0"),
+    )
+
+
+@register(
+    "dedup_phonetic_key",
+    oracle=f"""
+WITH keyed AS (
+  SELECT p_partkey, p_name,
+         array_to_string(list_transform(string_split(p_name, ' '),
+                                        w -> {_phonetic_sql_simple('w')}), '-') AS pkey
+    FROM part
+)
+SELECT pkey,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT p_name) AS BIGINT) AS n_distinct_names,
+       min(p_name) AS sample_name
+  FROM keyed GROUP BY pkey
+HAVING count(*) > 1
+""",
+    description="entity-resolution phonetic blocking (the Soundex family): "
+    "per-word consonant-class key — chained regexp passes + plain-replace "
+    "run collapse, executed IDENTICALLY by both engines (no builtin, no RE2 "
+    "backreferences) — groups name variants into blocks; map-side keying + "
+    "ONE agg shuffle, the blocking stage every fuzzy-match pipeline runs "
+    "before pairwise comparison (join_fuzzy_name is the within-block stage)",
+)
+def dedup_phonetic_key(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    pkey = F.array_join(
+        F.transform(F.split(F.col("p_name"), " "), _phonetic_col), "-"
+    )
+    return (
+        p.select("p_partkey", "p_name", pkey.alias("pkey"))
+        .groupBy("pkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("p_name").alias("n_distinct_names"),
+            F.min("p_name").alias("sample_name"),
+        )
+        .filter(F.col("n_parts") > 1)
+    )

@@ -535,3 +535,36 @@ def stream_hll_rollup(spark, sf_dir):
         "zero_regs",
         "exact_distinct",
     )
+
+
+@register(
+    "stream_outer_join_watermark",
+    oracle="""
+WITH bounds AS (
+  SELECT least(max(ts) FILTER (event_type = 'click'),
+               max(ts) FILTER (event_type = 'purchase')) AS side_max
+    FROM events
+),
+clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+    FROM events, bounds
+   WHERE event_type = 'click'
+     AND ts < side_max - INTERVAL 30 MINUTE - INTERVAL 2 HOUR
+)
+SELECT c.user_id, c.click_id, p.event_id AS purchase_id, c.click_ts
+  FROM clicks c
+  LEFT JOIN events p
+    ON p.user_id = c.user_id AND p.event_type = 'purchase'
+   AND p.ts > c.click_ts AND p.ts <= c.click_ts + INTERVAL 30 MINUTE
+""",
+    description="watermarked LEFT-OUTER stream-stream join: every click "
+    "emits, NULL-padded when no purchase follows within 30 min — the null "
+    "row only materializes once the watermark proves no match can arrive, "
+    "so state stays bounded AND correct; result restricted to the decided "
+    "region (clicks whose window+watermark closed before stream end, with "
+    "margin) so streaming output ≡ the batch left join the oracle runs",
+)
+def stream_outer_join_watermark(spark, sf_dir):
+    from sparkmerge.ext.streaming import stream_stream_outer_join
+
+    return stream_stream_outer_join(spark, events_path(sf_dir))

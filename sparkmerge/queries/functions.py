@@ -640,3 +640,47 @@ def fn_window_range_frame(spark, sf_dir):
         F.count("*").over(w).alias("n_1h"),
         F.sum("cents").over(w).alias("cents_1h"),
     )
+
+
+# --- fn_json_table: JSON-array document → lateral typed rows (r5) --------
+
+
+@register(
+    "fn_json_table",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qty_cents
+  FROM lineitem WHERE l_orderkey % 11 = 0
+""",
+    description="the JSON_TABLE surface: per-order line items serialized "
+    "into ONE JSON array document (to_json over a sort_array'd struct list "
+    "— deterministic element order), then parsed back with an explicit "
+    "array<struct> schema and LATERAL-exploded into typed rows; the oracle "
+    "reads the relational original, so the hash match proves the "
+    "serialize→parse→explode round trip is lossless; one groupBy shuffle, "
+    "parse+explode are map-side",
+)
+def fn_json_table(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 11 == 0)
+    docs = (
+        li.select(
+            "l_orderkey",
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("long").alias("qc"),
+            ).alias("item"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.to_json(F.sort_array(F.collect_list("item"))).alias("doc"))
+    )
+    parsed = docs.select(
+        "l_orderkey",
+        F.explode(
+            F.from_json(F.col("doc"), "array<struct<ln:int,qc:bigint>>")
+        ).alias("item"),
+    )
+    return parsed.select(
+        "l_orderkey",
+        F.col("item.ln").alias("l_linenumber"),
+        F.col("item.qc").alias("qty_cents"),
+    )

@@ -418,3 +418,53 @@ def scan_csv_quarantine(spark, sf_dir):
         F.count(F.col("c_acctbal")).alias("n_parsed_bal"),
         F.min(F.when(bad, F.col("c_custkey"))).alias("first_quarantined_key"),
     )
+
+
+# --- scan_binary_files: raw-blob ingest source (r5) ----------------------
+
+
+def _ensure_blob_dir(spark, sf_dir: str) -> str:
+    import hashlib
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dst = f"/tmp/sparkmerge_formats/{key}/doc_blobs"
+    if not os.path.exists(os.path.join(dst, "_DONE")):
+        os.makedirs(dst, exist_ok=True)
+        # one .bin blob per sampled document, named by doc id — the layout
+        # a multimodal ingest sees (image/audio payloads keyed by filename)
+        rows = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id", "text")
+            .collect()  # bounded: the sampled fixture subset, written once
+        )
+        for r in rows:
+            with open(os.path.join(dst, f"doc_{r['doc_id']}.bin"), "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+        open(os.path.join(dst, "_DONE"), "w").close()
+    return dst
+
+
+@register(
+    "scan_binary_files",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+  FROM documents WHERE doc_id % 5 = 0
+""",
+    description="raw-blob ingest source (`binaryFile`): per-file rows with "
+    "path/length/content — the entry point for image/audio/video corpora "
+    "before the mapInPandas decode stage (multimodal_binary); ids parsed "
+    "from filenames map-side, md5 over the raw bytes proves content-"
+    "lossless ingest vs the oracle's utf-8 encoding of the source text; "
+    "files split across tasks by the source, no shuffle",
+)
+def scan_binary_files(spark, sf_dir):
+    path = _ensure_blob_dir(spark, sf_dir)
+    blobs = spark.read.format("binaryFile").load(f"{path}/*.bin")
+    return blobs.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

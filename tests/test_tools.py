@@ -13,19 +13,17 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_verify_first_entries_exist_and_unique():
-    from sparkmerge.queries import _VERIFY_FIRST, registry
+def test_verify_queue_force_entries_exist_and_total():
+    # the hand-rotated _VERIFY_FIRST list was replaced in r5 by an order
+    # DERIVED from CORRECTNESS_r*.json (tests/test_verify_queue.py covers
+    # the ordering properties); here: the force-reverify set must reference
+    # real ops and the registry ordering must be a total permutation
+    from sparkmerge.queries import _FORCE_REVERIFY, registry
 
     reg = registry()
-    missing = [op for op in _VERIFY_FIRST if op not in reg]
-    assert not missing, f"_VERIFY_FIRST references unknown ops: {missing}"
-    assert len(_VERIFY_FIRST) == len(set(_VERIFY_FIRST)), "duplicate queue entries"
-    # the queue must at least fill the driver's 50-op window; entries past
-    # position 50 are explicitly round-5-rotation spill (see sections g/h)
-    assert len(_VERIFY_FIRST) >= 50
-    # registry() ordering puts the queue first, rest after, nothing dropped
+    unknown = [op for op in _FORCE_REVERIFY if op not in reg]
+    assert not unknown, f"_FORCE_REVERIFY references unknown ops: {unknown}"
     ordered = list(reg)
-    assert ordered[: len(_VERIFY_FIRST)] == _VERIFY_FIRST
     assert len(ordered) == len(set(ordered))
 
 

@@ -99,6 +99,11 @@ SECTIONS = [
         "graph_connected_components", "graph_jaccard_neighbors",
         "merge_deletion_vectors", "join_asof_nearest",
     ]),
+    ("JSON, phonetic ER, tokenizer & streaming additions (r5 batch 2)", [
+        "fn_json_table", "dedup_phonetic_key", "pipeline_mix_temperature",
+        "pipeline_bpe_apply", "scan_binary_files",
+        "stream_outer_join_watermark",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",
