@@ -531,3 +531,62 @@ def text_cooccurrence_window(spark, sf_dir):
         .filter(F.col("rk") <= 20)
         .select("pair", "cnt")
     )
+
+
+# --- events_abtest_lift (r5) ---------------------------------------------
+
+
+@register(
+    "events_abtest_lift",
+    oracle="""
+WITH assign AS (
+  SELECT user_id,
+         CAST((user_id * 2654435761) % 4294967296 % 2 AS BIGINT) AS arm
+    FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT a.arm,
+         CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users,
+         CAST(count(DISTINCT CASE WHEN e.event_type = 'purchase'
+                                  THEN a.user_id END) AS BIGINT) AS n_converted
+    FROM assign a JOIN events e ON e.user_id = a.user_id
+   GROUP BY a.arm
+)
+SELECT t.n_users AS treat_users, t.n_converted AS treat_conv,
+       c.n_users AS ctrl_users, c.n_converted AS ctrl_conv,
+       (CAST(t.n_converted AS DOUBLE) * CAST(c.n_users AS DOUBLE))
+         / (CAST(c.n_converted AS DOUBLE) * CAST(t.n_users AS DOUBLE)) AS lift_ratio
+  FROM conv t, conv c
+ WHERE t.arm = 1 AND c.arm = 0
+""",
+    description="A/B experiment readout: deterministic hash-split arms "
+    "(stateless assignment — no experiment table to join at 100 TB), "
+    "per-arm distinct-user conversion counts, relative lift as a ratio of "
+    "exact integer products (two IEEE multiplies + one division, fixed "
+    "association — bit-portable, no variance/sqrt surface); one user-keyed "
+    "agg + a 2-row self-pair",
+)
+def events_abtest_lift(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    arm = ((F.col("user_id") * 2654435761) % 4294967296 % 2).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    ).select(arm.alias("arm"), "conv")
+    conv = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").alias("n_converted"),
+    )
+    t = conv.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("treat_users"), F.col("n_converted").alias("treat_conv")
+    )
+    c = conv.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("ctrl_users"), F.col("n_converted").alias("ctrl_conv")
+    )
+    out = t.crossJoin(c)  # 1x1 rows — never data-sized
+    return out.select(
+        "treat_users", "treat_conv", "ctrl_users", "ctrl_conv",
+        (
+            (F.col("treat_conv").cast("double") * F.col("ctrl_users").cast("double"))
+            / (F.col("ctrl_conv").cast("double") * F.col("treat_users").cast("double"))
+        ).alias("lift_ratio"),
+    )

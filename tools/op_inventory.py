@@ -102,7 +102,7 @@ SECTIONS = [
     ("JSON, phonetic ER, tokenizer & streaming additions (r5 batch 2)", [
         "fn_json_table", "dedup_phonetic_key", "pipeline_mix_temperature",
         "pipeline_bpe_apply", "scan_binary_files",
-        "stream_outer_join_watermark",
+        "stream_outer_join_watermark", "events_abtest_lift",
     ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
