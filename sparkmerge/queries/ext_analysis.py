@@ -576,13 +576,15 @@ def events_abtest_lift(spark, sf_dir):
         F.count(F.lit(1)).alias("n_users"),
         F.sum("conv").alias("n_converted"),
     )
-    t = conv.filter(F.col("arm") == 1).select(
-        F.col("n_users").alias("treat_users"), F.col("n_converted").alias("treat_conv")
+    # fold the 2-row arm aggregate into ONE conditional aggregation — a
+    # filter+self-pair would re-execute the per-user lineage (a second full
+    # scan at 100 TB) for two scalar rows
+    out = conv.agg(
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("treat_users"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("treat_conv"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("ctrl_users"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("ctrl_conv"),
     )
-    c = conv.filter(F.col("arm") == 0).select(
-        F.col("n_users").alias("ctrl_users"), F.col("n_converted").alias("ctrl_conv")
-    )
-    out = t.crossJoin(c)  # 1x1 rows — never data-sized
     return out.select(
         "treat_users", "treat_conv", "ctrl_users", "ctrl_conv",
         (

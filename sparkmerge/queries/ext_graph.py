@@ -364,7 +364,10 @@ SELECT w.u, w.v, w.common,
     "integer counts + ONE IEEE division",
 )
 def graph_jaccard_neighbors(spark, sf_dir):
-    edges = _edges(spark, sf_dir)
+    # the edge subtree is referenced FIVE times (bi ×2, deg, wedge ×2, adj);
+    # unpersisted lineage would re-run the bucket self-join per reference —
+    # truncate once, same discipline as graph_pagerank_fixedpoint
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
     bi = edges.select("u", "v").unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
