@@ -82,6 +82,9 @@ _FORCE_REVERIFY = {
     "merge_version_diff",
     # Rewritten to the Spark-4 VARIANT path after its last green row.
     "json_extract_props",
+    # r5: rewritten to the single-shuffle right_dups='max' fold after their
+    # last driver-green rows.
+    "join_asof", "join_asof_tolerance",
 }
 
 
