@@ -342,7 +342,8 @@ def graph_connected_components(spark, sf_dir):
     oracle=f"""
 WITH
 {_EDGES_SQL},
-bi AS (SELECT u, v, w FROM edges UNION ALL SELECT v, u, w FROM edges),
+fe AS (SELECT u, v, w FROM edges WHERE w >= 4),
+bi AS (SELECT u, v, w FROM fe UNION ALL SELECT v, u, w FROM fe),
 deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM bi GROUP BY u),
 wedge AS (
   SELECT a.u AS u, b.u AS v, CAST(count(*) AS BIGINT) AS common
@@ -353,7 +354,7 @@ SELECT w.u, w.v, w.common,
        CAST(w.common AS DOUBLE) / CAST(du.d + dv.d - w.common AS DOUBLE)
          AS jaccard
   FROM wedge w
-  JOIN edges e ON e.u = w.u AND e.v = w.v
+  JOIN fe e ON e.u = w.u AND e.v = w.v
   JOIN deg du ON du.node = w.u
   JOIN deg dv ON dv.node = w.v
 """,
@@ -367,7 +368,15 @@ def graph_jaccard_neighbors(spark, sf_dir):
     # the edge subtree is referenced FIVE times (bi ×2, deg, wedge ×2, adj);
     # unpersisted lineage would re-run the bucket self-join per reference —
     # truncate once, same discipline as graph_pagerank_fixedpoint
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    # weight-threshold pruning (w >= 4) is the scale lever: this corpus
+    # DENSIFIES with SF (users grow, the time span doesn't), so the raw
+    # graph's wedge count Σdeg² reaches 1.7e9 by sf0.1 — inherent to the
+    # statistic on a dense graph (same reason graph_triangle_count is
+    # excluded from SCALING.md); strong edges keep the graph sparse by
+    # construction at any SF
+    edges = (
+        _edges(spark, sf_dir).filter(F.col("w") >= 4).localCheckpoint(eager=True)
+    )
     bi = edges.select("u", "v").unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
