@@ -365,3 +365,65 @@ def pipeline_bpe_apply(spark, sf_dir):
         F.size(words).cast("long").alias("n_words"),
         n_symbols.alias("n_symbols"),
     )
+
+
+# --- text_substring_dup_spans (r5) ---------------------------------------
+
+_SS_W = 40   # shingle width (chars)
+_SS_STRIDE = 10  # sampling stride
+
+
+@register(
+    "text_substring_dup_spans",
+    oracle=f"""
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - {_SS_W} + 1, 1),
+                                {_SS_STRIDE})) AS p
+    FROM documents
+),
+pos AS (
+  SELECT doc_id, substr(text, CAST(p AS INT), {_SS_W}) AS sh FROM starts
+),
+rep AS (
+  SELECT sh FROM pos GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(*) FILTER (r.sh IS NOT NULL) AS BIGINT) AS n_dup_shingles
+  FROM pos p LEFT JOIN rep r ON r.sh = p.sh
+ GROUP BY p.doc_id
+""",
+    description="cross-document SUBSTRING duplication (the suffix-array "
+    "exact-substring dedup signal, shingle-approximated): 40-char shingles "
+    "sampled every 10 chars, shingles appearing in ≥2 docs flagged, per-doc "
+    "duplicated-shingle fraction — catches copied passages line-boundary-"
+    "free (text_line_dedup's complement); one explode + count shuffle + "
+    "co-partitioned join-back, cost linear in corpus chars / stride",
+)
+def text_substring_dup_spans(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length("text") - F.lit(_SS_W - 1), F.lit(1)),
+        F.lit(_SS_STRIDE),
+    )
+    pos = d.select(
+        "doc_id",
+        F.explode(starts).alias("p"),
+        "text",
+    ).select("doc_id", F.expr(f"substr(text, p, {_SS_W})").alias("sh"))
+    rep = (
+        pos.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    return (
+        pos.join(rep.withColumn("hit", F.lit(1)), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).cast("long").alias("n_dup_shingles"),
+        )
+    )

@@ -684,3 +684,85 @@ def fn_json_table(spark, sf_dir):
         F.col("item.ln").alias("l_linenumber"),
         F.col("item.qc").alias("qty_cents"),
     )
+
+
+# --- fn_xml_xpath: the XPath extraction surface (r5) ---------------------
+
+
+@register(
+    "fn_xml_xpath",
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus AS status,
+       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+       o_orderpriority AS prio
+  FROM orders WHERE o_orderkey % 13 = 0
+""",
+    description="XPath extraction over XML payloads (Spark's xpath_string / "
+    "xpath_long function family): order fields serialized into an XML "
+    "document map-side — attribute + nested-element shapes — then extracted "
+    "back by XPath; the oracle reads the relational original, so the hash "
+    "match proves the build→extract round trip lossless (the XML twin of "
+    "fn_json_table); zero shuffles, all codegen'd",
+)
+def fn_xml_xpath(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    xml = F.concat(
+        F.lit('<order key="'), F.col("o_orderkey"), F.lit('">'),
+        F.lit("<status>"), F.col("o_orderstatus"), F.lit("</status>"),
+        F.lit("<cents>"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"),
+        F.lit("</cents>"),
+        F.lit("<prio>"), F.col("o_orderpriority"), F.lit("</prio>"),
+        F.lit("</order>"),
+    )
+    docs = o.select("o_orderkey", xml.alias("doc"))
+    return docs.select(
+        "o_orderkey",
+        F.expr("xpath_string(doc, '/order/status')").alias("status"),
+        F.expr("xpath_long(doc, '/order/cents')").alias("cents"),
+        F.expr("xpath_string(doc, '/order/prio')").alias("prio"),
+    )
+
+
+# --- agg_listagg_ordered: deterministic ordered string aggregation (r5) --
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+SELECT c_nationkey,
+       string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_acctbal DESC, c_custkey) AS top_keys,
+       CAST(count(*) AS BIGINT) AS n
+  FROM customer
+ WHERE c_custkey % 50 = 0
+ GROUP BY c_nationkey
+""",
+    description="LISTAGG / string_agg WITHIN GROUP (ORDER BY): per-nation "
+    "customer keys concatenated in (acctbal DESC, key) order — Spark has no "
+    "ordered string_agg, so the op builds sort_array(collect_list(struct)) "
+    "with a descending-friendly struct encoding and array_joins map-side; "
+    "explicitly deterministic ordering (collect_list alone is partition-"
+    "order-dependent — the trap this op documents); one agg shuffle",
+)
+def agg_listagg_ordered(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 50 == 0)
+    # sort_array is ascending over the struct; negate the balance-cents to
+    # express DESC while keeping the tiebreak (c_custkey) ascending
+    item = F.struct(
+        (-F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long")).alias("neg_cents"),
+        F.col("c_custkey").alias("k"),
+    )
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(item)),
+                    lambda s: s.getField("k").cast("string"),
+                ),
+                ",",
+            ).alias("top_keys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -98,3 +98,52 @@ def test_abtest_lift_counts_are_consistent(spark):
     assert r["treat_conv"] <= r["treat_users"]
     assert r["ctrl_conv"] <= r["ctrl_users"]
     assert r["lift_ratio"] > 0
+
+
+def test_substring_dup_spans_detects_copied_passage(spark):
+    from sparkmerge.queries.ext_corpus import _SS_STRIDE, _SS_W  # noqa: F401
+
+    passage = "the quick brown fox jumps over the lazy dog and keeps running onward" * 2
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha text " + "a" * 120),
+            (2, "prefix one " + passage + " suffix one"),
+            (3, "prefix two " + passage + " suffix two"),
+        ],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text") - F.lit(_SS_W - 1), F.lit(1)), F.lit(_SS_STRIDE)
+    )
+    pos = docs.select("doc_id", F.explode(starts).alias("p"), "text").select(
+        "doc_id", F.expr(f"substr(text, p, {_SS_W})").alias("sh")
+    )
+    rep = pos.groupBy("sh").agg(F.countDistinct("doc_id").alias("nd")).filter("nd >= 2")
+    hits = (
+        pos.join(rep.select("sh"), "sh")
+        .groupBy("doc_id").count().collect()
+    )
+    by_doc = {r["doc_id"]: r["count"] for r in hits}
+    assert 1 not in by_doc            # unique doc has no cross-doc shingle
+    assert by_doc.get(2, 0) > 0 and by_doc.get(3, 0) > 0
+
+
+def test_listagg_ordering_is_balance_desc(spark):
+    rows = registry()["agg_listagg_ordered"].fn(spark, SF_DIR).collect()
+    assert rows
+    from sparkmerge.queries import load
+
+    c = {r["c_custkey"]: r["c_acctbal"] for r in load(spark, SF_DIR, "customer").collect()}
+    for r in rows:
+        keys = [int(k) for k in r["top_keys"].split(",")]
+        bals = [c[k] for k in keys]
+        # strict check: (bal desc, key asc)
+        enc = [(-b, k) for b, k in zip(bals, keys)]
+        assert enc == sorted(enc)
+
+
+def test_xpath_roundtrip_handles_all_priorities(spark):
+    rows = registry()["fn_xml_xpath"].fn(spark, SF_DIR).collect()
+    assert rows and all(r["prio"] and r["status"] for r in rows)

@@ -103,6 +103,7 @@ SECTIONS = [
         "fn_json_table", "dedup_phonetic_key", "pipeline_mix_temperature",
         "pipeline_bpe_apply", "scan_binary_files",
         "stream_outer_join_watermark", "events_abtest_lift",
+        "text_substring_dup_spans", "fn_xml_xpath", "agg_listagg_ordered",
     ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
