@@ -337,13 +337,25 @@ def graph_connected_components(spark, sf_dir):
     )
 
 
+_KNN_K = 10  # mutual top-K edges per node — the degree bound
+
+
 @register(
     "graph_jaccard_neighbors",
     oracle=f"""
 WITH
 {_EDGES_SQL},
-fe AS (SELECT u, v, w FROM edges WHERE w >= 4),
-bi AS (SELECT u, v, w FROM fe UNION ALL SELECT v, u, w FROM fe),
+db AS (SELECT u, v, w FROM edges UNION ALL SELECT v, u, w FROM edges),
+pick AS (
+  SELECT u, v FROM (
+    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
+      FROM db) WHERE rn <= {_KNN_K}
+),
+fe AS (
+  SELECT least(u, v) AS u, greatest(u, v) AS v
+    FROM pick GROUP BY 1, 2 HAVING count(*) = 2
+),
+bi AS (SELECT u, v FROM fe UNION ALL SELECT v, u FROM fe),
 deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM bi GROUP BY u),
 wedge AS (
   SELECT a.u AS u, b.u AS v, CAST(count(*) AS BIGINT) AS common
@@ -359,23 +371,41 @@ SELECT w.u, w.v, w.common,
   JOIN deg dv ON dv.node = w.v
 """,
     description="link-prediction feature: neighborhood Jaccard |N(u)∩N(v)| / "
-    "|N(u)∪N(v)| for ADJACENT node pairs only — common neighbors via the "
-    "wedge join (bounded by Σdeg², the triangle-count shape), adjacency "
-    "semi-restriction keeps the output edge-sized, never all-pairs; exact "
-    "integer counts + ONE IEEE division",
+    "|N(u)∪N(v)| for ADJACENT node pairs of the MUTUAL top-K graph "
+    f"(k={_KNN_K}): each node keeps its {_KNN_K} strongest edges (w desc, "
+    "id tiebreak), an edge survives only if BOTH endpoints kept it — the "
+    "standard k-NN sparsification that bounds degree ≤ K structurally at "
+    "ANY corpus scale (a fixed weight floor stops working as the corpus "
+    "densifies: this one reached 4.9e9 wedges by sf1); wedge join then "
+    "costs ≤ nodes·K², exact integer counts + ONE IEEE division",
 )
 def graph_jaccard_neighbors(spark, sf_dir):
-    # the edge subtree is referenced FIVE times (bi ×2, deg, wedge ×2, adj);
-    # unpersisted lineage would re-run the bucket self-join per reference —
-    # truncate once, same discipline as graph_pagerank_fixedpoint
-    # weight-threshold pruning (w >= 4) is the scale lever: this corpus
-    # DENSIFIES with SF (users grow, the time span doesn't), so the raw
-    # graph's wedge count Σdeg² reaches 1.7e9 by sf0.1 — inherent to the
-    # statistic on a dense graph (same reason graph_triangle_count is
-    # excluded from SCALING.md); strong edges keep the graph sparse by
-    # construction at any SF
+    from pyspark.sql.window import Window
+
+    # mutual top-K sparsification: ONE rank window over the doubled edge
+    # list, then a self-join keeps edges both endpoints ranked — degree is
+    # bounded by K at any scale (a fixed weight floor densifies with the
+    # corpus: w>=4 reached 4.9e9 wedges at sf1 and OOMed).  The sparsified
+    # edge set is referenced four times below (bi ×2, wedge ×2, adj), so
+    # truncate lineage once — same discipline as graph_pagerank_fixedpoint.
+    raw = _edges(spark, sf_dir)
+    db = raw.select("u", "v", "w").unionByName(
+        raw.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    rn = F.row_number().over(Window.partitionBy("u").orderBy(F.desc("w"), F.asc("v")))
+    pick = db.withColumn("rn", rn).filter(F.col("rn") <= _KNN_K).select("u", "v")
+    # mutual test without a self-join: canonicalize each directed pick to
+    # (min, max) — the edge is mutual iff BOTH directions picked it, i.e.
+    # the canonical pair appears exactly twice
     edges = (
-        _edges(spark, sf_dir).filter(F.col("w") >= 4).localCheckpoint(eager=True)
+        pick.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("npick"))
+        .filter(F.col("npick") == 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
     )
     bi = edges.select("u", "v").unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -388,12 +418,12 @@ def graph_jaccard_neighbors(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("common"))
     )
     adj = edges.select("u", "v")
+    deg_u = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    deg_v = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     return (
         wedge.join(adj, ["u", "v"])
-        .join(deg.withColumnRenamed("d", "du"), wedge["u"] == F.col("node"))
-        .drop("node")
-        .join(deg.withColumnRenamed("d", "dv"), wedge["v"] == F.col("node"))
-        .drop("node")
+        .join(deg_u, "u")
+        .join(deg_v, "v")
         .select(
             "u", "v", "common",
             (
