@@ -111,3 +111,22 @@ def test_pagerank_rerun_is_byte_identical(spark):
     a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_jaccard_graph_degree_bounded_by_k(spark):
+    """Mutual top-K sparsification must bound every node's degree by K at
+    ANY scale — the property that replaced the fixed weight floor (which
+    densified to 4.9e9 wedges at sf1 and OOMed)."""
+    from pyspark.sql import functions as F
+
+    from sparkmerge.queries import registry
+    from sparkmerge.queries.ext_graph import _KNN_K
+
+    df = registry()["graph_jaccard_neighbors"].fn(spark, "/root/testdata/sf0.01")
+    rows = df.collect()
+    assert rows
+    # common neighbors within the sparsified graph can never exceed K, and
+    # the jaccard denominator (du + dv - common) keeps it in (0, 1]
+    for r in rows:
+        assert 0 < r["common"] <= _KNN_K
+        assert 0.0 < r["jaccard"] <= 1.0
