@@ -76,10 +76,6 @@ def test_spatial_grid_equals_brute_force(spark):
     df = registry()["join_spatial_grid"].fn(spark, SF_DIR)
     got = {(r["a_id"], r["b_id"]) for r in df.collect()}
     # brute force over the same derived points
-    e = (
-        registry()["join_spatial_grid"]
-        .fn(spark, SF_DIR)  # not reused; just for schema sanity
-    )
     from sparkmerge.queries import load
 
     ev = load(spark, SF_DIR, "events").filter(F.col("event_id") % 7 == 0)
@@ -153,3 +149,49 @@ def test_asof_nearest_picks_closer_side(spark):
         fwd = [k for t, k in cand if t - r["t_us"] == best_gap and t > r["t_us"]]
         expect = max(back) if back else max(fwd)
         assert r["nearest_orderkey"] == expect
+
+
+def test_spatial_grid_boundary_cases(spark):
+    """Adversarial placements: pairs at EXACTLY the radius, straddling cell
+    boundaries, and identical coordinates — the grid decomposition must
+    agree with brute force on all of them."""
+    from pyspark.sql import functions as F
+
+    from sparkmerge.queries.ext_spatial import _RADIUS
+
+    R = _RADIUS
+    pts = [
+        (1, 0, 0), (2, R, 0),            # exactly R apart, same/adjacent cell
+        (3, R, R), (4, R + 1, R),        # across the cell corner
+        (5, 2 * R - 1, 0), (6, 2 * R, 0),  # adjacent cells, distance 1
+        (7, 100, 100), (8, 100, 100),    # identical coordinates
+        (9, 100 + R + 1, 100),           # just outside the radius of 7/8
+        (10, 5, 5),
+    ]
+    df = spark.createDataFrame(pts, "pid long, x long, y long")
+    cx, cy = (F.col("x") / R).cast("long"), (F.col("y") / R).cast("long")
+    build = df.select("pid", "x", "y", cx.alias("cx"), cy.alias("cy"))
+    offsets = F.expr("sequence(-1, 1)")
+    probe = (
+        df.select("pid", "x", "y", cx.alias("cx0"), cy.alias("cy0"))
+        .withColumn("dx", F.explode(offsets))
+        .withColumn("dy", F.explode(offsets))
+        .select(
+            F.col("pid").alias("b_pid"), F.col("x").alias("bx"), F.col("y").alias("by"),
+            (F.col("cx0") + F.col("dx")).alias("cx"), (F.col("cy0") + F.col("dy")).alias("cy"),
+        )
+    )
+    cheb = F.greatest(F.abs(F.col("x") - F.col("bx")), F.abs(F.col("y") - F.col("by")))
+    got = {
+        (r["a"], r["b"])
+        for r in build.join(probe, ["cx", "cy"])
+        .filter((F.col("pid") < F.col("b_pid")) & (cheb <= R))
+        .select(F.col("pid").alias("a"), F.col("b_pid").alias("b"))
+        .dropDuplicates(["a", "b"]).collect()
+    }
+    brute = {
+        (a[0], b[0])
+        for i, a in enumerate(pts) for b in pts[i + 1:]
+        if max(abs(a[1] - b[1]), abs(a[2] - b[2])) <= R
+    }
+    assert got == brute
