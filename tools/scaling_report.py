@@ -55,7 +55,13 @@ OPS = [
 # (op, sf) pairs whose ORACLE formulation is intentionally not run: the
 # certifying all-pairs SQL is quadratic and would run for hours at that SF
 # (the Spark column is still measured — that asymmetry is the point).
-ORACLE_SKIP = {("join_spatial_grid", "1")}
+ORACLE_SKIP = {
+    ("join_spatial_grid", "1"),
+    # DuckDB evaluating the raw co-occurrence self-join at sf1 spills
+    # >70 GB of temp and dies on disk — the Spark side runs the same
+    # logical graph in ~60 s (top-K sparsification after one bucket join)
+    ("graph_jaccard_neighbors", "1"),
+}
 # sf1 is derived from sf0.1 by tools/gen_scale.py (key-offset replication —
 # see its docstring); generated on demand below if absent.
 SFS = ["0.001", "0.01", "0.1", "1"]
@@ -135,21 +141,31 @@ def main() -> None:
                 results.setdefault(op, {})[sf] = (s, float("nan"))
                 print(f"{op} sf{sf}: spark {s:.3f} duck skipped", file=sys.stderr)
                 continue
-            t0 = time.perf_counter()
-            con.sql(spec.oracle).arrow()
-            warm = time.perf_counter() - t0
-            if warm >= 10:
-                d = warm
-            else:
-                n = 3 if warm < 2 else 1
-                ts = []
-                for _ in range(max(n, 1)):
-                    t0 = time.perf_counter()
-                    con.sql(spec.oracle).arrow()
-                    ts.append(time.perf_counter() - t0)
-                d = sorted(ts)[len(ts) // 2]
+            try:
+                t0 = time.perf_counter()
+                con.sql(spec.oracle).arrow()
+                warm = time.perf_counter() - t0
+                if warm >= 10:
+                    d = warm
+                else:
+                    n = 3 if warm < 2 else 1
+                    ts = []
+                    for _ in range(max(n, 1)):
+                        t0 = time.perf_counter()
+                        con.sql(spec.oracle).arrow()
+                        ts.append(time.perf_counter() - t0)
+                    d = sorted(ts)[len(ts) // 2]
+            except Exception as e:  # disk-spill death etc: record, keep going
+                print(f"{op} sf{sf}: duck ERROR {e}", file=sys.stderr)
+                d = float("nan")
             results.setdefault(op, {})[sf] = (s, d)
             print(f"{op} sf{sf}: spark {s:.3f} duck {d:.3f}", file=sys.stderr)
+        # checkpoint partial results per SF pass — a late crash must not
+        # lose a half-hour of measurement
+        import json as _json
+
+        with open("/tmp/scaling_partial.json", "w") as fh:
+            _json.dump({o: {k: list(v) for k, v in m.items()} for o, m in results.items()}, fh)
 
     lines = [
         "# SCALING — wall-clock growth across 1000× data (generated by tools/scaling_report.py)",
