@@ -90,6 +90,14 @@ def main() -> None:
     reg = registry()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    # absorb one-time session costs (JVM classloading, codegen compiler,
+    # parquet reader init) BEFORE the first measured op — without this the
+    # first table row reads ~10× its steady state
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    from sparkmerge.queries import table_path as _tp
+
+    spark.read.parquet(_tp(SF_DIRS["0.001"], "orders")).count()
+
     results: dict[str, dict[str, tuple[float, float]]] = {}
     for sf in SFS:
         sf_dir = SF_DIRS[sf]
@@ -170,7 +178,8 @@ def main() -> None:
     lines = [
         "# SCALING — wall-clock growth across 1000× data (generated by tools/scaling_report.py)",
         "",
-        "Warm-up + median of 3 (adaptive: single run when a warm-up exceeds 10 s —",
+        "Session pre-warmed, then warm-up + median of 3 per op (adaptive: single",
+        "run when a warm-up exceeds 10 s —",
         "only the quadratic oracle formulations at sf1 hit this), same",
         "materialization as bench.py.  `spark@sf / duck@sf` in seconds; `growth` is",
         "time(sf1) / time(sf0.001) — data grows 1000×, so growth ≪ 1000 means the",
