@@ -432,3 +432,69 @@ def graph_jaccard_neighbors(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+# --- graph_cooccurrence_capped (r5): the mega-bucket cap, implemented ----
+
+_BUCKET_CAP = 32  # max members per (hour, type) bucket before pairing
+
+
+@register(
+    "graph_cooccurrence_capped",
+    oracle=f"""
+WITH ev AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS b, event_type, user_id
+    FROM events
+),
+capped AS (
+  SELECT b, event_type, user_id FROM (
+    SELECT b, event_type, user_id,
+           row_number() OVER (PARTITION BY b, event_type
+                              ORDER BY (user_id * 2654435761) % 4294967296, user_id) AS rn
+      FROM ev) WHERE rn <= {_BUCKET_CAP}
+)
+SELECT l.user_id AS u, r.user_id AS v, CAST(COUNT(*) AS BIGINT) AS w
+  FROM capped l
+  JOIN capped r
+    ON l.b = r.b AND l.event_type = r.event_type AND l.user_id < r.user_id
+ GROUP BY 1, 2
+""",
+    description=f"the mega-bucket cap the uncapped edge builder documents, "
+    f"implemented: each (hour, type) bucket keeps ≤{_BUCKET_CAP} members "
+    "(integer-mix-ranked — a deterministic uniform sample computed "
+    "identically in both engines, not head-of-id bias) "
+    "BEFORE pairing, so per-bucket pair cost is bounded by cap² at ANY "
+    "corpus density — the uncapped builder is the one Spark surface that "
+    "grows super-linearly on this densifying corpus (43 s at sf1, "
+    "SCALING.md); ONE bucket-keyed window + the same bucket-local "
+    "self-join",
+)
+def graph_cooccurrence_capped(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("hour", F.col("ts")).alias("b"),
+            "event_type",
+            "user_id",
+        )
+        .distinct()
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("b", "event_type").orderBy(
+            (F.col("user_id") * 2654435761) % 4294967296, F.col("user_id")
+        )
+    )
+    capped = ev.withColumn("rn", rn).filter(F.col("rn") <= _BUCKET_CAP).drop("rn")
+    l, r = capped.alias("l"), capped.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.b") == F.col("r.b"))
+            & (F.col("l.event_type") == F.col("r.event_type"))
+            & (F.col("l.user_id") < F.col("r.user_id")),
+        )
+        .groupBy(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )

@@ -78,7 +78,7 @@ SECTIONS = [
         "text_cooccurrence_window",
     ]),
     ("Graph / time-series / featurization (SURVEY §2.D, r4 batch 2)", [
-        "graph_cooccurrence_edges", "graph_degree_profile",
+        "graph_cooccurrence_edges", "graph_cooccurrence_capped", "graph_degree_profile",
         "graph_triangle_count", "graph_pagerank_fixedpoint",
         "timeseries_resample_ffill", "timeseries_interpolate_linear",
         "events_gap_islands", "events_ewma_lagchain",
