@@ -28,9 +28,18 @@ _RADIUS = 8  # Chebyshev radius = cell side
 
 # splitmix-style integer mixes (same family as ext/hashing.py) — the
 # coordinates must be identically computable in DuckDB, so they are plain
-# multiply/xor/mod arithmetic on BIGINT, not engine hash builtins.
-_XC = f"((event_id * 2654435761) % 4294967296) % {_GRID}"
-_YC = f"(((user_id * 40503 + event_id) * 2246822519) % 4294967296) % {_GRID}"
+# multiply/mod arithmetic on BIGINT, not engine hash builtins.  Every id is
+# reduced mod a ~2^20 prime BEFORE the big multiplier so no intermediate
+# exceeds ~2^52: raw ids reach 1e9+ under gen_scale's key-offset
+# replication, and the original unreduced mix overflowed int64 at sf10
+# (caught by tools/scale10_report.py — both engines raise on BIGINT
+# overflow, so "portable" must also mean bounded).
+_P = 1048573  # prime < 2^20
+_XC = f"(((event_id % {_P}) * 2654435761) % 4294967296) % {_GRID}"
+_YC = (
+    f"((((user_id % {_P}) * 40503 + (event_id % {_P})) % {_P})"
+    f" * 2246822519) % 4294967296 % {_GRID}"
+)
 
 
 @register(
@@ -57,8 +66,9 @@ SELECT a.pid AS a_id, b.pid AS b_id,
 )
 def join_spatial_grid(spark, sf_dir):
     e = load(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
-    x = ((F.col("event_id") * 2654435761) % 4294967296) % _GRID
-    y = (((F.col("user_id") * 40503 + F.col("event_id")) * 2246822519) % 4294967296) % _GRID
+    ek, uk = F.col("event_id") % _P, F.col("user_id") % _P
+    x = (((ek) * 2654435761) % 4294967296) % _GRID
+    y = ((((uk * 40503 + ek) % _P) * 2246822519) % 4294967296) % _GRID
     pts = e.select(
         F.col("event_id").alias("pid"),
         x.cast("long").alias("x"),

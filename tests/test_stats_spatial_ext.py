@@ -71,7 +71,7 @@ def test_weighted_median_half_mass_property(spark):
 
 
 def test_spatial_grid_equals_brute_force(spark):
-    from sparkmerge.queries.ext_spatial import _GRID, _RADIUS
+    from sparkmerge.queries.ext_spatial import _GRID, _P, _RADIUS
 
     df = registry()["join_spatial_grid"].fn(spark, SF_DIR)
     got = {(r["a_id"], r["b_id"]) for r in df.collect()}
@@ -79,8 +79,9 @@ def test_spatial_grid_equals_brute_force(spark):
     from sparkmerge.queries import load
 
     ev = load(spark, SF_DIR, "events").filter(F.col("event_id") % 7 == 0)
-    x = ((F.col("event_id") * 2654435761) % 4294967296) % _GRID
-    y = (((F.col("user_id") * 40503 + F.col("event_id")) * 2246822519) % 4294967296) % _GRID
+    ek, uk = F.col("event_id") % _P, F.col("user_id") % _P
+    x = ((ek * 2654435761) % 4294967296) % _GRID
+    y = ((((uk * 40503 + ek) % _P) * 2246822519) % 4294967296) % _GRID
     pts = [(r["pid"], r["x"], r["y"]) for r in ev.select(
         F.col("event_id").alias("pid"), x.alias("x"), y.alias("y")).collect()]
     brute = {
