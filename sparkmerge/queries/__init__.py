@@ -75,6 +75,10 @@ def register(op_id: str, *, oracle: str | None = None, description: str = ""):
 # not code edits).  They sort right after never-verified ops so the next
 # capped driver window re-confirms the current code.  Remove an entry once
 # a post-rewrite green row lands.
+# NOTE (r5 close): with 238 registered ops the driver's 50-op window is
+# exactly 45 never-verified (23 r4 + 22 r5) + these 5 force-reverify
+# entries — operator additions were deliberately frozen at 238 so no
+# rewritten-op re-confirmation slips out of the round-5 window.
 _FORCE_REVERIFY = {
     # r5: the MVCC/partitioned-table work grew the lifecycle surface after
     # these four went green (r4 verdict ask #6).

@@ -11,6 +11,10 @@ from sparkmerge.queries import registry
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# ops whose sf0.001 output is legitimately empty (sparse-subgraph cut) —
+# invariance is checked at sf0.01 instead so the non-empty assertion bites
+SF_OVERRIDE = {"graph_connected_components": "/root/testdata/sf0.01"}
+
 OPS = [
     "graph_pagerank_fixedpoint",      # iterative integer fixed point
     "embedding_kmeans_fixedpoint",    # iterative centroid updates
@@ -22,11 +26,21 @@ OPS = [
     "graph_triangle_count",           # multi-join orientation
     "bpe_train_rounds",               # iterative argmax winner + merge chain
     "merge_broadcast_delta",          # broadcast changeset decomposition
+    # r5 partitioning-sensitive surfaces
+    "agg_weighted_median",            # cumulative-weight window tiebreaks
+    "timeseries_changepoint_cusum",   # running integer statistic
+    "graph_connected_components",     # iterative min-label propagation
+    "graph_jaccard_neighbors",        # mutual top-K rank windows
+    "graph_cooccurrence_capped",      # per-bucket rank cap
+    "agg_listagg_ordered",            # ordered concat (collect_list trap)
+    "join_asof_nearest",              # dual-direction carry windows
+    "agg_linear_fit",                 # fixed-association moment combine
 ]
 
 
 def _run(spark, op):
-    return sorted(map(tuple, registry()[op].fn(spark, SF_DIR).collect()))
+    sf = SF_OVERRIDE.get(op, SF_DIR)
+    return sorted(map(tuple, registry()[op].fn(spark, sf).collect()))
 
 
 @pytest.mark.parametrize("op", OPS)
