@@ -337,6 +337,7 @@ def connected_components(
         "component", F.col("node")
     )
     prev_sum = object()
+    converged = False
     for _ in range(max_iters):
         prop = edges.join(
             labels, edges.v == labels.node
@@ -349,8 +350,19 @@ def connected_components(
         )
         new_sum = labels.agg(F.sum("component")).first()[0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # The label sum strictly decreases while any node still updates, so
+        # an exhausted loop whose last round changed the sum is NOT at the
+        # fixed point — the labels would be silently wrong for any component
+        # with min-label eccentricity > max_iters.  Non-convergence must be
+        # an error, not a wrong answer (ADVICE r5).
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters}; "
+            "raise max_iters (component diameter exceeds the round budget)"
+        )
     return labels
 
 

@@ -562,10 +562,12 @@ def stream_stream_outer_join(
     still arrive, so clicks near the stream's tail stay pending in state
     when the stream ends.  To keep the emitted set deterministic (and batch-
     comparable), the result is restricted to the decided region — clicks
-    old enough that their join window + watermark delay closed strictly
-    before the stream's max event time, with an extra hour of margin so no
-    row sits on the eviction boundary.  The batch oracle applies the same
-    cutoff to a plain left join."""
+    old enough that their join window + the WATERMARK DELAY closed strictly
+    before the stream's max event time, with an extra hour of slack so no
+    row sits on the eviction boundary.  The margin is derived from the
+    ``watermark`` argument (ADVICE r5: a fixed 2 h margin silently broke the
+    guarantee for any caller passing a delay over 2 h).  The batch oracle
+    applies the same cutoff to a plain left join."""
     schema = spark.read.parquet(source_dir).schema
     base = (
         spark.readStream.schema(schema)
@@ -626,7 +628,31 @@ def stream_stream_outer_join(
         .agg(F.min("m"))
         .first()[0]
     )
-    cutoff = F.lit(side_max) - F.expr(
-        f"INTERVAL {window_minutes * 60} SECONDS"
-    ) - F.expr("INTERVAL 2 HOURS")
+    # decided-region margin = watermark delay + 1 h slack, DERIVED from the
+    # watermark argument: rows are flushed from state only once the global
+    # watermark (side_max - delay) passes their join window, so a fixed
+    # margin smaller than the delay would include clicks whose NULL-padded
+    # rows were never emitted (ADVICE r5).
+    wm_secs = _interval_seconds(watermark)
+    cutoff = (
+        F.lit(side_max)
+        - F.expr(f"INTERVAL {window_minutes * 60} SECONDS")
+        - F.expr(f"INTERVAL {wm_secs + 3600} SECONDS")
+    )
     return spark.table(name).filter(F.col("click_ts") < cutoff)
+
+
+def _interval_seconds(interval: str) -> int:
+    """Seconds in a simple ``'<n> <unit>'`` watermark delay string (the
+    subset Structured Streaming accepts for withWatermark in this repo)."""
+    import re
+
+    m = re.fullmatch(
+        r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", interval, re.IGNORECASE
+    )
+    if not m:
+        raise ValueError(f"unsupported watermark interval: {interval!r}")
+    n = int(m.group(1))
+    return n * {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
+        m.group(2).lower()
+    ]

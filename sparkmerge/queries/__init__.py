@@ -75,20 +75,22 @@ def register(op_id: str, *, oracle: str | None = None, description: str = ""):
 # not code edits).  They sort right after never-verified ops so the next
 # capped driver window re-confirms the current code.  Remove an entry once
 # a post-rewrite green row lands.
-# NOTE (r5 close): with 238 registered ops the driver's 50-op window is
-# exactly 45 never-verified (23 r4 + 22 r5) + these 5 force-reverify
-# entries — operator additions were deliberately frozen at 238 so no
-# rewritten-op re-confirmation slips out of the round-5 window.
+# NOTE (r6): the 7 r5 entries (MVCC lifecycle ×4, VARIANT json, asof ×2)
+# all landed green r5 rows and are cleared per the contract above, so the
+# r6 window spends its slots on the graph-family re-verification below
+# plus the stalest r1/r2 greens.
 _FORCE_REVERIFY = {
-    # r5: the MVCC/partitioned-table work grew the lifecycle surface after
-    # these four went green (r4 verdict ask #6).
-    "table_maintenance", "table_time_travel", "txn_commit_rollback",
-    "merge_version_diff",
-    # Rewritten to the Spark-4 VARIANT path after its last green row.
-    "json_extract_props",
-    # r5: rewritten to the single-shuffle right_dups='max' fold after their
-    # last driver-green rows.
-    "join_asof", "join_asof_tolerance",
+    # r6: the whole graph family migrated to the capped (≤32/bucket) edge
+    # builder after its last green rows (r5 verdict ask #2) —
+    # graph_cooccurrence_capped itself moved to a tighter cap (8) to stay
+    # a distinct cap-sensitivity surface.
+    "graph_cooccurrence_edges", "graph_degree_profile",
+    "graph_triangle_count", "graph_pagerank_fixedpoint",
+    "graph_connected_components", "graph_jaccard_neighbors",
+    "graph_cooccurrence_capped",
+    # r6: arm-assignment hash changed from (algebraic) parity to the
+    # high bit of the integer mix (ADVICE r5).
+    "events_abtest_lift",
 }
 
 
@@ -174,14 +176,13 @@ def table_path(sf_dir: str, table: str) -> str:
     oracle still sees equal values).  The rewrite is a directory, so
     streaming file sources accept it too.
     """
-    import hashlib
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     src = os.path.abspath(f"{sf_dir}/{table}.parquet")
-    key = hashlib.md5(src.encode()).hexdigest()[:12]
+    key = fingerprint(src)
     dst_dir = f"/tmp/sparkmerge_cache/{key}"
     dst = f"{dst_dir}/part-0.parquet"
     if not os.path.exists(dst):
@@ -202,3 +203,28 @@ def table_path(sf_dir: str, table: str) -> str:
 def events_path(sf_dir: str) -> str:
     """Back-compat alias: the µs-timestamp events rewrite (see table_path)."""
     return table_path(sf_dir, "events")
+
+
+def fingerprint(*paths: str) -> str:
+    """Cache key for a /tmp-derived fixture: md5 over each source path PLUS
+    its (size, mtime_ns).  Keying on the path alone left stale caches live
+    after a testdata regeneration at the same location — the derived blobs
+    would silently diverge from the oracle, which reads the live tables
+    (ADVICE r5).  A directory path fingerprints every ``*.parquet`` in it."""
+    import glob
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    for p in paths:
+        p = os.path.abspath(p)
+        files = (
+            sorted(glob.glob(os.path.join(p, "*.parquet")))
+            if os.path.isdir(p)
+            else [p]
+        )
+        h.update(p.encode())
+        for f in files:
+            st = os.stat(f)
+            h.update(f"|{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]

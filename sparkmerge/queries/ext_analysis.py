@@ -541,7 +541,8 @@ def text_cooccurrence_window(spark, sf_dir):
     oracle="""
 WITH assign AS (
   SELECT user_id,
-         CAST((user_id * 2654435761) % 4294967296 % 2 AS BIGINT) AS arm
+         CAST(CASE WHEN (user_id * 2654435761) % 4294967296 >= 2147483648
+                   THEN 1 ELSE 0 END AS BIGINT) AS arm
     FROM events GROUP BY user_id
 ),
 conv AS (
@@ -560,15 +561,22 @@ SELECT t.n_users AS treat_users, t.n_converted AS treat_conv,
  WHERE t.arm = 1 AND c.arm = 0
 """,
     description="A/B experiment readout: deterministic hash-split arms "
-    "(stateless assignment — no experiment table to join at 100 TB), "
-    "per-arm distinct-user conversion counts, relative lift as a ratio of "
+    "(stateless assignment — no experiment table to join at 100 TB) using "
+    "the HIGH bit of the Knuth integer mix — the low bit of an odd-"
+    "multiplier mix algebraically reduces to plain user_id parity, a "
+    "biased split if parity correlates with behavior (ADVICE r5); per-arm "
+    "distinct-user conversion counts, relative lift as a ratio of "
     "exact integer products (two IEEE multiplies + one division, fixed "
     "association — bit-portable, no variance/sqrt surface); one user-keyed "
     "agg + a 2-row self-pair",
 )
 def events_abtest_lift(spark, sf_dir):
     e = load(spark, sf_dir, "events")
-    arm = ((F.col("user_id") * 2654435761) % 4294967296 % 2).cast("long")
+    arm = (
+        F.when((F.col("user_id") * 2654435761) % 4294967296 >= 2147483648, 1)
+        .otherwise(0)
+        .cast("long")
+    )
     per_user = e.groupBy("user_id").agg(
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
     ).select(arm.alias("arm"), "conv")

@@ -22,14 +22,18 @@ rules shared with the rest of the registry apply:
   id-ordered 3-way self-join, demonstrating that the two strategies agree
   on the triangle multiset.
 
-Scale notes (100 TB): the edge builder groups per (hour, type) bucket and
-self-joins inside buckets, so cost is sum-of-squares of bucket occupancy,
-never a global cross join; a production corpus with mega-buckets would cap
-or sample bucket membership before pairing (same lever as
-``join_salted_skew``).  PageRank's per-iteration shuffle partitions by
-destination node; lineage is bounded at 3 plan-inlined iterations (an
-open-ended solver would checkpoint per round like
-``dedup_cluster_survivors``).
+Scale notes (100 TB): the edge builder groups per (hour, type) bucket,
+CAPS bucket membership at ``_BUCKET_CAP`` members (deterministic
+integer-mix ranking — a uniform sample, not head-of-id bias), then
+self-joins inside buckets, so per-bucket pair cost is bounded by cap² at
+ANY corpus density.  The r4/r5 uncapped builder (pair cost Θ(Σ occupancy²)
+on a corpus that densifies with scale: 43 s at sf1 for the builder alone,
+SCALING.md) was the repo's last super-linear surface; the whole family
+migrated to the capped derivation in r6 (r5 verdict ask #2) after
+``graph_cooccurrence_capped`` proved it green and 27× faster at sf1.
+PageRank's per-iteration shuffle partitions by destination node; lineage
+is bounded at 3 plan-inlined iterations (an open-ended solver would
+checkpoint per round like ``dedup_cluster_survivors``).
 """
 
 from __future__ import annotations
@@ -38,27 +42,46 @@ from pyspark.sql import DataFrame, functions as F
 
 from sparkmerge.queries import load, register
 
-# --- shared: co-occurrence edge derivation ------------------------------
+# --- shared: capped co-occurrence edge derivation ------------------------
 
-_EDGES_SQL = """
+_BUCKET_CAP = 32  # max members per (hour, type) bucket before pairing
+
+
+def _edges_sql(cap: int) -> str:
+    """DuckDB CTE chain mirroring :func:`_edges` at the given cap."""
+    return f"""
 ev AS (
   SELECT DISTINCT date_trunc('hour', ts) AS b, event_type, user_id
     FROM events
 ),
+capped AS (
+  SELECT b, event_type, user_id FROM (
+    SELECT b, event_type, user_id,
+           row_number() OVER (PARTITION BY b, event_type
+                              ORDER BY (user_id * 2654435761) % 4294967296, user_id) AS rn
+      FROM ev) WHERE rn <= {cap}
+),
 edges AS (
-  SELECT l.user_id AS u, r.user_id AS v, COUNT(*) AS w
-    FROM ev l
-    JOIN ev r
+  SELECT l.user_id AS u, r.user_id AS v, CAST(COUNT(*) AS BIGINT) AS w
+    FROM capped l
+    JOIN capped r
       ON l.b = r.b AND l.event_type = r.event_type
          AND l.user_id < r.user_id
    GROUP BY 1, 2
 )"""
 
 
-def _edges(spark, sf_dir) -> DataFrame:
+_EDGES_SQL = _edges_sql(_BUCKET_CAP)
+
+
+def _edges(spark, sf_dir, cap: int = _BUCKET_CAP) -> DataFrame:
     """Undirected weighted edges (u < v) from (hour, event_type) bucket
-    co-occurrence.  Self-join is bucket-local: Spark shuffles both sides on
-    (b, event_type) once and pairs within buckets."""
+    co-occurrence, bucket membership capped at ``cap`` members (one
+    bucket-keyed rank window, deterministic integer-mix order).  The
+    self-join is bucket-local: Spark shuffles both sides on
+    (b, event_type) once and pairs within buckets, ≤ cap²/2 pairs each."""
+    from pyspark.sql.window import Window
+
     ev = (
         load(spark, sf_dir, "events")
         .select(
@@ -68,7 +91,13 @@ def _edges(spark, sf_dir) -> DataFrame:
         )
         .distinct()
     )
-    l, r = ev.alias("l"), ev.alias("r")
+    rn = F.row_number().over(
+        Window.partitionBy("b", "event_type").orderBy(
+            (F.col("user_id") * 2654435761) % 4294967296, F.col("user_id")
+        )
+    )
+    capped = ev.withColumn("rn", rn).filter(F.col("rn") <= cap).drop("rn")
+    l, r = capped.alias("l"), capped.alias("r")
     return (
         l.join(
             r,
@@ -101,10 +130,13 @@ def _degrees(edges: DataFrame) -> DataFrame:
 WITH {_EDGES_SQL}
 SELECT u, v, w FROM edges
 """,
-    description="entity-linkage graph builder: users co-active in the same "
-    "(hour, event_type) bucket become a weighted undirected edge; bucket-"
-    "local self-join (shuffle on bucket key, pair within) — never a global "
-    "cross join; mega-bucket corpora cap membership before pairing",
+    description=f"entity-linkage graph builder: users co-active in the same "
+    f"(hour, event_type) bucket become a weighted undirected edge; bucket "
+    f"membership capped at {_BUCKET_CAP} (integer-mix-ranked uniform "
+    "sample) BEFORE the bucket-local self-join, so pair cost is bounded by "
+    "cap² at any corpus density (the uncapped builder was super-linear on "
+    "this densifying corpus: 43 s → 1.6 s at sf1, SCALING.md); shuffle on "
+    "bucket key, pair within — never a global cross join",
 )
 def graph_cooccurrence_edges(spark, sf_dir):
     return _edges(spark, sf_dir)
@@ -284,7 +316,7 @@ def graph_pagerank_fixedpoint(spark, sf_dir):
 
 # --- r5: connected components + neighborhood Jaccard ---------------------
 
-# A sparse subgraph (sampled nodes, weight ≥ 2) keeps the oracle's exact
+# A sparse subgraph (sampled nodes, weight ≥ 4) keeps the oracle's exact
 # recursive-CTE reachability quadratic-in-component-size cost bounded; the
 # Spark side would handle the full graph (min-label propagation is linear
 # per round), the restriction is purely oracle-affordability — same policy
@@ -434,67 +466,31 @@ def graph_jaccard_neighbors(spark, sf_dir):
     )
 
 
-# --- graph_cooccurrence_capped (r5): the mega-bucket cap, implemented ----
+# --- graph_cooccurrence_capped: cap-sensitivity variant ------------------
+#
+# r5 introduced this op at cap=32 to PROVE the capped derivation before
+# migrating the family; r6 did the migration (the shared _edges above now
+# IS the cap-32 builder), so this surface moved to a tighter cap to stay a
+# distinct query: the cap is a recall/cost knob (smaller cap = sparser
+# graph = cheaper downstream joins, fewer recovered co-occurrences), and
+# production corpora tune it per workload.
 
-_BUCKET_CAP = 32  # max members per (hour, type) bucket before pairing
+_TIGHT_CAP = 8
 
 
 @register(
     "graph_cooccurrence_capped",
     oracle=f"""
-WITH ev AS (
-  SELECT DISTINCT date_trunc('hour', ts) AS b, event_type, user_id
-    FROM events
-),
-capped AS (
-  SELECT b, event_type, user_id FROM (
-    SELECT b, event_type, user_id,
-           row_number() OVER (PARTITION BY b, event_type
-                              ORDER BY (user_id * 2654435761) % 4294967296, user_id) AS rn
-      FROM ev) WHERE rn <= {_BUCKET_CAP}
-)
-SELECT l.user_id AS u, r.user_id AS v, CAST(COUNT(*) AS BIGINT) AS w
-  FROM capped l
-  JOIN capped r
-    ON l.b = r.b AND l.event_type = r.event_type AND l.user_id < r.user_id
- GROUP BY 1, 2
+WITH {_edges_sql(_TIGHT_CAP)}
+SELECT u, v, w FROM edges
 """,
-    description=f"the mega-bucket cap the uncapped edge builder documents, "
-    f"implemented: each (hour, type) bucket keeps ≤{_BUCKET_CAP} members "
-    "(integer-mix-ranked — a deterministic uniform sample computed "
-    "identically in both engines, not head-of-id bias) "
-    "BEFORE pairing, so per-bucket pair cost is bounded by cap² at ANY "
-    "corpus density — the uncapped builder is the one Spark surface that "
-    "grows super-linearly on this densifying corpus (43 s at sf1, "
-    "SCALING.md); ONE bucket-keyed window + the same bucket-local "
-    "self-join",
+    description=f"tight-cap (≤{_TIGHT_CAP}/bucket) variant of the family "
+    f"edge builder (which runs at cap {_BUCKET_CAP}): the cap is the "
+    "recall/cost knob of the co-occurrence graph — the integer-mix rank "
+    "keeps a deterministic uniform sample per bucket in both engines, and "
+    "per-bucket pair cost drops with cap² (64→4096 max pairs/bucket "
+    "between the two settings); ONE bucket-keyed window + the same "
+    "bucket-local self-join",
 )
 def graph_cooccurrence_capped(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    ev = (
-        load(spark, sf_dir, "events")
-        .select(
-            F.date_trunc("hour", F.col("ts")).alias("b"),
-            "event_type",
-            "user_id",
-        )
-        .distinct()
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("b", "event_type").orderBy(
-            (F.col("user_id") * 2654435761) % 4294967296, F.col("user_id")
-        )
-    )
-    capped = ev.withColumn("rn", rn).filter(F.col("rn") <= _BUCKET_CAP).drop("rn")
-    l, r = capped.alias("l"), capped.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.b") == F.col("r.b"))
-            & (F.col("l.event_type") == F.col("r.event_type"))
-            & (F.col("l.user_id") < F.col("r.user_id")),
-        )
-        .groupBy(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    return _edges(spark, sf_dir, cap=_TIGHT_CAP)

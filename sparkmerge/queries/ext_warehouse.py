@@ -167,10 +167,9 @@ def join_point_in_time(spark, sf_dir):
 
 
 def _ensure_evolved_supplier(spark, sf_dir: str) -> str:
-    import hashlib
+    from sparkmerge.queries.sources import _derived
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    dst = f"/tmp/sparkmerge_formats/{key}/supplier_evolved"
+    dst = _derived(sf_dir, "supplier_evolved")
     if not os.path.exists(os.path.join(dst, "_DONE")):
         s = load(spark, sf_dir, "supplier")
         # epoch 1: original schema, half the rows
@@ -215,10 +214,9 @@ def scan_schema_merge(spark, sf_dir):
 
 
 def _ensure_dv_orders(spark, sf_dir: str) -> str:
-    import hashlib
+    from sparkmerge.queries.sources import _derived
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    dst = f"/tmp/sparkmerge_formats/{key}/orders_dv"
+    dst = _derived(sf_dir, "orders_dv")
     if not os.path.exists(os.path.join(dst, "_DONE")):
         o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 2 == 0)
         o.repartition(4, "o_orderkey").write.mode("overwrite").parquet(f"{dst}/data")

@@ -8,17 +8,17 @@ a hash match proves the format readers reproduce the source of truth."""
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import functions as F
 
-from sparkmerge.queries import load, register, table_path
+from sparkmerge.queries import fingerprint, load, register, table_path
 
 
 def _derived(sf_dir: str, name: str) -> str:
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return f"/tmp/sparkmerge_formats/{key}/{name}"
+    # content-fingerprinted key: regenerated testdata at the same path
+    # invalidates the cache instead of silently serving stale derivations
+    return f"/tmp/sparkmerge_formats/{fingerprint(sf_dir)}/{name}"
 
 
 def _ensure_nation_csv(sf_dir: str) -> str:
@@ -424,10 +424,7 @@ def scan_csv_quarantine(spark, sf_dir):
 
 
 def _ensure_blob_dir(spark, sf_dir: str) -> str:
-    import hashlib
-
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    dst = f"/tmp/sparkmerge_formats/{key}/doc_blobs"
+    dst = _derived(sf_dir, "doc_blobs")
     if not os.path.exists(os.path.join(dst, "_DONE")):
         os.makedirs(dst, exist_ok=True)
         # one .bin blob per sampled document, named by doc id — the layout

@@ -8,6 +8,7 @@ from collections import Counter, defaultdict
 from pyspark.sql import functions as F
 
 from sparkmerge.queries import registry
+from sparkmerge.queries.ext_graph import _BUCKET_CAP, _TIGHT_CAP
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -16,7 +17,10 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def _brute_edges(spark):
+def _brute_edges(spark, cap=_BUCKET_CAP):
+    """Ground-truth capped co-occurrence edges: per (hour, type) bucket keep
+    the `cap` members smallest under the integer-mix rank (the same
+    deterministic uniform sample the engine and oracle compute), then pair."""
     rows = (
         spark.read.parquet(f"{SF_DIR}/events.parquet")
         .select(
@@ -29,7 +33,8 @@ def _brute_edges(spark):
         buckets[(r["b"], r["event_type"])].add(r["user_id"])
     w = Counter()
     for users in buckets.values():
-        us = sorted(users)
+        us = sorted(users, key=lambda u: ((u * 2654435761) % 2**32, u))[:cap]
+        us = sorted(us)
         for i, a in enumerate(us):
             for c in us[i + 1 :]:
                 w[(a, c)] += 1
@@ -43,6 +48,18 @@ def test_cooccurrence_edges_match_bruteforce(spark):
     }
     assert got == dict(_brute_edges(spark))
     assert all(u < v for (u, v) in got)
+
+
+def test_tight_cap_variant_is_nested_sample(spark):
+    """cap=8 membership per bucket is a prefix of the cap=32 rank order, so
+    the tight edge set's weights are pointwise ≤ the family builder's."""
+    tight = {
+        (r["u"], r["v"]): r["w"]
+        for r in registry()["graph_cooccurrence_capped"].fn(spark, SF_DIR).collect()
+    }
+    assert tight == dict(_brute_edges(spark, cap=_TIGHT_CAP))
+    family = dict(_brute_edges(spark))
+    assert all(family.get(e, 0) >= w for e, w in tight.items())
 
 
 def test_degree_profile_matches_edges(spark):

@@ -15,10 +15,13 @@ from sparkmerge.queries import (
 
 
 def test_never_verified_ops_sort_first():
+    # `never` is empty once every registered op has a driver row (the
+    # steady state from r5 on) — the prefix property must hold vacuously
+    # then, not fail on bare truthiness (r5 verdict ask #1).
     ops = list(registry())
     seen = _last_verified_round()
     never = {op for op in ops if op not in seen}
-    assert ops[: len(never)] and set(ops[: len(never)]) == never
+    assert set(ops[: len(never)]) == never
 
 
 def test_force_reverify_block_precedes_stale_greens():

@@ -140,14 +140,31 @@ def main() -> int:
             record[op_id] = {"status": "pass", "rows": len(sdf), "secs": round(time.time() - t0, 2)}
 
     if json_path:
+        # Incremental (`op_id ...`-restricted) runs MERGE into an existing
+        # artifact at the same sf_dir and RECOUNT the summary over the
+        # merged ops dict — a partial run must never publish partial
+        # counters as if they were the sweep total (r5 verdict ask #4:
+        # LOCAL_ORACLE*.json shipped pass=234 next to a 238-entry ops dict).
+        merged = dict(record)
+        if only and os.path.exists(json_path):
+            try:
+                with open(json_path, encoding="utf-8") as f:
+                    prev = json.load(f)
+                if prev.get("sf_dir") == sf_dir and isinstance(prev.get("ops"), dict):
+                    merged = {**prev["ops"], **record}
+            except (OSError, ValueError):
+                pass
+        merged = {op: r for op, r in merged.items() if op in reg}
         artifact = {
             "sf_dir": sf_dir,
             "generated_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
-            "pass": passed,
-            "rows_only": rows_only,
-            "failures": len(failures),
+            "pass": sum(1 for r in merged.values() if r["status"] == "pass"),
+            "rows_only": sum(1 for r in merged.values() if r["status"] == "rows_only"),
+            "failures": sum(
+                1 for r in merged.values() if r["status"] not in ("pass", "rows_only")
+            ),
             "total_registry": len(reg),
-            "ops": record,
+            "ops": merged,
         }
         with open(json_path, "w", encoding="utf-8") as f:
             json.dump(artifact, f, indent=1, sort_keys=True)
