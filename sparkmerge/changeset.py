@@ -229,6 +229,7 @@ def build_changeset(
     bad_key_order: list[str] | None = None,
     plan: MergePlan | None = None,
     strategy: str = "shuffle",
+    update_mode: str = "overwrite",
 ) -> Changeset:
     """Classify every row of ``target_df ⟗ source_df`` into a merge action.
 
@@ -244,9 +245,24 @@ def build_changeset(
     plan differs.  ``bad_key`` forces the shuffle strategy: duplicate-key
     ranking is a window over the key partitioning, so the key shuffle exists
     anyway and the broadcast decomposition would pay it twice.
+
+    ``update_mode``: ``'overwrite'`` (default — the reference's UPDATE
+    always overwrites every non-key source column, sp_SimpleMerge.sql:
+    298-308) or ``'patch'`` — a NULL source column means KEEP the target
+    value (column-level sparse patch: changed iff any NON-NULL source
+    column differs null-safely; the UPDATE image is per-column
+    COALESCE(source, target)).  The sparse-update warehouse shape: feeds
+    that carry only the columns that moved never clobber the rest, and a
+    patch row whose non-null columns all match stays a KEEP (no rewrite).
+    INSERT rows take the source image as-is (NULLs stay NULL — there is no
+    target value to keep).  Under 'patch' a NULL is a hole, not a value, so
+    "set this column to NULL" is not expressible — that feed shape needs
+    'overwrite'.
     """
     if plan is None:
         plan = MergePlan.build(target_df.schema, source_df.schema, join_columns)
+    if update_mode not in ("overwrite", "patch"):
+        raise MergeValidationError(f"Unknown update_mode: {update_mode!r}")
     clash = _RESERVED.intersection(plan.target_columns)
     if clash:
         raise MergeValidationError(f"Target columns collide with reserved names: {sorted(clash)!r}")
@@ -328,6 +344,17 @@ def build_changeset(
     # of per-column ~eqNullSafe is exactly `NOT EXISTS (... INTERSECT ...)`.
     if plan.update_suppressed:
         changed = F.lit(False)  # no WHEN MATCHED branch at all (:275-276)
+    elif update_mode == "patch":
+        # sparse patch: a NULL source column is a hole (keep target), so it
+        # can never constitute a change — changed iff any NON-NULL source
+        # column differs null-safely from the target
+        changed = functools.reduce(
+            operator.or_,
+            [
+                F.col(f"{_SRC}{c}").isNotNull() & ~F.col(c).eqNullSafe(F.col(f"{_SRC}{c}"))
+                for c in plan.non_key_source_columns
+            ],
+        )
     else:
         changed = functools.reduce(
             operator.or_,
@@ -352,8 +379,16 @@ def build_changeset(
     source_set = set(plan.source_columns)
 
     def new_value(c: str) -> Column:
+        # patch mode: UPDATE image is COALESCE(source, target); on INSERT
+        # the target side is all-NULL so the same expression yields the
+        # source image as-is
+        src_val = (
+            F.coalesce(F.col(f"{_SRC}{c}"), F.col(c))
+            if update_mode == "patch"
+            else F.col(f"{_SRC}{c}")
+        )
         base = (
-            F.when(action_expr.isin(ACTION_INSERT, ACTION_UPDATE), F.col(f"{_SRC}{c}")).otherwise(F.col(c))
+            F.when(action_expr.isin(ACTION_INSERT, ACTION_UPDATE), src_val).otherwise(F.col(c))
             if c in source_set
             else F.col(c)  # target-only columns pass through / NULL-fill on insert (:323)
         )

@@ -182,6 +182,7 @@ def merge_preview(
     bad_key_order: list[str] | None = None,
     schema_evolution: bool = False,
     strategy: str = "shuffle",
+    update_mode: str = "overwrite",
 ) -> DataFrame:
     """Pure-DataFrame merge: the final target state as a lazy plan, no
     storage involved.  This is the engine's composable form — usable on any
@@ -196,7 +197,7 @@ def merge_preview(
     in_scope, out_scope = _scope_split(target_df, target_filter)
     cs = build_changeset(in_scope, source_df, join_columns, delete=delete,
                          bad_key=bad_key, bad_key_order=bad_key_order,
-                         strategy=strategy)
+                         strategy=strategy, update_mode=update_mode)
     new_state = cs.apply_changes()
     if out_scope is not None:
         new_state = new_state.unionByName(out_scope)

@@ -21,11 +21,13 @@ from sparkmerge.queries.fixtures import (
     ORDERS_COLS,
     ORDERS_DELTA_SQL,
     ORDERS_MUT_SQL,
+    ORDERS_PATCH_SQL,
     PART_MUT_SQL,
     classify_sql,
     customer_nullkey,
     lineitem_source,
     orders_delta,
+    orders_patch,
     orders_source,
     part_source,
 )
@@ -726,4 +728,52 @@ def merge_broadcast_delta(spark, sf_dir):
         F.col("_action").alias("action"),
         F.col("_new.o_orderstatus").alias("new_status"),
         F.col("_new.o_totalprice").alias("new_totalprice"),
+    )
+
+
+# --- merge_sparse_patch (r6): column-level sparse patch merge -------------
+
+
+@register(
+    "merge_sparse_patch",
+    oracle=f"""
+WITH src AS ({ORDERS_PATCH_SQL})
+SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       CASE WHEN t.o_orderkey IS NULL THEN 'INSERT'
+            WHEN (s.o_custkey IS NOT NULL AND s.o_custkey IS DISTINCT FROM t.o_custkey)
+              OR (s.o_orderstatus IS NOT NULL AND s.o_orderstatus IS DISTINCT FROM t.o_orderstatus)
+              OR (s.o_totalprice IS NOT NULL AND s.o_totalprice IS DISTINCT FROM t.o_totalprice)
+              OR (s.o_orderdate IS NOT NULL AND s.o_orderdate IS DISTINCT FROM t.o_orderdate)
+              OR (s.o_orderpriority IS NOT NULL AND s.o_orderpriority IS DISTINCT FROM t.o_orderpriority)
+            THEN 'UPDATE' ELSE 'KEEP' END AS action,
+       coalesce(s.o_orderstatus, t.o_orderstatus) AS new_status,
+       coalesce(s.o_totalprice, t.o_totalprice) AS new_totalprice,
+       coalesce(s.o_orderdate, t.o_orderdate) AS new_orderdate
+  FROM orders t
+  FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+""",
+    description="column-level sparse patch merge (update_mode='patch'): a "
+    "NULL source column is a hole, not a value — the UPDATE image is "
+    "per-column COALESCE(source, target), change detection counts only "
+    "NON-NULL source columns, and an all-null or value-equal patch row "
+    "stays KEEP (no rewrite).  Extends the reference's always-overwrite "
+    "UPDATE (sp_SimpleMerge.sql:298-308) with the sparse-update warehouse "
+    "shape real feeds carry (only the columns that moved); same single "
+    "full-outer changeset plan — the mode only changes column expressions, "
+    "so every strategy/delete-mode lever composes unchanged",
+)
+def merge_sparse_patch(spark, sf_dir):
+    cs = build_changeset(
+        load(spark, sf_dir, "orders"),
+        orders_patch(spark, sf_dir),
+        "o_orderkey",
+        delete="NO",  # patch feeds never delete — absent keys stay
+        update_mode="patch",
+    )
+    return cs.df.select(
+        "o_orderkey",
+        F.col("_action").alias("action"),
+        F.col("_new.o_orderstatus").alias("new_status"),
+        F.col("_new.o_totalprice").alias("new_totalprice"),
+        F.col("_new.o_orderdate").alias("new_orderdate"),
     )

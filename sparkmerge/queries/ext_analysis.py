@@ -600,3 +600,91 @@ def events_abtest_lift(spark, sf_dir):
             / (F.col("ctrl_conv").cast("double") * F.col("treat_users").cast("double"))
         ).alias("lift_ratio"),
     )
+
+
+# --- events_funnel_steps (r6) --------------------------------------------
+#
+# Ordered 3-step funnel (view → click → purchase): a user reaches step k
+# only via a strictly-later event than their step-(k-1) anchor (first view,
+# then first click after it, then first purchase after that).  The oracle
+# is the textbook chained min-join; the engine does it in ONE user-keyed
+# shuffle — sort each user's (ts, type) sequence and fold the three anchors
+# with F.aggregate (per-user state is 3 timestamps; sequence length is
+# bounded by per-user activity, the same envelope as events_top_paths).
+# At 100 TB the chained-join form re-shuffles events three times; the fold
+# touches them once.
+
+
+@register(
+    "events_funnel_steps",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS v FROM events
+   WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS c
+    FROM events e JOIN s1 ON s1.user_id = e.user_id
+   WHERE e.event_type = 'click' AND e.ts > s1.v GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS p
+    FROM events e JOIN s2 ON s2.user_id = e.user_id
+   WHERE e.event_type = 'purchase' AND e.ts > s2.c GROUP BY e.user_id
+)
+SELECT 'step1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT 'step2_click', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT 'step3_purchase', CAST(count(*) AS BIGINT) FROM s3
+""",
+    description="ordered 3-step funnel via a single-shuffle carry-forward "
+    "fold: per user, sort the (ts, type) event sequence once and thread "
+    "first-view / first-later-click / first-later-purchase anchors through "
+    "one F.aggregate pass — strictly-increasing timestamps enforce order; "
+    "the oracle's chained min-joins (3 event shuffles) certify the fold; "
+    "exact integer user counts per step",
+)
+def events_funnel_steps(spark, sf_dir):
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    per = e.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_type")))
+        ).alias("seq")
+    )
+    nil = F.lit(None).cast("timestamp")
+    state0 = F.struct(nil.alias("v"), nil.alias("c"), nil.alias("p"))
+
+    def step(acc, x):
+        return F.struct(
+            F.when(
+                acc["v"].isNull() & (x["event_type"] == "view"), x["ts"]
+            ).otherwise(acc["v"]).alias("v"),
+            F.when(
+                acc["c"].isNull()
+                & acc["v"].isNotNull()
+                & (x["event_type"] == "click")
+                & (x["ts"] > acc["v"]),
+                x["ts"],
+            ).otherwise(acc["c"]).alias("c"),
+            F.when(
+                acc["p"].isNull()
+                & acc["c"].isNotNull()
+                & (x["event_type"] == "purchase")
+                & (x["ts"] > acc["c"]),
+                x["ts"],
+            ).otherwise(acc["p"]).alias("p"),
+        )
+
+    st = per.select(F.aggregate("seq", state0, step).alias("st"))
+    agg = st.agg(
+        F.count(F.col("st.v")).alias("n1"),
+        F.count(F.col("st.c")).alias("n2"),
+        F.count(F.col("st.p")).alias("n3"),
+    )
+    return agg.selectExpr(
+        "stack(3, 'step1_view', n1, 'step2_click', n2, 'step3_purchase', n3) "
+        "AS (step, n_users)"
+    )

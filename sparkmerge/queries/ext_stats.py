@@ -343,3 +343,94 @@ def timeseries_changepoint_cusum(spark, sf_dir):
         cusum.alias("cusum"),
         (F.abs(cusum) > F.col("t")).alias("drift_flag"),
     )
+
+
+# --- agg_variance_exact (r6) ---------------------------------------------
+#
+# The moment-sum discipline from agg_linear_fit applied to the variance:
+# value in integer cents, so n / Σy / Σy² are EXACT int64 aggregates
+# (cents ≤ ~1e5, cents² ≤ 1e10 — Σ stays < 2^63 through sf100 on this
+# corpus, the documented envelope of the whole moments family), then the
+# population variance is ONE fixed-association double expression over the
+# three scalars: (n·Σy² − (Σy)²)/n² — no order-dependent float sums, no
+# two-pass mean subtraction.  sqrt is a single correctly-rounded IEEE op,
+# so stddev is bit-portable too.
+
+
+@register(
+    "agg_variance_exact",
+    oracle="""
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                  * CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n, s1, s2,
+       (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_cents2,
+       sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS stddev_cents
+  FROM m
+""",
+    description="exact distributed variance: per-type population variance "
+    "of value-cents from three EXACT integer moment sums (n, Σy, Σy²) "
+    "combined in one fixed-association IEEE expression + one sqrt — the "
+    "one-pass formulation that map-side-combines (vs var_pop's engine-"
+    "specific order-dependent accumulation); ONE aggregate shuffle",
+)
+def agg_variance_exact(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    y = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("s1"),
+        F.sum(y * y).alias("s2"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    var = (d("n") * d("s2") - d("s1") * d("s1")) / (d("n") * d("n"))
+    return m.select("event_type", "n", "s1", "s2",
+                    var.alias("var_cents2"), F.sqrt(var).alias("stddev_cents"))
+
+
+# --- window_running_distinct (r6) ----------------------------------------
+#
+# Running COUNT(DISTINCT) is the window nobody can evaluate directly at
+# scale (distinct state per frame).  The standard reformulation: distinct =
+# first-seen — min-aggregate each user's first active day (ONE user-keyed
+# shuffle over the raw events), roll up new-user counts per day (tiny), and
+# cumsum over the per-day frame.  The unbounded-order window runs over the
+# AGGREGATED day domain (bounded by the calendar, thousands of rows at any
+# corpus size), never over raw events — the 100 TB shape.
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+WITH fs AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+),
+per AS (SELECT d, CAST(count(*) AS BIGINT) AS new_users FROM fs GROUP BY d)
+SELECT CAST(d AS VARCHAR) AS d, new_users,
+       CAST(sum(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_distinct_users
+  FROM per
+""",
+    description="running distinct-user count per day via the first-seen "
+    "reformulation: min(first active day) per user (one user-keyed "
+    "map-side-combined shuffle), new-user counts per day, cumulative sum "
+    "over the bounded per-day frame — running COUNT(DISTINCT) without any "
+    "per-frame distinct state; exact integers throughout",
+)
+def window_running_distinct(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    per = fs.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per.select(
+        F.col("d").cast("string").alias("d"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_distinct_users"),
+    )

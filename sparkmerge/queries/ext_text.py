@@ -752,3 +752,44 @@ def pipeline_train_split(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# --- text_lid_confusion (r6) ---------------------------------------------
+
+
+@register(
+    "text_lid_confusion",
+    oracle=f"""
+WITH pred AS ({_langid_sql()}),
+cm AS (
+  SELECT lang AS label, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+),
+tot AS (SELECT label, CAST(sum(n_docs) AS BIGINT) AS label_total FROM cm GROUP BY label)
+SELECT c.label, c.predicted_lang, c.n_docs,
+       CAST(c.n_docs AS DOUBLE) / CAST(t.label_total AS DOUBLE) AS frac_of_label
+  FROM cm c JOIN tot t ON t.label = c.label
+""",
+    description="language-ID quality readout: confusion matrix of the "
+    "langid heuristic's prediction vs the corpus label, with each cell's "
+    "share of its label row (exact integer counts + ONE IEEE division) — "
+    "the acceptance gate before trusting a classifier to route a 100 TB "
+    "corpus; one (label, predicted) agg shuffle + a label-keyed window, "
+    "domain bounded by #languages² regardless of corpus size",
+)
+def text_lid_confusion(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("label"), lang_id(F.col("text")).alias("predicted_lang")
+    )
+    cm = pred.groupBy("label", "predicted_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("label")
+    return cm.select(
+        "label", "predicted_lang", "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("frac_of_label"),
+    )

@@ -88,6 +88,53 @@ def orders_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionAll(extra)
 
 
+# Sparse patch feed on orders (r6, merge_sparse_patch): each row carries
+# ONLY the columns that moved — NULL means "keep the target value", the
+# sparse-update warehouse shape.  Coverage: %13 slice patches status (%3),
+# totalprice (%4), and a value-equal priority (%6 — non-null but unchanged,
+# must stay KEEP from that column); rows hitting none of the three are
+# all-NULL no-op patches (whole row KEEP); a %151 band of brand-new keys
+# (offset 9e9, clear of every derived SF) inserts with NULL date/priority
+# (on INSERT a hole stays NULL — no target value to keep).
+ORDERS_PATCH_SQL = """
+SELECT o_orderkey,
+       CAST(NULL AS BIGINT) AS o_custkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'P' END AS o_orderstatus,
+       CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 1.5 END AS o_totalprice,
+       CAST(NULL AS TIMESTAMP) AS o_orderdate,
+       CASE WHEN o_orderkey % 6 = 0 THEN o_orderpriority END AS o_orderpriority
+  FROM orders
+ WHERE o_orderkey % 13 = 0
+UNION ALL
+SELECT o_orderkey + 9000000000, o_custkey, 'N', o_totalprice,
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR)
+  FROM orders
+ WHERE o_orderkey % 151 = 0
+""".strip()
+
+
+def orders_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = o.where(k % 13 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.when(k % 3 == 0, F.lit("P")).alias("o_orderstatus"),
+        F.when(k % 4 == 0, F.col("o_totalprice") + 1.5).alias("o_totalprice"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        F.when(k % 6 == 0, F.col("o_orderpriority")).alias("o_orderpriority"),
+    )
+    extra = o.where(k % 151 == 0).select(
+        (k + 9000000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+    )
+    return base.unionAll(extra)
+
+
 def orders_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     mut = F.col("o_orderkey") % 5 == 0

@@ -1,0 +1,98 @@
+"""update_mode='patch' golden tests (r5 verdict ask #5): NULL source column
+= keep target, change detection over non-null source columns only, dense
+input degenerates to the overwrite mode exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sparkmerge.changeset import build_changeset
+from sparkmerge.errors import MergeValidationError
+from sparkmerge.queries.fixtures import orders_source
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_patch_null_keeps_target_value(spark):
+    schema = "k int, v1 string, v2 double"
+    t = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], schema)
+    s = spark.createDataFrame([(1, None, 9.0), (2, "B", None)], schema)
+    cs = build_changeset(t, s, "k", update_mode="patch")
+    got = {r["k"]: (r["_action"], r["_new"]["v1"], r["_new"]["v2"]) for r in cs.df.collect()}
+    assert got == {1: ("UPDATE", "a", 9.0), 2: ("UPDATE", "B", 2.0)}
+
+
+def test_patch_allnull_and_value_equal_rows_are_keep(spark):
+    schema = "k int, v1 string, v2 double"
+    t = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0)], schema)
+    s = spark.createDataFrame(
+        [(1, None, None),  # all-null patch: no-op
+         (2, "b", None),   # non-null but value-equal: no-op
+         (3, None, 3.0)],  # hole over a NULL target + equal v2: no-op
+        schema,
+    )
+    cs = build_changeset(t, s, "k", update_mode="patch")
+    assert {r["_action"] for r in cs.df.collect()} == {"KEEP"}
+
+
+def test_patch_insert_keeps_source_nulls(spark):
+    """On INSERT there is no target value — holes stay NULL."""
+    schema = "k int, v1 string, v2 double"
+    t = spark.createDataFrame([(1, "a", 1.0)], schema)
+    s = spark.createDataFrame([(9, None, 9.0)], schema)
+    cs = build_changeset(t, s, "k", delete="NO", update_mode="patch")
+    ins = {r["k"]: r for r in cs.df.collect()}[9]
+    assert ins["_action"] == "INSERT"
+    assert ins["_new"]["v1"] is None and ins["_new"]["v2"] == 9.0
+
+
+def test_patch_cannot_set_null_by_design(spark):
+    """'set column to NULL' is not expressible under patch — the hole keeps
+    the target value (the documented contract; overwrite mode does nulls)."""
+    schema = "k int, v1 string"
+    t = spark.createDataFrame([(1, "a")], schema)
+    s = spark.createDataFrame([(1, None)], schema)
+    patch = build_changeset(t, s, "k", update_mode="patch").df.first()
+    over = build_changeset(t, s, "k").df.first()
+    assert patch["_action"] == "KEEP" and patch["_new"]["v1"] == "a"
+    assert over["_action"] == "UPDATE" and over["_new"]["v1"] is None
+
+
+def test_patch_dense_input_equals_overwrite(spark):
+    """With a NULL-free source the two modes are the same function — the
+    changeset frames must be row-for-row identical on the real corpus."""
+    t = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    s = orders_source(spark, SF_DIR)
+    a = build_changeset(t, s, "o_orderkey", update_mode="patch").df
+    b = build_changeset(t, s, "o_orderkey", update_mode="overwrite").df
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_patch_composes_with_broadcast_strategy(spark):
+    """Physical strategy must never change patch content."""
+    schema = "k int, v1 string, v2 double"
+    t = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], schema)
+    s = spark.createDataFrame([(1, None, 9.0), (4, "d", None)], schema)
+    sh = build_changeset(t, s, "k", delete="NO", update_mode="patch").df
+    br = build_changeset(t, s, "k", delete="NO", update_mode="patch", strategy="broadcast").df
+    assert sorted(map(tuple, sh.collect())) == sorted(map(tuple, br.collect()))
+
+
+def test_patch_idempotent_fold(spark):
+    """Applying the same patch to the patched state yields all-KEEP."""
+    schema = "k int, v1 string, v2 double"
+    t = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], schema)
+    s = spark.createDataFrame([(1, "A", None), (2, None, 20.0)], schema)
+    cs = build_changeset(t, s, "k", delete="NO", update_mode="patch")
+    t2 = cs.apply_changes()
+    cs2 = build_changeset(t2, s, "k", delete="NO", update_mode="patch")
+    assert {r["_action"] for r in cs2.df.collect()} == {"KEEP"}
+
+
+def test_patch_rejects_unknown_mode(spark):
+    schema = "k int, v1 string"
+    t = spark.createDataFrame([(1, "a")], schema)
+    with pytest.raises(MergeValidationError):
+        build_changeset(t, t, "k", update_mode="upsert")

@@ -14,7 +14,7 @@ SECTIONS = [
         "keep_unmatched", "target_filter_scope", "badkey_rank", "output_audit",
         "threshold_guard", "lastupdate_prop", "debug_dry_run", "merge_scd2",
         "merge_scd2_multibatch", "merge_schema_evolution", "merge_multi_source",
-        "merge_broadcast_delta", "merge_version_diff",
+        "merge_broadcast_delta", "merge_version_diff", "merge_sparse_patch",
     ]),
     ("Generator / lifecycle (SURVEY §2.B)", [
         "split_csv", "ident_normalize", "schema_introspect",
@@ -60,7 +60,7 @@ SECTIONS = [
         "bitext_margin_mine",
     ]),
     ("Text analysis (SURVEY §2.D)", [
-        "text_stats", "text_tokens", "text_quality", "text_langid",
+        "text_stats", "text_tokens", "text_quality", "text_langid", "text_lid_confusion",
         "text_fingerprint", "text_ngram_profile", "json_extract_props", "sample_stratified",
         "pipeline_training_mix", "text_repetition", "text_pii_scrub",
         "pipeline_sequence_pack", "pipeline_quality_filter", "pipeline_dataset_card",
@@ -94,6 +94,7 @@ SECTIONS = [
     ]),
     ("Statistics, spatial & warehouse (SURVEY §2.E, r5 batch 1)", [
         "agg_rollup_cube", "agg_linear_fit", "agg_weighted_median",
+        "agg_variance_exact", "window_running_distinct",
         "fn_window_distribution", "text_simpson_diversity",
         "timeseries_changepoint_cusum", "join_spatial_grid",
         "graph_connected_components", "graph_jaccard_neighbors",
@@ -102,7 +103,7 @@ SECTIONS = [
     ("JSON, phonetic ER, tokenizer & streaming additions (r5 batch 2)", [
         "fn_json_table", "dedup_phonetic_key", "pipeline_mix_temperature",
         "pipeline_bpe_apply", "scan_binary_files",
-        "stream_outer_join_watermark", "events_abtest_lift",
+        "stream_outer_join_watermark", "events_abtest_lift", "events_funnel_steps",
         "text_substring_dup_spans", "fn_xml_xpath", "agg_listagg_ordered",
     ]),
     ("Multimodal (SURVEY §2.D)", [
