@@ -66,8 +66,12 @@ HEADLINE = [
     "dedup_containment",
     # the two most expensive real ops (r4 verdict ask #5): a regression in
     # either must show in BENCH, not only in SCALING.md
+    # (graph_cooccurrence_edges runs the capped builder since r6)
     "graph_cooccurrence_edges",
     "bitext_margin_mine",
+    # r6 additions: the sparse-patch merge mode and the single-shuffle funnel
+    "merge_sparse_patch",
+    "events_funnel_steps",
 ]
 
 # sf1-leg exclusions with recorded reasons (the budget guards entry, not

@@ -121,3 +121,72 @@ def test_await_or_raise_times_out():
     with pytest.raises(MergeError, match="did not finish"):
         _await_or_raise(q, 1)
     assert q.stopped
+
+
+# --- r5 ADVICE fixes (resolved r6) ----------------------------------------
+
+
+def test_interval_seconds_parses_and_rejects():
+    from sparkmerge.ext.streaming import _interval_seconds
+
+    assert _interval_seconds("1 hour") == 3600
+    assert _interval_seconds("90 seconds") == 90
+    assert _interval_seconds("2 Hours") == 7200
+    assert _interval_seconds("3 minutes") == 180
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _interval_seconds("1 fortnight")
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A 30-node path graph has min-label eccentricity 29 — max_iters=3 must
+    raise, not return wrong labels (ADVICE r5)."""
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "a_id int, b_id int"
+    )
+    from sparkmerge.ext.dedup import connected_components
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=3)
+    # and with enough rounds the same graph converges to one component
+    labels = connected_components(pairs, max_iters=40)
+    assert {r["component"] for r in labels.collect()} == {0}
+
+
+def test_abtest_arm_is_not_user_parity(spark):
+    """The high-bit split must disagree with plain user_id % 2 for some ids
+    (the low-bit form was algebraically exactly parity — ADVICE r5)."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(1, 1000).select(F.col("id").alias("user_id"))
+    arm = (
+        F.when((F.col("user_id") * 2654435761) % 4294967296 >= 2147483648, 1)
+        .otherwise(0)
+    )
+    rows = ids.select("user_id", arm.alias("arm")).collect()
+    disagree = sum(1 for r in rows if r["arm"] != r["user_id"] % 2)
+    # a real mix disagrees with parity on roughly half the ids
+    assert 300 < disagree < 700
+
+
+def test_fingerprint_tracks_content_changes(tmp_path):
+    from sparkmerge.queries import fingerprint
+
+    f = tmp_path / "t.parquet"
+    f.write_bytes(b"aaaa")
+    k1 = fingerprint(str(f))
+    f.write_bytes(b"bbbbbb")  # size change
+    k2 = fingerprint(str(f))
+    assert k1 != k2
+    import os
+
+    os.utime(f, (1, 1))  # mtime change, same size
+    k3 = fingerprint(str(f))
+    assert k3 != k2
+    # directory form fingerprints the *.parquet set
+    k_dir = fingerprint(str(tmp_path))
+    (tmp_path / "u.parquet").write_bytes(b"x")
+    assert fingerprint(str(tmp_path)) != k_dir

@@ -35,6 +35,11 @@ OPS = [
     "agg_listagg_ordered",            # ordered concat (collect_list trap)
     "join_asof_nearest",              # dual-direction carry windows
     "agg_linear_fit",                 # fixed-association moment combine
+    # r6 partitioning-sensitive surfaces
+    "events_funnel_steps",            # sorted-sequence carry-forward fold
+    "window_running_distinct",        # global-order cumsum window
+    "agg_variance_exact",             # moment sums + IEEE combine
+    "merge_sparse_patch",             # per-column COALESCE changeset
 ]
 
 

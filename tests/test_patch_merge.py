@@ -96,3 +96,66 @@ def test_patch_rejects_unknown_mode(spark):
     t = spark.createDataFrame([(1, "a")], schema)
     with pytest.raises(MergeValidationError):
         build_changeset(t, t, "k", update_mode="upsert")
+
+
+# --- hypothesis properties (same style as test_hypothesis_merge) ----------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_k = st.integers(min_value=0, max_value=6)
+_v = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+
+
+@st.composite
+def _patch_pair(draw):
+    t = draw(st.lists(st.tuples(_k, _v, _v), min_size=0, max_size=8))
+    s = draw(st.lists(st.tuples(_k, _v, _v), min_size=0, max_size=8))
+
+    def dedupe(rows):
+        seen, uniq = set(), []
+        for r in rows:
+            if r[0] not in seen:
+                seen.add(r[0])
+                uniq.append(r)
+        return uniq
+
+    return dedupe(t), dedupe(s)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pair=_patch_pair())
+def test_patch_invariants_hold_for_random_tables(spark, pair):
+    t_rows, s_rows = pair
+    schema = "k int, v1 int, v2 int"
+    target = spark.createDataFrame(t_rows, schema) if t_rows else spark.createDataFrame([], schema)
+    source = spark.createDataFrame(s_rows, schema) if s_rows else spark.createDataFrame([], schema)
+
+    cs = build_changeset(target, source, "k", delete="NO", update_mode="patch")
+    got = {r["k"]: (r["_action"], r["_new"]["v1"], r["_new"]["v2"]) for r in cs.df.collect()}
+
+    tmap = {k: (v1, v2) for k, v1, v2 in t_rows}
+    smap = {k: (v1, v2) for k, v1, v2 in s_rows}
+    for k in set(tmap) | set(smap):
+        if k not in tmap:
+            exp_action = "INSERT"
+            exp = smap[k]
+        elif k not in smap:
+            exp_action = "KEEP"
+            exp = tmap[k]
+        else:
+            coal = tuple(
+                s if s is not None else t for s, t in zip(smap[k], tmap[k])
+            )
+            exp_action = "UPDATE" if coal != tmap[k] else "KEEP"
+            exp = coal
+        assert got[k] == (exp_action, *exp), (k, got[k], exp_action, exp)
+
+    # idempotence: patch the patched state again → all KEEP
+    t2 = cs.apply_changes()
+    cs2 = build_changeset(t2, source, "k", delete="NO", update_mode="patch")
+    assert all(r["_action"] == "KEEP" for r in cs2.df.collect())

@@ -50,6 +50,9 @@ OPS = [
     "join_spatial_grid",
     "graph_jaccard_neighbors",
     "text_substring_dup_spans",
+    # r6 additions: the patch-mode merge and the single-shuffle funnel fold
+    "merge_sparse_patch",
+    "events_funnel_steps",
 ]
 
 # (op, sf) pairs whose ORACLE formulation is intentionally not run: the
@@ -57,10 +60,9 @@ OPS = [
 # (the Spark column is still measured — that asymmetry is the point).
 ORACLE_SKIP = {
     ("join_spatial_grid", "1"),
-    # DuckDB evaluating the raw co-occurrence self-join at sf1 spills
-    # >70 GB of temp and dies on disk — the Spark side runs the same
-    # logical graph in ~60 s (top-K sparsification after one bucket join)
-    ("graph_jaccard_neighbors", "1"),
+    # NOTE (r6): graph_jaccard_neighbors' sf1 oracle skip is LIFTED — the
+    # capped edge builder bounds the derived graph, so the DuckDB side no
+    # longer spills (pre-migration it died at >70 GB of temp).
 }
 # sf1 is derived from sf0.1 by tools/gen_scale.py (key-offset replication —
 # see its docstring); generated on demand below if absent.
