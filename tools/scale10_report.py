@@ -49,6 +49,11 @@ OPS = [
     "join_asof",
     "join_spatial_grid",
     "graph_cooccurrence_capped",
+    # r6: the family edge builder now runs the ≤32 cap — sf10-safe; plus
+    # the patch-mode merge and the single-shuffle funnel fold
+    "graph_cooccurrence_edges",
+    "merge_sparse_patch",
+    "events_funnel_steps",
 ]
 # spark-only at sf10: the certifying oracles are quadratic (spatial
 # all-pairs) or disk-spilling (raw co-occurrence) at this size
