@@ -434,3 +434,119 @@ def window_running_distinct(spark, sf_dir):
         "new_users",
         F.sum("new_users").over(w).alias("cum_distinct_users"),
     )
+
+
+# --- window_cumulative_share (r6b2): Pareto / ABC classification ----------
+#
+# The warehouse ABC question: rank customers by revenue, classify by the
+# cumulative revenue share (A ≤ 80 %, B ≤ 95 %, C rest).  Revenue per
+# customer is an EXACT integer cents sum (map-side-combined, one key
+# shuffle); the cumulative sum runs over the AGGREGATED per-customer frame
+# (bounded by |customers|, global-order window = a range-partitioned sort
+# at cluster scale — the standard top-N/Pareto shape); share is exact-int /
+# exact-int in ONE IEEE division, so the class boundaries compare
+# identically in both engines.
+
+
+@register(
+    "window_cumulative_share",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, rev_cents,
+         CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+         CAST(sum(rev_cents) OVER () AS BIGINT) AS total_cents
+    FROM rev
+)
+SELECT o_custkey, rev_cents,
+       CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS cum_share,
+       CASE WHEN CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) <= 0.80 THEN 'A'
+            WHEN CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+  FROM ranked
+""",
+    description="Pareto/ABC analysis: customers ranked by exact integer "
+    "revenue cents, cumulative share over the aggregated per-customer "
+    "frame (one key-shuffle agg + one global-order window on the bounded "
+    "domain), class thresholds compared on the single-division share — "
+    "deterministic tiebreak (rev desc, custkey) makes the running sum "
+    "unique, so both engines agree bit-for-bit",
+)
+def window_cumulative_share(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    rev = o.groupBy("o_custkey").agg(F.sum(cents).alias("rev_cents"))
+    w_cum = (
+        Window.orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "o_custkey", "rev_cents",
+        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
+        F.sum("rev_cents").over(w_all).alias("total_cents"),
+    )
+    share = F.col("cum_cents").cast("double") / F.col("total_cents").cast("double")
+    return ranked.select(
+        "o_custkey", "rev_cents",
+        share.alias("cum_share"),
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
+    )
+
+
+# --- window_rolling_distinct (r6b2): sliding-window COUNT(DISTINCT) -------
+#
+# The sliding complement of window_running_distinct: distinct users active
+# in the trailing 7 days, per day.  No window can hold distinct state at
+# scale; the reformulation is the CONTRIBUTION EXPLODE — each (user, day)
+# presence row contributes to the 7 window-end days it falls into (a
+# map-side 7× fan-out of the deduped presence set, linear), then one
+# distinct-count per end day.  Presence dedup is the only raw-data shuffle.
+
+
+@register(
+    "window_rolling_distinct",
+    oracle="""
+WITH pres AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM pres),
+contrib AS (
+  SELECT p.user_id, p.d + CAST(x.i AS INTEGER) AS end_d
+    FROM pres p, (SELECT unnest(generate_series(0, 6)) AS i) x
+)
+SELECT CAST(c.end_d AS VARCHAR) AS d,
+       CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_active_7d
+  FROM contrib c
+ WHERE c.end_d IN (SELECT d FROM days)
+ GROUP BY c.end_d
+""",
+    description="trailing-7-day distinct active users per day via the "
+    "contribution-explode reformulation: dedup (user, day) presence (ONE "
+    "raw-data shuffle), fan each presence out to the ≤7 window-end days it "
+    "covers (map-side, linear), distinct-count per end day over the tiny "
+    "day domain — sliding COUNT(DISTINCT) with zero per-frame state; end "
+    "days restricted to observed active days so both engines emit the "
+    "same calendar",
+)
+def window_rolling_distinct(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    pres = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    contrib = pres.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("i")).alias("end_d"))
+    days = pres.select("d").distinct().withColumnRenamed("d", "end_d")
+    return (
+        contrib.join(days, "end_d", "left_semi")
+        .groupBy("end_d")
+        .agg(F.count_distinct(F.col("user_id")).alias("n_active_7d"))
+        .select(F.col("end_d").cast("string").alias("d"), "n_active_7d")
+    )

@@ -99,3 +99,52 @@ def test_funnel_is_single_event_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange <= 1, plan
+
+
+def test_cumulative_share_monotone_and_classes(spark):
+    rows = sorted(
+        registry()["window_cumulative_share"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["cum_share"],
+    )
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares) and abs(shares[-1] - 1.0) < 1e-12
+    # classes partition the share axis in order A < B < C
+    seen = [r["abc_class"] for r in rows]
+    assert seen == sorted(seen)  # 'A' <= 'B' <= 'C' lexicographic == rank order
+    assert seen[0] == "A" and seen[-1] == "C"
+    # revenue is non-increasing along the cumulative order
+    revs = [r["rev_cents"] for r in rows]
+    assert all(a >= b for a, b in zip(revs, revs[1:]))
+
+
+def test_rolling_distinct_brackets_running_distinct(spark):
+    """7-day active count is ≥ any single day's new users and ≤ the total
+    distinct population; and for the first observed day it equals that
+    day's distinct actives."""
+    rolling = {
+        r["d"]: r["n_active_7d"]
+        for r in registry()["window_rolling_distinct"].fn(spark, SF_DIR).collect()
+    }
+    pres = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("user_id", "to_date(ts) AS d")
+        .distinct()
+    )
+    per_day = {r["d"]: r["n"] for r in pres.groupBy("d").agg(F.count("*").alias("n")).collect()}
+    total = pres.select("user_id").distinct().count()
+    first_day = min(per_day)
+    assert rolling[str(first_day)] == per_day[first_day]
+    for d, n in rolling.items():
+        assert n <= total
+    # brute-force a middle day
+    import datetime
+
+    some_day = sorted(per_day)[len(per_day) // 2]
+    lo = some_day - datetime.timedelta(days=6)
+    brute = (
+        pres.filter((F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(some_day)))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rolling[str(some_day)] == brute

@@ -95,6 +95,7 @@ SECTIONS = [
     ("Statistics, spatial & warehouse (SURVEY §2.E, r5 batch 1)", [
         "agg_rollup_cube", "agg_linear_fit", "agg_weighted_median",
         "agg_variance_exact", "window_running_distinct",
+        "window_cumulative_share", "window_rolling_distinct",
         "fn_window_distribution", "text_simpson_diversity",
         "timeseries_changepoint_cusum", "join_spatial_grid",
         "graph_connected_components", "graph_jaccard_neighbors",
