@@ -91,6 +91,9 @@ _FORCE_REVERIFY = {
     # r6: arm-assignment hash changed from (algebraic) parity to the
     # high bit of the integer mix (ADVICE r5).
     "events_abtest_lift",
+    # r6: rewritten from two lineitem self-joins to one-window-shuffle
+    # aggregates (2.74 s → 1.40 s at sf1) after its r3 green row.
+    "tpch_q21_style",
 }
 
 

@@ -924,26 +924,48 @@ SELECT s.s_name, count(*) AS numwait
 """,
     description="TPC-H Q21-style waiting suppliers: corpus has no "
     "l_receiptdate/l_commitdate, so 'kept the order waiting' = this "
-    "supplier's line carries the strictly latest l_shipdate of a "
-    "multi-supplier finished order; EXISTS/NOT EXISTS become one left-semi "
-    "and one left-anti self-join on l_orderkey",
+    "supplier's line carries the latest l_shipdate among OTHER suppliers' "
+    "lines of a multi-supplier finished order.  r6 rewrite: the oracle's "
+    "EXISTS/NOT EXISTS (two lineitem self-joins — lineitem crossed the "
+    "network three times) become window aggregates over ONE l_orderkey "
+    "shuffle: per-line max-over-other-suppliers = (am I the unique "
+    "max-date supplier ? second per-supplier max : order max), per-order "
+    "distinct-supplier count via a bounded collect_set (≤7 lines/order); "
+    "A/B at sf1: 2.74 s → 1.40 s, 4 → 2 Exchanges, identical output",
 )
 def tpch_q21_style(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     s = load(spark, sf_dir, "supplier")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
-    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
-    l2 = li.select(F.col("l_orderkey").alias("r_orderkey"),
-                   F.col("l_suppkey").alias("r_suppkey"),
-                   F.col("l_shipdate").alias("r_shipdate"))
-    waiting = (
-        l1.join(l2, (F.col("l_orderkey") == F.col("r_orderkey"))
-                & (F.col("l_suppkey") != F.col("r_suppkey")), "left_semi")
-        .join(l2, (F.col("l_orderkey") == F.col("r_orderkey"))
-                & (F.col("l_suppkey") != F.col("r_suppkey"))
-                & (F.col("r_shipdate") > F.col("l_shipdate")), "left_anti")
+    wk = Window.partitionBy("l_orderkey")
+    wks = Window.partitionBy("l_orderkey", "l_suppkey")
+    # all four window aggregates share the l_orderkey partitioning — the
+    # (orderkey, suppkey) window is a sub-partitioning of it, so Catalyst
+    # plans ONE Exchange for the whole chain
+    x = li.select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        F.max("l_shipdate").over(wks).alias("ms"),
+    ).select(
+        "*",
+        F.max("l_shipdate").over(wk).alias("mx"),
+        F.size(F.collect_set("l_suppkey").over(wk)).alias("nsupp"),
+    ).select(
+        "*",
+        F.size(
+            F.collect_set(
+                F.when(F.col("ms") == F.col("mx"), F.col("l_suppkey"))
+            ).over(wk)
+        ).alias("n_at_mx"),
+        F.max(F.when(F.col("ms") < F.col("mx"), F.col("ms"))).over(wk).alias("m2"),
     )
+    i_am_unique_max = (F.col("ms") == F.col("mx")) & (F.col("n_at_mx") == 1)
+    # NOT EXISTS (other supplier, later date)  ⟺  my date ≥ max over other
+    # suppliers' dates; m2 is NULL only when nsupp == 1, already excluded
+    max_other = F.when(i_am_unique_max, F.col("m2")).otherwise(F.col("mx"))
+    waiting = x.filter((F.col("nsupp") > 1) & (F.col("l_shipdate") >= max_other))
     return (
         waiting.join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
