@@ -31,15 +31,16 @@ OPS = [
     # r4 batch-2/3 families: the edge builder's bucket-density question
     # (×10 users in the same time span → ×100 pairs per bucket) and the
     # map-side featurization / one-shuffle resample shapes.
-    # graph_triangle_count is deliberately NOT here: this corpus densifies
-    # with SF (users grow, the time span doesn't), so by sf0.1 the
-    # co-occurrence graph is near-complete over ~1500 nodes and triangle
-    # PARTICIPATION is Θ(m^1.5) — measured 178 s Spark / 324 s DuckDB at
-    # sf0.1 and a >80 GB shuffle spill at sf1.  That is inherent to the
-    # statistic on a dense graph, not a plan defect; the production lever
-    # is the bucket-membership cap / edge-weight pruning documented in
-    # ext_graph.py, which keeps the derived graph sparse by construction.
+    # NOTE (r6): before the capped-builder migration graph_triangle_count
+    # was excluded here — the uncapped graph densified toward complete by
+    # sf0.1 (178 s Spark / 324 s DuckDB, >80 GB spill at sf1).  The ≤32
+    # bucket cap keeps the derived graph sparse by construction, so the
+    # WHOLE family now runs at sf1 in both engines and is measured below.
     "graph_cooccurrence_edges",
+    "graph_degree_profile",
+    "graph_triangle_count",
+    "graph_pagerank_fixedpoint",
+    "graph_connected_components",
     "feature_hash_bucket",
     "timeseries_resample_ffill",
     # r5 additions: the 2-D grid join (oracle is the certifying all-pairs —
