@@ -241,6 +241,7 @@ def merge_partitioned(
     threshold: str | float | None = None,
     debug: bool = False,
     strategy: str = "shuffle",
+    update_mode: str = "overwrite",
 ) -> MergeResult | MergeReport:
     """Merge into a :class:`~sparkmerge.ptable.PartitionedSnapshotTable`,
     rewriting ONLY the partitions the changeset touches (SURVEY.md §7.2's
@@ -308,7 +309,7 @@ def merge_partitioned(
 
     cs = build_changeset(in_scope, source_df, join_columns, delete=delete,
                          bad_key=bad_key, bad_key_order=bad_key_order,
-                         strategy=strategy)
+                         strategy=strategy, update_mode=update_mode)
 
     if debug:
         # dry run, zero side effects — like simple_merge(debug=True), plus
@@ -428,6 +429,7 @@ def simple_merge(
     debug: bool = False,
     schema_evolution: bool = False,
     strategy: str = "shuffle",
+    update_mode: str = "overwrite",
 ) -> MergeResult | MergeReport:
     """Merge ``source_df`` into ``target`` — see module docstring.
 
@@ -451,7 +453,7 @@ def simple_merge(
     if debug:
         cs = build_changeset(in_scope, source_df, join_columns, delete=delete,
                              bad_key=bad_key, bad_key_order=bad_key_order, plan=plan,
-                             strategy=strategy)
+                             strategy=strategy, update_mode=update_mode)
         return MergeReport(
             merge_sql=render_merge_sql(plan, delete=delete, target_filter=target_filter),
             physical_plan=_captured_explain(cs.df),
@@ -467,7 +469,7 @@ def simple_merge(
     # (sp_SimpleMerge.sql:141-150) at zero extra cost.
     cs = build_changeset(in_scope, source_df, join_columns, delete=delete,
                          bad_key=bad_key, bad_key_order=bad_key_order, plan=plan,
-                         strategy=strategy)
+                         strategy=strategy, update_mode=update_mode)
     cs_obs = Observation("sparkmerge_changeset")
     observed = cs.df.observe(
         cs_obs,

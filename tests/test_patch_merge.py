@@ -159,3 +159,40 @@ def test_patch_invariants_hold_for_random_tables(spark, pair):
     t2 = cs.apply_changes()
     cs2 = build_changeset(t2, source, "k", delete="NO", update_mode="patch")
     assert all(r["_action"] == "KEEP" for r in cs2.df.collect())
+
+
+def test_patch_through_snapshot_table(spark, tmp_path):
+    """The storage path accepts the mode: patched state committed, holes
+    keep target values, and a re-merge of the same patch is 0 changed."""
+    from sparkmerge.merge import simple_merge
+    from sparkmerge.table import SnapshotTable
+
+    schema = "k int, v1 string, v2 double"
+    t0 = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], schema)
+    patch = spark.createDataFrame([(1, "A", None), (2, None, 20.0)], schema)
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), t0)
+    r1 = simple_merge(spark, table, patch, "k", delete="NO", update_mode="patch")
+    assert r1.committed and r1.changed_rows == 2
+    got = {r["k"]: (r["v1"], r["v2"]) for r in table.read(spark).collect()}
+    assert got == {1: ("A", 1.0), 2: ("b", 20.0), 3: ("c", 3.0)}
+    r2 = simple_merge(spark, table, patch, "k", delete="NO", update_mode="patch")
+    assert r2.changed_rows == 0
+
+
+def test_patch_through_partitioned_table(spark, tmp_path):
+    """Patch mode composes with partition write-pruning: only partitions
+    holding a changed row are rewritten."""
+    from sparkmerge.merge import merge_partitioned
+    from sparkmerge.ptable import PartitionedSnapshotTable
+
+    schema = "k int, ds string, v1 string, v2 double"
+    t0 = spark.createDataFrame(
+        [(1, "d1", "a", 1.0), (2, "d1", "b", 2.0), (3, "d2", "c", 3.0), (4, "d3", "d", 4.0)],
+        schema,
+    )
+    patch = spark.createDataFrame([(1, "d1", None, 10.0), (3, "d2", "C", None)], schema)
+    t = PartitionedSnapshotTable.create(spark, str(tmp_path / "pt"), t0, partition_by="ds")
+    merge_partitioned(spark, t, patch, ["k", "ds"], delete="NO",
+                      prune_scan=True, update_mode="patch")
+    got = {r["k"]: (r["v1"], r["v2"]) for r in t.read(spark).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b", 2.0), 3: ("C", 3.0), 4: ("d", 4.0)}
