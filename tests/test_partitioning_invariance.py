@@ -13,7 +13,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # ops whose sf0.001 output is legitimately empty (sparse-subgraph cut) —
 # invariance is checked at sf0.01 instead so the non-empty assertion bites
-SF_OVERRIDE = {"graph_connected_components": "/root/testdata/sf0.01"}
+SF_OVERRIDE = {
+    "graph_connected_components": "/root/testdata/sf0.01",
+    # no multi-supplier 'F' orders survive the NATION_1 cut at sf0.001
+    "tpch_q21_style": "/root/testdata/sf0.01",
+}
 
 OPS = [
     "graph_pagerank_fixedpoint",      # iterative integer fixed point
@@ -40,6 +44,10 @@ OPS = [
     "window_running_distinct",        # global-order cumsum window
     "agg_variance_exact",             # moment sums + IEEE combine
     "merge_sparse_patch",             # per-column COALESCE changeset
+    "window_cumulative_share",        # global-order running share + classes
+    "window_rolling_distinct",        # contribution-explode distinct counts
+    "tpch_q21_style",                 # multi-frame window chain (r6 rewrite)
+    "graph_triangle_count",           # adjacency-intersection (r6 rewrite)
 ]
 
 
