@@ -688,3 +688,171 @@ def events_funnel_steps(spark, sf_dir):
         "stack(3, 'step1_view', n1, 'step2_click', n2, 'step3_purchase', n3) "
         "AS (step, n_users)"
     )
+
+
+# --- events_rfm_segments -------------------------------------------------
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+WITH ref AS (SELECT max(ts) AS mx FROM events),
+per AS (
+  SELECT user_id,
+         CAST((epoch_us((SELECT mx FROM ref)) - epoch_us(max(ts)))
+              // 86400000000 AS BIGINT) AS r_days,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+    FROM events GROUP BY user_id
+),
+q AS (
+  SELECT user_id, r_days, freq, monetary_cents,
+         CAST(ntile(4) OVER (ORDER BY r_days, user_id) AS INT) AS r_q,
+         CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS INT) AS f_q,
+         CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS INT)
+           AS m_q
+    FROM per
+)
+SELECT user_id, r_days, freq, monetary_cents, r_q, f_q, m_q,
+       'R' || CAST(r_q AS VARCHAR) || 'F' || CAST(f_q AS VARCHAR)
+           || 'M' || CAST(m_q AS VARCHAR) AS segment
+  FROM q
+""",
+    description="RFM customer segmentation: per-user recency (days since "
+    "last event vs corpus max), frequency, integer-cents monetary sum, "
+    "then exact quartile codes via ntile(4) over explicitly unique "
+    "orderings (ties broken by user_id — engine-portable bucket edges) "
+    "and the concatenated R#F#M# segment label; ONE agg shuffle builds "
+    "the per-user table, the quartile windows run over the already-"
+    "reduced user cardinality (at 100 TB swap exact ntile for "
+    "approx-percentile cutoffs + a map-side compare — semantics noted, "
+    "same output columns)",
+)
+def events_rfm_segments(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    ref = e.agg(F.max("ts").alias("mx"))
+    per = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(ref))
+        # integer `div`: truncation == floor for the non-negative gap
+        .withColumn(
+            "r_days",
+            F.expr(
+                "(unix_micros(CAST(mx AS TIMESTAMP))"
+                " - unix_micros(CAST(last_ts AS TIMESTAMP))) div 86400000000"
+            ),
+        )
+    )
+    q = per.select(
+        "user_id",
+        "r_days",
+        "freq",
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy("r_days", "user_id")).alias("r_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("freq"), F.asc("user_id")))
+        .alias("f_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("user_id")))
+        .alias("m_q"),
+    )
+    return q.withColumn(
+        "segment",
+        F.concat(
+            F.lit("R"),
+            F.col("r_q").cast("string"),
+            F.lit("F"),
+            F.col("f_q").cast("string"),
+            F.lit("M"),
+            F.col("m_q").cast("string"),
+        ),
+    )
+
+
+# --- orders_basket_lift --------------------------------------------------
+
+_BASKET_MIN_PAIR = 2  # support floor: pairs co-bought in >= 2 orders
+
+
+@register(
+    "orders_basket_lift",
+    oracle=f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+pair AS (
+  SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS pair_n
+    FROM b a JOIN b c
+      ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+   GROUP BY 1, 2
+)
+SELECT part_a, part_b, pair_n, ia.c AS n_a, ib.c AS n_b,
+       CAST(pair_n AS DOUBLE) / CAST(ia.c AS DOUBLE) AS confidence,
+       CAST(pair_n * n.n_orders AS DOUBLE) / CAST(ia.c * ib.c AS DOUBLE)
+         AS lift
+  FROM pair
+  JOIN item ia ON ia.l_partkey = part_a
+  JOIN item ib ON ib.l_partkey = part_b
+  CROSS JOIN n
+ WHERE pair_n >= {_BASKET_MIN_PAIR}
+""",
+    description="market-basket association rules over order baskets: "
+    "part pairs co-bought within an order, support/confidence/lift from "
+    "EXACT int64 counts combined in one IEEE division each; the pair "
+    "self-join is keyed on l_orderkey so per-basket cost is bounded by "
+    "basket size² (TPC-H ≤ 7 lines/order — never an all-pairs part join), "
+    f"support floor pair_n ≥ {_BASKET_MIN_PAIR} bounds the output "
+    "(~3.5k rows at every measured SF); the 1-row corpus total is "
+    "broadcast",
+)
+def orders_basket_lift(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, c = b.alias("a"), b.alias("c")
+    pair = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("c.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= _BASKET_MIN_PAIR)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("n_b"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_n",
+            "n_a",
+            "n_b",
+            (F.col("pair_n").cast("double") / F.col("n_a").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("pair_n") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )

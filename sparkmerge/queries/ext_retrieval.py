@@ -32,7 +32,9 @@ def _bm25_term_sql(i: int) -> str:
     return f"(CAST({a} AS DOUBLE) / CAST({b} AS DOUBLE))"
 
 
-def _bm25_oracle_sql() -> str:
+def _bm25_ranked_cte() -> str:
+    """Shared CTE chain ending in ``ranked(doc_id, dl, score, rank)`` —
+    used by both the bm25 oracle and the NDCG eval oracle."""
     tf_cols = ",\n         ".join(
         f"CAST(sum(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf{i}"
         for i, t in enumerate(_BM25_TERMS)
@@ -45,8 +47,7 @@ def _bm25_oracle_sql() -> str:
     for i in range(len(_BM25_TERMS)):
         score = f"({score} + {_bm25_term_sql(i)})"
     any_tf = " + ".join(f"p.tf{i}" for i in range(len(_BM25_TERMS)))
-    return f"""
-WITH words AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+    return f"""words AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
 per AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
          {tf_cols}
@@ -55,12 +56,18 @@ g AS (
   SELECT (SELECT count(*) FROM documents) AS n,
          CAST(sum(dl) AS BIGINT) AS t,
          {df_cols}
-    FROM per)
-SELECT doc_id, dl, score, CAST(rank AS INT) AS rank FROM (
+    FROM per),
+ranked AS (
   SELECT p.doc_id, p.dl, {score} AS score,
          row_number() OVER (ORDER BY {score} DESC, p.doc_id) AS rank
     FROM per p CROSS JOIN g
-   WHERE {any_tf} > 0) ranked
+   WHERE {any_tf} > 0)"""
+
+
+def _bm25_oracle_sql() -> str:
+    return f"""
+WITH {_bm25_ranked_cte()}
+SELECT doc_id, dl, score, CAST(rank AS INT) AS rank FROM ranked
  WHERE rank <= {_BM25_K}
 """
 
@@ -322,3 +329,114 @@ def bpe_train_rounds(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# --- retrieval_ndcg_curve ------------------------------------------------
+
+# rank-discount weights: floor(1e9 / log2(rank+1)) — precomputed integer
+# constants so DCG stays exact int64 (the transcendental is evaluated once
+# at authoring time, never per-engine)
+import math as _math
+
+_NDCG_W = [int(1_000_000_000 // _math.log2(i + 1)) for i in range(1, _BM25_K + 1)]
+_REL_P = 1048573  # bounded integer mix (same prime family as ext_spatial)
+
+
+def _w_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN {w}" for i, w in enumerate(_NDCG_W, start=1)
+    )
+    return f"CASE {col} {whens} END"
+
+
+@register(
+    "retrieval_ndcg_curve",
+    oracle=f"""
+WITH {_bm25_ranked_cte()},
+top AS (SELECT doc_id, CAST(rank AS INT) AS k FROM ranked
+         WHERE rank <= {_BM25_K}),
+relg AS (
+  SELECT doc_id, k,
+         CAST((((doc_id % {_REL_P}) * 2654435761) % 4294967296) % 4
+              AS BIGINT) AS rel
+    FROM top),
+gains AS (
+  SELECT doc_id, k, rel,
+         rel * {_w_case('k')} AS gain,
+         CAST(row_number() OVER (ORDER BY rel DESC, doc_id) AS INT) AS ik
+    FROM relg),
+dcg AS (
+  SELECT doc_id, k, rel,
+         CAST(sum(gain) OVER (ORDER BY k) AS BIGINT) AS dcg_scaled
+    FROM gains),
+idcg AS (
+  SELECT ik,
+         CAST(sum(rel * {_w_case('ik')}) OVER (ORDER BY ik) AS BIGINT)
+           AS idcg_scaled
+    FROM gains)
+SELECT d.k, d.doc_id, d.rel, d.dcg_scaled, i.idcg_scaled,
+       CASE WHEN i.idcg_scaled = 0 THEN 0.0
+            ELSE CAST(d.dcg_scaled AS DOUBLE) / CAST(i.idcg_scaled AS DOUBLE)
+       END AS ndcg
+  FROM dcg d JOIN idcg i ON i.ik = d.k
+""",
+    description="ranking-quality evaluation of the BM25 top-10: NDCG@k for "
+    "every k — graded relevance from a deterministic integer mix of "
+    "doc_id, DCG with PRECOMPUTED integer rank-discount weights "
+    "(floor(1e9/log2(r+1)) — no per-engine transcendentals), ideal "
+    "ordering via one rank window over the same 10 rows, NDCG as ONE "
+    "IEEE division of two exact int64 cumulative sums; everything after "
+    "the (already-bounded) retrieval runs on k rows — cost is the "
+    "retrieval itself",
+)
+def retrieval_ndcg_curve(spark, sf_dir):
+    top = text_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").cast("int").alias("k")
+    )
+    rel = (((F.col("doc_id") % _REL_P) * 2654435761) % 4294967296) % 4
+    relg = top.select("doc_id", "k", rel.cast("long").alias("rel"))
+
+    def wexpr(col):
+        e = F.when(F.col(col) == 1, F.lit(_NDCG_W[0]))
+        for i, w in enumerate(_NDCG_W[1:], start=2):
+            e = e.when(F.col(col) == i, F.lit(w))
+        return e
+
+    gains = relg.select(
+        "doc_id",
+        "k",
+        "rel",
+        (F.col("rel") * wexpr("k")).alias("gain"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("rel"), F.asc("doc_id")))
+        .cast("int")
+        .alias("ik"),
+    )
+    dcg = gains.select(
+        "doc_id",
+        "k",
+        "rel",
+        F.sum("gain").over(Window.orderBy("k")).alias("dcg_scaled"),
+    )
+    idcg = gains.select(
+        "ik",
+        F.sum(F.col("rel") * wexpr("ik"))
+        .over(Window.orderBy("ik"))
+        .alias("idcg_scaled"),
+    )
+    return (
+        dcg.join(idcg, dcg["k"] == idcg["ik"])
+        .select(
+            "k",
+            "doc_id",
+            "rel",
+            "dcg_scaled",
+            "idcg_scaled",
+            F.when(F.col("idcg_scaled") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("dcg_scaled").cast("double")
+                / F.col("idcg_scaled").cast("double")
+            )
+            .alias("ndcg"),
+        )
+    )

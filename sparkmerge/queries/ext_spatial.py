@@ -104,3 +104,99 @@ def join_spatial_grid(spark, sf_dir):
         )
         .dropDuplicates(["a_id", "b_id"])
     )
+
+
+# --- spatial_knn_grid ----------------------------------------------------
+
+_KNN_K = 3
+_Q_MOD = 91  # query points: event_id % 91 == 0 (a subset of the % 7 corpus)
+# kNN cell side: coarser than the radius-join cells so the 3x3 neighborhood
+# holds O(k) candidates at the measured densities (occupancy ~ density*C^2;
+# at higher SF a production deployment re-grids finer — the cell side is the
+# recall/cost knob, fixed here for oracle parity)
+_KNN_CELL = 64
+
+
+@register(
+    "spatial_knn_grid",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id AS pid,
+         CAST({_XC} AS BIGINT) AS x,
+         CAST({_YC} AS BIGINT) AS y
+    FROM events WHERE event_id % 7 = 0
+),
+q AS (SELECT pid, x, y FROM pts WHERE pid % {_Q_MOD} = 0),
+cand AS (
+  SELECT q.pid AS query_id, b.pid AS neighbor_id,
+         CAST(greatest(abs(q.x - b.x), abs(q.y - b.y)) AS BIGINT) AS cheb
+    FROM q JOIN pts b
+      ON b.pid <> q.pid
+     AND (q.x // {_KNN_CELL}) - (b.x // {_KNN_CELL}) BETWEEN -1 AND 1
+     AND (q.y // {_KNN_CELL}) - (b.y // {_KNN_CELL}) BETWEEN -1 AND 1
+)
+SELECT query_id, neighbor_id, cheb, CAST(rn AS INT) AS rn FROM (
+  SELECT query_id, neighbor_id, cheb,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cheb, neighbor_id) AS rn
+    FROM cand)
+ WHERE rn <= {_KNN_K}
+""",
+    description=f"grid-bounded k-nearest-neighbors (k={_KNN_K}): each query "
+    "point ranks the corpus points inside its 3×3 cell neighborhood by "
+    "exact integer Chebyshev distance (ties broken by id — total order, "
+    "engine-portable); the probe explodes into 9 cell keys and equi-joins "
+    "on the cell id so candidate cost is bounded by cell occupancy — the "
+    "standard grid-ANN decomposition (neighbors beyond 2 cell sides are "
+    "out of scope BY CONTRACT, both engines apply the identical candidate "
+    "rule); per-query top-k via one rank window on the query key",
+)
+def spatial_knn_grid(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    ek, uk = F.col("event_id") % _P, F.col("user_id") % _P
+    x = (((ek) * 2654435761) % 4294967296) % _GRID
+    y = ((((uk * 40503 + ek) % _P) * 2246822519) % 4294967296) % _GRID
+    pts = e.select(
+        F.col("event_id").alias("pid"),
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+    )
+    cx = (F.col("x") / _KNN_CELL).cast("long")
+    cy = (F.col("y") / _KNN_CELL).cast("long")
+    corpus = pts.select(
+        F.col("pid").alias("neighbor_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )
+    offsets = F.expr("sequence(-1, 1)")
+    probe = (
+        pts.filter(F.col("pid") % _Q_MOD == 0)
+        .select("pid", "x", "y", cx.alias("cx0"), cy.alias("cy0"))
+        .withColumn("dx", F.explode(offsets))
+        .withColumn("dy", F.explode(offsets))
+        .select(
+            F.col("pid").alias("query_id"),
+            "x",
+            "y",
+            (F.col("cx0") + F.col("dx")).alias("cx"),
+            (F.col("cy0") + F.col("dy")).alias("cy"),
+        )
+    )
+    cheb = F.greatest(
+        F.abs(F.col("x") - F.col("bx")), F.abs(F.col("y") - F.col("by"))
+    )
+    cand = (
+        probe.join(corpus, ["cx", "cy"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cheb.alias("cheb"))
+    )
+    w = Window.partitionBy("query_id").orderBy("cheb", "neighbor_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("query_id", "neighbor_id", "cheb", F.col("rn").cast("int").alias("rn"))
+    )

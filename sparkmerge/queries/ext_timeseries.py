@@ -344,3 +344,48 @@ def timeseries_interpolate_linear(spark, sf_dir):
     return g.select(
         "user_id", F.col("ts").alias("hour_ts"), interp.alias("value_interp")
     )
+
+
+# --- timeseries_seasonal_profile -----------------------------------------
+
+
+@register(
+    "timeseries_seasonal_profile",
+    oracle="""
+WITH h AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 3600000000) % 168 AS BIGINT) AS hour_of_week,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour_of_week, n, cents,
+       CAST(n AS DOUBLE)
+       / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+  FROM h
+""",
+    description="seasonal (hour-of-week) activity profile per event type: "
+    "count + exact integer-cents value per (type, how) cell, and each "
+    "cell's share of its type's total volume as ONE IEEE division of two "
+    "exact int64 sums (type total via a partition window over the already-"
+    "aggregated 168-cell table — no second scan); ONE map-side-combined "
+    "agg shuffle on (type, how), output bounded at |types| × 168",
+)
+def timeseries_seasonal_profile(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    how = (F.expr("unix_seconds(CAST(ts AS TIMESTAMP)) div 3600") % 168).alias(
+        "hour_of_week"
+    )
+    h = e.groupBy("event_type", how).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).alias("cents"),
+    )
+    total = F.sum("n").over(Window.partitionBy("event_type"))
+    return h.select(
+        "event_type",
+        "hour_of_week",
+        "n",
+        "cents",
+        (F.col("n").cast("double") / total.cast("double")).alias("share"),
+    )

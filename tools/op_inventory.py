@@ -107,6 +107,11 @@ SECTIONS = [
         "stream_outer_join_watermark", "events_abtest_lift", "events_funnel_steps",
         "text_substring_dup_spans", "fn_xml_xpath", "agg_listagg_ordered",
     ]),
+    ("Graph cores, basket mining, kNN & ranking eval (r6 batch 3)", [
+        "graph_kcore_peel", "orders_basket_lift", "events_rfm_segments",
+        "timeseries_seasonal_profile", "spatial_knn_grid",
+        "retrieval_ndcg_curve",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",
