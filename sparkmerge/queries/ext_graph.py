@@ -606,3 +606,119 @@ def graph_kcore_peel(spark, sf_dir):
     return node_degrees(e).select(
         F.col("node").alias("user_id"), F.col("deg").alias("core_degree")
     )
+
+
+# --- bipartite projection ------------------------------------------------
+
+
+@register(
+    "graph_bipartite_projection",
+    oracle="""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_shared_users
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+ GROUP BY 1, 2
+""",
+    description="bipartite projection of the user×event-type engagement "
+    "graph onto the type side: types linked by the number of users active "
+    "in both — the co-engagement matrix recommendation pipelines start "
+    "from; the pair join is keyed on user_id so per-user cost is bounded "
+    "by (distinct types)² (a small fixed domain), never a type×type scan; "
+    "one distinct + one user-keyed self-join + one agg, output bounded at "
+    "|types|²",
+)
+def graph_bipartite_projection(spark, sf_dir):
+    ut = load(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    a, b = ut.alias("a"), ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_users"))
+    )
+
+
+# --- multi-source BFS, bounded depth -------------------------------------
+
+_BFS_SRC_MOD = 101  # sources: user_id % 101 == 0
+_BFS_DEPTH = 3
+
+
+def _bfs_round_sql(i: int) -> str:
+    prev = " UNION ALL ".join(f"SELECT user_id FROM l{j}" for j in range(i))
+    return f"""f{i} AS MATERIALIZED (
+  SELECT DISTINCT a.dst AS user_id
+    FROM adj a JOIN l{i - 1} s ON a.src = s.user_id
+),
+l{i} AS MATERIALIZED (
+  SELECT user_id FROM f{i}
+  WHERE user_id NOT IN ({prev})
+)"""
+
+
+@register(
+    "graph_bfs_layers",
+    oracle=f"""
+WITH {_EDGES_SQL},
+adj AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL
+  SELECT v AS src, u AS dst FROM edges
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS user_id FROM adj WHERE src % {_BFS_SRC_MOD} = 0
+),
+{_bfs_round_sql(1)},
+{_bfs_round_sql(2)},
+{_bfs_round_sql(3)}
+SELECT user_id, CAST(0 AS BIGINT) AS layer FROM l0
+UNION ALL SELECT user_id, 1 FROM l1
+UNION ALL SELECT user_id, 2 FROM l2
+UNION ALL SELECT user_id, 3 FROM l3
+""",
+    description=f"multi-source BFS (sources: user_id % {_BFS_SRC_MOD} = 0) "
+    f"over the co-occurrence graph, {_BFS_DEPTH} expansion rounds — the "
+    "reachability/contamination-radius primitive; each round is one "
+    "neighbor join + one anti-join against the visited set (frontier-"
+    "shuffle pattern, lineage checkpointed per round); the oracle unrolls "
+    "the rounds as MATERIALIZED CTEs; bounded depth keeps both engines "
+    "bit-identical",
+)
+def graph_bfs_layers(spark, sf_dir):
+    e = _edges(spark, sf_dir).select("u", "v")
+    adj = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        adj.select("src")
+        .filter(F.col("src") % _BFS_SRC_MOD == 0)
+        .distinct()
+        .select(F.col("src").alias("user_id"))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    out = frontier.withColumn("layer", F.lit(0).cast("long"))
+    for depth in range(1, _BFS_DEPTH + 1):
+        nxt = (
+            adj.join(
+                frontier.withColumnRenamed("user_id", "src"), "src", "left_semi"
+            )
+            .select(F.col("dst").alias("user_id"))
+            .distinct()
+            .join(visited, "user_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionAll(nxt.withColumn("layer", F.lit(depth).cast("long")))
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return out

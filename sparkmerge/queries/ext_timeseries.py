@@ -389,3 +389,58 @@ def timeseries_seasonal_profile(spark, sf_dir):
         "cents",
         (F.col("n").cast("double") / total.cast("double")).alias("share"),
     )
+
+
+# --- window_streak_longest -----------------------------------------------
+
+
+@register(
+    "window_streak_longest",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+    FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+    FROM days
+),
+runs AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS run_len
+    FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       max(run_len) AS longest_streak_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(sum(run_len) AS BIGINT) AS active_days
+  FROM runs GROUP BY 1
+""",
+    description="longest consecutive-day activity streak per user (the "
+    "engagement/retention statistic): gaps-and-islands via the classic "
+    "d − row_number() island key — distinct active days (one user-keyed "
+    "shuffle), island id map-side from one rank window on the SAME key, "
+    "then two same-key aggs; everything after the first shuffle is "
+    "partition-local (no re-Exchange: all windows/aggs share the user_id "
+    "partitioning)",
+)
+def window_streak_longest(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("d"),
+    ).distinct()
+    grp = F.col("d") - F.row_number().over(
+        Window.partitionBy("user_id").orderBy("d")
+    )
+    runs = (
+        days.withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("run_len").alias("active_days"),
+    )

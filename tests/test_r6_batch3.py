@@ -164,3 +164,74 @@ def test_ndcg_curve_bounds_and_monotone_dcg(spark):
         assert r["dcg_scaled"] <= r["idcg_scaled"]  # ideal dominates
         assert 0.0 <= r["ndcg"] <= 1.0
         assert 0 <= r["rel"] <= 3
+
+
+def test_bipartite_projection_matches_bruteforce(spark):
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    )
+    by_user = defaultdict(set)
+    for r in rows:
+        by_user[r["user_id"]].add(r["event_type"])
+    expect = Counter()
+    for types in by_user.values():
+        st = sorted(types)
+        for i, a in enumerate(st):
+            for b in st[i + 1 :]:
+                expect[(a, b)] += 1
+    out = registry()["graph_bipartite_projection"].fn(spark, SF_DIR).collect()
+    got = {(r["type_a"], r["type_b"]): r["n_shared_users"] for r in out}
+    assert got == dict(expect)
+
+
+def test_bfs_layers_matches_bruteforce(spark):
+    from sparkmerge.queries.ext_graph import _BFS_DEPTH, _BFS_SRC_MOD
+
+    adj = defaultdict(set)
+    for (u, v) in _edges_py(spark):
+        adj[u].add(v)
+        adj[v].add(u)
+    frontier = {n for n in adj if n % _BFS_SRC_MOD == 0}
+    expect = {n: 0 for n in frontier}
+    for depth in range(1, _BFS_DEPTH + 1):
+        nxt = set()
+        for n in frontier:
+            nxt |= adj[n]
+        nxt -= expect.keys()
+        for n in nxt:
+            expect[n] = depth
+        frontier = nxt
+    out = registry()["graph_bfs_layers"].fn(spark, SF_DIR).collect()
+    got = {r["user_id"]: r["layer"] for r in out}
+    assert got == expect
+    assert len(out) == len(got)  # layers disjoint — no node emitted twice
+
+
+def test_streak_longest_matches_bruteforce(spark):
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "ts")
+        .collect()
+    )
+    by_user = defaultdict(set)
+    for r in rows:
+        epoch_us = int(r["ts"].timestamp() * 1_000_000)
+        by_user[r["user_id"]].add(epoch_us // 86_400_000_000)
+    out = registry()["window_streak_longest"].fn(spark, SF_DIR).collect()
+    assert {r["user_id"] for r in out} == set(by_user)
+    for r in out:
+        days = sorted(by_user[r["user_id"]])
+        runs, cur = [], 1
+        for a, b in zip(days, days[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        assert r["longest_streak_days"] == max(runs)
+        assert r["n_streaks"] == len(runs)
+        assert r["active_days"] == len(days)

@@ -110,7 +110,8 @@ SECTIONS = [
     ("Graph cores, basket mining, kNN & ranking eval (r6 batch 3)", [
         "graph_kcore_peel", "orders_basket_lift", "events_rfm_segments",
         "timeseries_seasonal_profile", "spatial_knn_grid",
-        "retrieval_ndcg_curve",
+        "retrieval_ndcg_curve", "graph_bipartite_projection",
+        "graph_bfs_layers", "window_streak_longest",
     ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
