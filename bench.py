@@ -72,6 +72,10 @@ HEADLINE = [
     # r6 additions: the sparse-patch merge mode and the single-shuffle funnel
     "merge_sparse_patch",
     "events_funnel_steps",
+    # r6 batch 3: the basket pair join and the bounded k-core peel (the two
+    # heaviest new shapes — iterative semi-join rounds and a keyed self-join)
+    "orders_basket_lift",
+    "graph_kcore_peel",
 ]
 
 # sf1-leg exclusions with recorded reasons (the budget guards entry, not

@@ -856,3 +856,136 @@ def orders_basket_lift(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+# --- events_funnel_latency (r6) --------------------------------------------
+#
+# Companion to events_funnel_steps: not HOW MANY users reach each step but
+# HOW LONG the step-to-step transition takes.  Same single-shuffle anchor
+# fold (first view -> first later click -> first later purchase), then the
+# two transition-latency distributions summarized with nearest-rank
+# p50/p90 via one rank window per stage — a distributed sort, never a
+# driver-side collect of the latency list.
+
+
+@register(
+    "events_funnel_latency",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS v FROM events
+   WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, s1.v, min(e.ts) AS c
+    FROM events e JOIN s1 ON s1.user_id = e.user_id
+   WHERE e.event_type = 'click' AND e.ts > s1.v GROUP BY e.user_id, s1.v
+),
+s3 AS (
+  SELECT e.user_id, s2.c, min(e.ts) AS p
+    FROM events e JOIN s2 ON s2.user_id = e.user_id
+   WHERE e.event_type = 'purchase' AND e.ts > s2.c GROUP BY e.user_id, s2.c
+),
+lat AS (
+  SELECT 'view_to_click' AS stage, user_id,
+         (epoch_us(c) - epoch_us(v)) // 1000000 AS lat_s FROM s2
+  UNION ALL
+  SELECT 'click_to_purchase', user_id,
+         (epoch_us(p) - epoch_us(c)) // 1000000 FROM s3
+),
+r AS (
+  SELECT stage, lat_s,
+         row_number() OVER (PARTITION BY stage ORDER BY lat_s, user_id) AS rn,
+         count(*) OVER (PARTITION BY stage) AS n
+    FROM lat
+)
+SELECT stage,
+       CAST(max(n) AS BIGINT) AS n_users,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lat_s END) AS BIGINT) AS p50_lat_s,
+       CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN lat_s END) AS BIGINT) AS p90_lat_s
+  FROM r GROUP BY stage
+""",
+    description="funnel transition-latency profile: per-user first-view → "
+    "first-later-click → first-later-purchase anchors via the SAME single-"
+    "shuffle F.aggregate fold as events_funnel_steps, then nearest-rank "
+    "p50/p90 of the two transition latencies via one rank window per stage "
+    "(distributed sort on 2 small partitions — never a driver collect); "
+    "latencies are exact integer seconds, percentile indexes are integer "
+    "arithmetic ((n+1) DIV 2, (9n+9) DIV 10), ties broken by user_id — "
+    "total order, engine-portable; the oracle certifies the fold with the "
+    "textbook chained min-joins",
+)
+def events_funnel_latency(spark, sf_dir):
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    per = e.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_type")))
+        ).alias("seq")
+    )
+    nil = F.lit(None).cast("timestamp")
+    state0 = F.struct(nil.alias("v"), nil.alias("c"), nil.alias("p"))
+
+    def step(acc, x):
+        return F.struct(
+            F.when(
+                acc["v"].isNull() & (x["event_type"] == "view"), x["ts"]
+            ).otherwise(acc["v"]).alias("v"),
+            F.when(
+                acc["c"].isNull()
+                & acc["v"].isNotNull()
+                & (x["event_type"] == "click")
+                & (x["ts"] > acc["v"]),
+                x["ts"],
+            ).otherwise(acc["c"]).alias("c"),
+            F.when(
+                acc["p"].isNull()
+                & acc["c"].isNotNull()
+                & (x["event_type"] == "purchase")
+                & (x["ts"] > acc["c"]),
+                x["ts"],
+            ).otherwise(acc["p"]).alias("p"),
+        )
+
+    st = per.select(
+        "user_id", F.aggregate("seq", state0, step).alias("st")
+    ).select(
+        "user_id",
+        F.col("st.v").alias("v"),
+        F.col("st.c").alias("c"),
+        F.col("st.p").alias("p"),
+    )
+
+    def us(col):
+        return F.unix_micros(col.cast("timestamp"))
+
+    lat = (
+        st.filter(F.col("c").isNotNull()).select(
+            F.lit("view_to_click").alias("stage"),
+            "user_id",
+            (us(F.col("c")) - us(F.col("v"))).alias("lat_us"),
+        )
+    ).unionByName(
+        st.filter(F.col("p").isNotNull()).select(
+            F.lit("click_to_purchase").alias("stage"),
+            "user_id",
+            (us(F.col("p")) - us(F.col("c"))).alias("lat_us"),
+        )
+    ).select("stage", "user_id", F.expr("lat_us div 1000000").alias("lat_s"))
+    w = Window.partitionBy("stage").orderBy("lat_s", "user_id")
+    wn = Window.partitionBy("stage")
+    r = lat.select(
+        "stage",
+        "lat_s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("stage").agg(
+        F.max("n").alias("n_users"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("lat_s"))).alias(
+            "p50_lat_s"
+        ),
+        F.max(
+            F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("lat_s"))
+        ).alias("p90_lat_s"),
+    )

@@ -207,21 +207,29 @@ SELECT user_id, COUNT(*) AS n_triangles
     f">80 GB spill — see tools/scaling_report.py)",
 )
 def graph_triangle_count(spark, sf_dir):
-    # r6 rewrite: adjacency-intersection instead of wedge materialization.
-    # The wedge-generate + closure-semi-join formulation shipped every
-    # wedge (Σ outdeg² rows ≫ #triangles) through a shuffle before the
-    # closure check killed most of them; here each oriented edge (a, b)
-    # intersects the two nodes' oriented neighbor ARRAYS map-side —
-    # |adj⁺(a) ∩ adj⁺(b)| IS the triangle closure, so nothing larger than
-    # the triangle list itself is ever materialized (the GraphFrames/
-    # edge-iterator formulation).  Out-degree under the (degree, id)
-    # orientation is arboricity-bounded, so the per-node arrays are small
-    # even at hub nodes.  A/B at sf0.1: 11.8 s → 4.7 s, identical output.
     edges = (
         _edges(spark, sf_dir)
         .filter(F.col("w") >= _TRI_MIN_W)
         .select("u", "v")
     )
+    return _triangle_participation(edges)
+
+
+def _triangle_participation(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts ``(user_id, n_triangles)`` over an
+    undirected edge list ``(u, v)``, u < v, via adjacency intersection.
+
+    r6 rewrite: adjacency-intersection instead of wedge materialization.
+    The wedge-generate + closure-semi-join formulation shipped every
+    wedge (Σ outdeg² rows ≫ #triangles) through a shuffle before the
+    closure check killed most of them; here each oriented edge (a, b)
+    intersects the two nodes' oriented neighbor ARRAYS map-side —
+    |adj⁺(a) ∩ adj⁺(b)| IS the triangle closure, so nothing larger than
+    the triangle list itself is ever materialized (the GraphFrames/
+    edge-iterator formulation).  Out-degree under the (degree, id)
+    orientation is arboricity-bounded, so the per-node arrays are small
+    even at hub nodes.  A/B at sf0.1: 11.8 s → 4.7 s, identical output.
+    Nodes in no triangle emit no row (callers left-join + coalesce 0)."""
     deg = _degrees(edges.withColumn("w", F.lit(1))).select(
         F.col("user_id"), F.col("degree")
     )
@@ -270,6 +278,71 @@ def graph_triangle_count(spark, sf_dir):
         ).alias("user_id")
     )
     return contrib.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# --- graph_clustering_coefficient (r6) ------------------------------------
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+WITH {_EDGES_SQL},
+pruned AS (SELECT u, v FROM edges WHERE w >= {_TRI_MIN_W}),
+b2 AS (
+  SELECT u AS user_id FROM pruned
+  UNION ALL
+  SELECT v AS user_id FROM pruned
+),
+deg AS (SELECT user_id, COUNT(*) AS degree FROM b2 GROUP BY 1),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM pruned e1
+    JOIN pruned e2 ON e2.u = e1.v
+    JOIN pruned e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tc AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS user_id FROM tri)
+   GROUP BY 1
+)
+SELECT d.user_id, d.degree,
+       COALESCE(tc.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN 2.0 * CAST(COALESCE(tc.n_triangles, 0) AS DOUBLE)
+                 / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+            ELSE 0.0 END AS clustering_coeff
+  FROM deg d LEFT JOIN tc ON tc.user_id = d.user_id
+""",
+    description="per-node local clustering coefficient 2T/(d(d-1)) on the "
+    f"pruned (w ≥ {_TRI_MIN_W}) co-occurrence graph — the community-"
+    "cohesion statistic next to raw triangle counts: reuses the adjacency-"
+    "intersection triangle participation (nothing larger than the triangle "
+    "incidence list materializes), left-joins it onto the degree table so "
+    "triangle-free nodes report 0.0; the coefficient is ONE division of "
+    "two exact integers (2T is exact below 2^52), so the double is "
+    "bit-identical in any engine — no FP-association hazard",
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    edges = (
+        _edges(spark, sf_dir)
+        .filter(F.col("w") >= _TRI_MIN_W)
+        .select("u", "v")
+        .localCheckpoint(eager=True)  # feeds degrees AND triangles below
+    )
+    deg = _degrees(edges.withColumn("w", F.lit(1))).select("user_id", "degree")
+    tri = _triangle_participation(edges)
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    d = F.col("degree")
+    coeff = F.when(
+        d >= 2,
+        F.lit(2.0) * t.cast("double") / (d * (d - 1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return deg.join(tri, "user_id", "left").select(
+        "user_id",
+        "degree",
+        t.alias("n_triangles"),
+        coeff.alias("clustering_coeff"),
+    )
 
 
 # --- PageRank: 3 fixed-point iterations, exact integer math --------------

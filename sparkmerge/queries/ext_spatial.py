@@ -200,3 +200,111 @@ def spatial_knn_grid(spark, sf_dir):
         .filter(F.col("rn") <= _KNN_K)
         .select("query_id", "neighbor_id", "cheb", F.col("rn").cast("int").alias("rn"))
     )
+
+
+# --- spatial_dbscan_core (r6) ---------------------------------------------
+
+_DB_MINPTS = 4  # core point: >= MINPTS neighbors within eps (self excluded)
+
+
+@register(
+    "spatial_dbscan_core",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id AS pid,
+         CAST({_XC} AS BIGINT) AS x,
+         CAST({_YC} AS BIGINT) AS y
+    FROM events WHERE event_id % 7 = 0
+),
+nbr AS (
+  SELECT a.pid, b.pid AS nbr
+    FROM pts a JOIN pts b
+      ON a.pid <> b.pid
+   WHERE greatest(abs(a.x - b.x), abs(a.y - b.y)) <= {_RADIUS}
+),
+cnt AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_neighbors FROM nbr GROUP BY 1),
+lab AS (
+  SELECT p.pid,
+         COALESCE(c.n_neighbors, 0) AS n_neighbors,
+         COALESCE(c.n_neighbors, 0) >= {_DB_MINPTS} AS is_core
+    FROM pts p LEFT JOIN cnt c ON c.pid = p.pid
+)
+SELECT l.pid,
+       l.n_neighbors,
+       CASE WHEN l.is_core THEN 'core'
+            WHEN EXISTS (SELECT 1 FROM nbr n JOIN lab c2
+                           ON c2.pid = n.nbr AND c2.is_core
+                        WHERE n.pid = l.pid) THEN 'border'
+            ELSE 'noise' END AS label
+  FROM lab l
+""",
+    description=f"DBSCAN core/border/noise labeling (eps = Chebyshev "
+    f"{_RADIUS}, minPts = {_DB_MINPTS}) — the density classification that "
+    "seeds grid-parallel DBSCAN: eps-neighbor counts come from the SAME "
+    "3×3 grid-cell decomposition as join_spatial_grid (pair cost bounded "
+    "by cell occupancy, never all-pairs — the oracle RUNS the all-pairs "
+    "formulation to certify it), border points are non-core points with "
+    "a core eps-neighbor (one semi-join of the pair list against the core "
+    "set), isolated points fall out of the pair list and re-enter as "
+    "noise via a left join on the point set; every distance is exact "
+    "integer arithmetic",
+)
+def spatial_dbscan_core(spark, sf_dir):
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    ek, uk = F.col("event_id") % _P, F.col("user_id") % _P
+    x = (((ek) * 2654435761) % 4294967296) % _GRID
+    y = ((((uk * 40503 + ek) % _P) * 2246822519) % 4294967296) % _GRID
+    pts = e.select(
+        F.col("event_id").alias("pid"),
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+    )
+    cx, cy = (F.col("x") / _RADIUS).cast("long"), (F.col("y") / _RADIUS).cast("long")
+    build = pts.select("pid", "x", "y", cx.alias("cx"), cy.alias("cy"))
+    offsets = F.expr("sequence(-1, 1)")
+    probe = (
+        pts.select("pid", "x", "y", cx.alias("cx0"), cy.alias("cy0"))
+        .withColumn("dx", F.explode(offsets))
+        .withColumn("dy", F.explode(offsets))
+        .select(
+            F.col("pid").alias("b_pid"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            (F.col("cx0") + F.col("dx")).alias("cx"),
+            (F.col("cy0") + F.col("dy")).alias("cy"),
+        )
+    )
+    cheb = F.greatest(
+        F.abs(F.col("x") - F.col("bx")), F.abs(F.col("y") - F.col("by"))
+    )
+    # directed eps-neighbor list (pid -> nbr), deduped across the 3x3
+    # cell visits a pair can share; referenced twice (count + border
+    # semi-join), so truncate the grid-join lineage once
+    nbr = (
+        build.join(probe, ["cx", "cy"])
+        .filter((F.col("pid") != F.col("b_pid")) & (cheb <= _RADIUS))
+        .select("pid", F.col("b_pid").alias("nbr"))
+        .dropDuplicates(["pid", "nbr"])
+        .localCheckpoint(eager=True)
+    )
+    cnt = nbr.groupBy("pid").agg(F.count(F.lit(1)).alias("n_neighbors"))
+    lab = pts.select("pid").join(cnt, "pid", "left").select(
+        "pid",
+        F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"),
+        (F.coalesce(F.col("n_neighbors"), F.lit(0)) >= _DB_MINPTS).alias("is_core"),
+    )
+    core_ids = lab.filter(F.col("is_core")).select(F.col("pid").alias("nbr"))
+    border_ids = (
+        nbr.join(core_ids, "nbr")
+        .select("pid")
+        .distinct()
+        .withColumn("has_core_nbr", F.lit(True))
+    )
+    return lab.join(border_ids, "pid", "left").select(
+        "pid",
+        "n_neighbors",
+        F.when(F.col("is_core"), F.lit("core"))
+        .when(F.col("has_core_nbr").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise"))
+        .alias("label"),
+    )

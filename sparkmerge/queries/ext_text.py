@@ -793,3 +793,56 @@ def text_lid_confusion(spark, sf_dir):
             / F.sum("n_docs").over(w).cast("double")
         ).alias("frac_of_label"),
     )
+
+
+# --- text_hapax_ratio (r6) --------------------------------------------------
+
+
+@register(
+    "text_hapax_ratio",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS hapax_frac,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS ttr
+  FROM tf GROUP BY doc_id
+""",
+    description="per-document hapax-legomena profile (lexical-richness "
+    "signal used in quality scoring and machine-generated-text detection): "
+    "lowercased whitespace tokens → within-doc term frequencies → token/"
+    "type/hapax counts, hapax fraction (of types) and type-token ratio — "
+    "each ratio ONE division of exact integers, engine-portable; the "
+    "stream is repartitioned on doc_id BEFORE the (doc, token) agg, so the "
+    "second per-doc agg reuses the same hash partitioning (subset-key "
+    "clustering, same no-re-Exchange discipline as the graph edge "
+    "builder): one data shuffle end-to-end",
+)
+def text_hapax_ratio(spark, sf_dir):
+    from sparkmerge.ext.text import whitespace_tokens
+
+    d = load(spark, sf_dir, "documents")
+    t = (
+        d.select(
+            "doc_id", whitespace_tokens(F.lower(F.col("text"))).alias("toks")
+        )
+        .repartition("doc_id")
+        .select("doc_id", F.explode("toks").alias("tok"))
+    )
+    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        hapax.alias("n_hapax"),
+        (hapax.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "hapax_frac"
+        ),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("ttr"),
+    )

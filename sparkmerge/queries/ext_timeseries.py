@@ -444,3 +444,129 @@ def window_streak_longest(spark, sf_dir):
         F.count(F.lit(1)).alias("n_streaks"),
         F.sum("run_len").alias("active_days"),
     )
+
+
+# --- events_inter_arrival (r6) ---------------------------------------------
+
+
+@register(
+    "events_inter_arrival",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+),
+gaps AS (SELECT user_id, gap_us // 1000000 AS gap_s FROM g WHERE gap_us IS NOT NULL)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+       CAST(sum(gap_s) AS BIGINT) AS total_gap_s,
+       CAST(list_sort(list(gap_s))[CAST((9 * count(*) + 9) // 10 AS BIGINT)]
+            AS BIGINT) AS p90_gap_s
+  FROM gaps GROUP BY 1
+""",
+    description="per-user inter-arrival gap profile (the activity-cadence "
+    "feature behind churn/anomaly models): consecutive-event gaps via ONE "
+    "lag window ordered by (ts, event_id) — total order, engine-portable "
+    "— then min/max/sum/count plus a nearest-rank p90 picked from the "
+    "per-user sorted gap array at index ceil(0.9n) = (9n+9) DIV 10 (exact "
+    "integer index into exact integer seconds — no interpolated-percentile "
+    "FP hazard); the window and the aggregation share the user_id hash "
+    "partitioning, so everything after the single shuffle is partition-"
+    "local; per-user state is bounded by per-user activity (same envelope "
+    "as events_top_paths)",
+)
+def events_inter_arrival(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = _us(F.col("ts"))
+    gaps = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("gap_us", us - F.lag(us).over(w))
+        .filter(F.col("gap_us").isNotNull())
+        .select("user_id", F.expr("gap_us div 1000000").alias("gap_s"))
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.sum("gap_s").alias("total_gap_s"),
+        F.sort_array(F.collect_list("gap_s")).alias("sorted_gaps"),
+    )
+    idx = F.expr("(9 * n_gaps + 9) div 10")  # integer div — never FP floor
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        "min_gap_s",
+        "max_gap_s",
+        "total_gap_s",
+        F.element_at("sorted_gaps", idx.cast("int")).alias("p90_gap_s"),
+    )
+
+
+# --- timeseries_mom_growth (r6) ---------------------------------------------
+
+
+@register(
+    "timeseries_mom_growth",
+    oracle="""
+WITH m AS (
+  SELECT n.n_name,
+         date_trunc('month', o.o_orderdate) AS month,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS revenue_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+   GROUP BY 1, 2
+)
+SELECT n_name, strftime(month, '%Y-%m-%d') AS month, revenue_cents,
+       lag(revenue_cents) OVER (PARTITION BY n_name ORDER BY month)
+         AS prev_cents,
+       CASE WHEN lag(revenue_cents) OVER (PARTITION BY n_name ORDER BY month)
+                 IS NOT NULL
+            THEN CAST(revenue_cents
+                      - lag(revenue_cents) OVER (PARTITION BY n_name
+                                                 ORDER BY month) AS DOUBLE)
+                 / CAST(lag(revenue_cents) OVER (PARTITION BY n_name
+                                                 ORDER BY month) AS DOUBLE)
+            END AS mom_growth
+  FROM m
+""",
+    description="month-over-month revenue growth per nation (the period-"
+    "over-period KPI shape): orders→customer hash join + broadcast nation "
+    "dim, revenue in exact integer cents (floor(x*100+0.5) — the "
+    "registry's money idiom), ONE monthly agg shuffle, then lag + growth "
+    "from a window that reuses the nation partitioning; growth is ONE "
+    "division of exact integers (NULL for each nation's first month), so "
+    "the double is engine-portable; month rendered as VARCHAR on both "
+    "sides (DATE/TIMESTAMP canon forms differ across engines)",
+)
+def timeseries_mom_growth(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name", F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        )
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    prev = F.lag("revenue_cents").over(w)
+    return m.select(
+        "n_name",
+        F.date_format("month", "yyyy-MM-dd").alias("month"),
+        "revenue_cents",
+        prev.alias("prev_cents"),
+        F.when(
+            prev.isNotNull(),
+            (F.col("revenue_cents") - prev).cast("double") / prev.cast("double"),
+        ).alias("mom_growth"),
+    )

@@ -113,6 +113,11 @@ SECTIONS = [
         "retrieval_ndcg_curve", "graph_bipartite_projection",
         "graph_bfs_layers", "window_streak_longest",
     ]),
+    ("Clustering coeff, DBSCAN, cadence & funnel latency (r6 batch 4)", [
+        "graph_clustering_coefficient", "spatial_dbscan_core",
+        "events_inter_arrival", "events_funnel_latency",
+        "text_hapax_ratio", "timeseries_mom_growth",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",

@@ -54,6 +54,14 @@ OPS = [
     # r6 additions: the patch-mode merge and the single-shuffle funnel fold
     "merge_sparse_patch",
     "events_funnel_steps",
+    # r6 batch 3: the bounded-iteration graph family (peel + BFS), the
+    # basket pair join (cost keyed on basket size², not |parts|²), the
+    # coarse-cell kNN, and the single-shuffle streak islands
+    "graph_kcore_peel",
+    "graph_bfs_layers",
+    "orders_basket_lift",
+    "spatial_knn_grid",
+    "window_streak_longest",
 ]
 
 # (op, sf) pairs whose ORACLE formulation is intentionally not run: the
