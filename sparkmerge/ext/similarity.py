@@ -89,7 +89,14 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
 
 def lsh_bucket(vec: Column, dim: int, *, planes: int = 12, table: int = 0) -> Column:
     """Random-hyperplane LSH: sign bit per plane → integer bucket id.
-    ``table`` selects an independent plane set (multi-table LSH)."""
+    ``table`` selects an independent plane set (multi-table LSH).
+
+    Implementation note (r6): the aggregate-fold formulation is kept
+    DELIBERATELY.  An A/B that unrolled the constant-plane dot into a
+    6144-node scalar expression chain (hoping for whole-stage codegen)
+    regressed 8 s → 55 s at sf0.1 — trees that large fall out of codegen
+    into per-node interpreted eval, which is far slower than the
+    higher-order-function fold they replaced."""
     bits = []
     for p in range(planes):
         plane = F.array(*[F.lit(c) for c in _hyperplane(dim, table * 1009 + p)])
@@ -383,8 +390,17 @@ def bitext_margin_pairs(
     )
     wa = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
     wb = Window.partitionBy("b_id").orderBy(F.desc("sim"), F.asc("a_id"))
-    r = scored.withColumn("rank_a", F.row_number().over(wa)).withColumn(
-        "rank_b", F.row_number().over(wb)
+    # the ranked candidate set feeds THREE consumers below (top1 / runner /
+    # reverse-top1); without truncation each one re-executes the whole LSH
+    # join + both window sorts — measured 3× the wall-clock at sf0.1.  The
+    # checkpointed state is the candidate pair list, bounded by the LSH
+    # banding (never A×B), so this is the same bounded-reuse discipline as
+    # the triangle and PageRank ops.
+    r = (
+        scored.withColumn("rank_a", F.row_number().over(wa))
+        .withColumn("rank_b", F.row_number().over(wb))
+        .filter((F.col("rank_a") <= 2) | (F.col("rank_b") == 1))
+        .localCheckpoint(eager=True)
     )
     top1 = r.filter(F.col("rank_a") == 1).select("a_id", "b_id", "sim")
     runner = r.filter(F.col("rank_a") == 2).select(

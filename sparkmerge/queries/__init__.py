@@ -94,6 +94,9 @@ _FORCE_REVERIFY = {
     # r6: rewritten from two lineitem self-joins to one-window-shuffle
     # aggregates (2.74 s → 1.40 s at sf1) after its r3 green row.
     "tpch_q21_style",
+    # r6: ranked-candidate prefilter + localCheckpoint (3 downstream
+    # consumers no longer re-execute the LSH join) after its r4 green row.
+    "bitext_margin_mine",
 }
 
 

@@ -989,3 +989,73 @@ def events_funnel_latency(spark, sf_dir):
             F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("lat_s"))
         ).alias("p90_lat_s"),
     )
+
+
+# --- orders_cohort_ltv (r6) -------------------------------------------------
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+WITH first AS (
+  SELECT o_custkey,
+         date_trunc('month', min(o_orderdate)) AS cm
+    FROM orders GROUP BY 1
+),
+j AS (
+  SELECT strftime(f.cm, '%Y-%m-%d') AS cohort_month,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+           - (year(f.cm) * 12 + month(f.cm)) AS age_months,
+         o.o_custkey,
+         CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM orders o JOIN first f ON f.o_custkey = o.o_custkey
+),
+m AS (
+  SELECT cohort_month, CAST(age_months AS BIGINT) AS age_months,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM j GROUP BY 1, 2
+)
+SELECT cohort_month, age_months, n_active, revenue_cents,
+       CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_month
+                                     ORDER BY age_months) AS BIGINT)
+         AS cum_revenue_cents
+  FROM m
+""",
+    description="cohort lifetime-value matrix: customers grouped by first-"
+    "order month, revenue accumulated over months-since-first (the LTV "
+    "companion to window_retention_cohort's activity counts) — first-order "
+    "month is a custkey agg whose hash partitioning the orders join REUSES "
+    "(co-partitioned self-cohort shape), month age is pure integer "
+    "arithmetic (y·12+m difference), revenue in exact integer cents, "
+    "cumulative LTV via a running-sum window over the small (cohort, age) "
+    "matrix — every column exact int64 (no FP anywhere)",
+)
+def orders_cohort_ltv(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cm")
+    )
+    ym = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    j = o.join(first, "o_custkey").select(
+        F.date_format("cm", "yyyy-MM-dd").alias("cohort_month"),
+        (ym(F.col("o_orderdate")) - ym(F.col("cm"))).cast("long").alias("age_months"),
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    m = j.groupBy("cohort_month", "age_months").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return m.select(
+        "cohort_month",
+        "age_months",
+        "n_active",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).alias("cum_revenue_cents"),
+    )

@@ -458,3 +458,117 @@ def dedup_phonetic_key(spark, sf_dir):
         )
         .filter(F.col("n_parts") > 1)
     )
+
+
+# --- dedup_sorted_neighborhood (r6) -----------------------------------------
+
+_SN_WINDOW = 3  # each record pairs with its next W neighbors in sort order
+_SN_PREFIX = 24  # sort key: normalized-text prefix
+_SN_BLOCK = 4  # block key: first chars of the sort key (scale partition)
+
+_SN_TOKS = (
+    "list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), "
+    "x -> x <> ''))"
+)
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         substr(lower(text), 1, {_SN_BLOCK}) AS blk,
+         substr(lower(text), 1, {_SN_PREFIX}) AS sk,
+         {_SN_TOKS} AS toks
+    FROM documents
+),
+nb AS (
+  SELECT doc_id, toks,
+         lead(doc_id, 1) OVER w AS id1, lead(toks, 1) OVER w AS t1,
+         lead(doc_id, 2) OVER w AS id2, lead(toks, 2) OVER w AS t2,
+         lead(doc_id, 3) OVER w AS id3, lead(toks, 3) OVER w AS t3
+    FROM d
+  WINDOW w AS (PARTITION BY lang, blk ORDER BY sk, doc_id)
+),
+pairs AS (
+  SELECT doc_id AS a0, id1 AS b0, toks AS ta, t1 AS tb FROM nb WHERE id1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, id2, toks, t2 FROM nb WHERE id2 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, id3, toks, t3 FROM nb WHERE id3 IS NOT NULL
+),
+m AS (
+  SELECT least(a0, b0) AS a_id, greatest(a0, b0) AS b_id,
+         CAST(len(list_intersect(ta, tb)) AS BIGINT) AS inter,
+         CAST(len(ta) + len(tb) - len(list_intersect(ta, tb)) AS BIGINT) AS uni
+    FROM pairs
+)
+SELECT a_id, b_id, inter, uni,
+       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jacc
+  FROM m
+ WHERE inter >= 1 AND 3 * inter >= uni + inter
+""",
+    description=f"sorted-neighborhood entity-resolution blocking (the classic "
+    f"SNM alternative to LSH banding): records sort by a normalized-prefix "
+    f"key inside (lang, {_SN_BLOCK}-char block) partitions and each record "
+    f"pairs with its next {_SN_WINDOW} neighbors via lead() — ONE window "
+    f"shuffle, candidate count bounded at W·n by construction (never "
+    f"quadratic, no equi-bucket blowup on skewed blocks); pairs keep when "
+    f"distinct-token Jaccard ≥ 0.5, tested as the INTEGER inequality "
+    f"3·inter ≥ |A|+|B| (the division only renders the report column); "
+    f"cross-block boundary pairs are out of scope BY CONTRACT — both "
+    f"engines apply the identical neighbor rule (production runs multiple "
+    f"passes with rotated keys, noted in SURVEY)",
+)
+def dedup_sorted_neighborhood(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkmerge.ext.text import whitespace_tokens
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring(F.lower(F.col("text")), 1, _SN_BLOCK).alias("blk"),
+        F.substring(F.lower(F.col("text")), 1, _SN_PREFIX).alias("sk"),
+        F.array_distinct(whitespace_tokens(F.lower(F.col("text")))).alias("toks"),
+    )
+    w = Window.partitionBy("lang", "blk").orderBy("sk", "doc_id")
+    nb = d.select(
+        "doc_id",
+        "toks",
+        *[
+            F.lead(F.struct(F.col("doc_id").alias("id"), F.col("toks").alias("t")), k)
+            .over(w)
+            .alias(f"n{k}")
+            for k in range(1, _SN_WINDOW + 1)
+        ],
+    )
+    pairs = (
+        nb.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.array(*[F.col(f"n{k}") for k in range(1, _SN_WINDOW + 1)])
+            ).alias("nb"),
+        )
+        .filter(F.col("nb").isNotNull())
+        .select(
+            F.least(F.col("doc_id"), F.col("nb.id")).alias("a_id"),
+            F.greatest(F.col("doc_id"), F.col("nb.id")).alias("b_id"),
+            F.size(F.array_intersect(F.col("toks"), F.col("nb.t"))).alias("inter"),
+            (
+                F.size("toks")
+                + F.size("nb.t")
+                - F.size(F.array_intersect(F.col("toks"), F.col("nb.t")))
+            ).alias("uni"),
+        )
+    )
+    return pairs.filter(
+        (F.col("inter") >= 1) & (3 * F.col("inter") >= F.col("uni") + F.col("inter"))
+    ).select(
+        "a_id",
+        "b_id",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("uni").cast("long").alias("uni"),
+        (F.col("inter").cast("double") / F.col("uni").cast("double")).alias("jacc"),
+    )

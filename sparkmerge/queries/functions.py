@@ -766,3 +766,43 @@ def agg_listagg_ordered(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --- fn_agg_argminmax (r6) ---------------------------------------------------
+
+
+@register(
+    "fn_agg_argminmax",
+    oracle="""
+WITH s AS (
+  SELECT event_type, max(value) AS mxv, min(value) AS mnv,
+         CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+)
+SELECT s.event_type,
+       max(CASE WHEN e.value = s.mxv THEN e.event_id END) AS argmax_event_id,
+       s.mxv AS max_value,
+       min(CASE WHEN e.value = s.mnv THEN e.event_id END) AS argmin_event_id,
+       s.mnv AS min_value,
+       s.n
+  FROM events e JOIN s USING (event_type)
+ GROUP BY s.event_type, s.mxv, s.mnv, s.n
+""",
+    description="arg-extremum aggregate surface (max_by/min_by — T-SQL has "
+    "no equivalent short of a correlated TOP 1): which event carries each "
+    "type's extreme value, with the (value, event_id) STRUCT as the "
+    "ordering key so double ties resolve by id — a total order, making "
+    "the selected ids deterministic on any engine/partitioning (bare "
+    "max_by on a tied value column is partition-order-dependent — the "
+    "exact trap this op documents); single agg shuffle, map-side partials",
+)
+def fn_agg_argminmax(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    key = F.struct(F.col("value"), F.col("event_id"))
+    return e.groupBy("event_type").agg(
+        F.max_by("event_id", key).alias("argmax_event_id"),
+        F.max("value").alias("max_value"),
+        F.min_by("event_id", key).alias("argmin_event_id"),
+        F.min("value").alias("min_value"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -118,6 +118,9 @@ SECTIONS = [
         "events_inter_arrival", "events_funnel_latency",
         "text_hapax_ratio", "timeseries_mom_growth",
     ]),
+    ("Sorted-neighborhood ER, cohort LTV, arg-extrema (r6 batch 5)", [
+        "dedup_sorted_neighborhood", "orders_cohort_ltv", "fn_agg_argminmax",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",

@@ -62,6 +62,13 @@ OPS = [
     "orders_basket_lift",
     "spatial_knn_grid",
     "window_streak_longest",
+    # r6 batch 4/5: the triangle-backed coefficient, the grid-bounded
+    # density labels, the window-bounded SNM candidate generation, and the
+    # doc-keyed single-shuffle hapax profile
+    "graph_clustering_coefficient",
+    "spatial_dbscan_core",
+    "dedup_sorted_neighborhood",
+    "text_hapax_ratio",
 ]
 
 # (op, sf) pairs whose ORACLE formulation is intentionally not run: the
