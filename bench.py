@@ -121,9 +121,15 @@ def main() -> None:
             return warm
         times = []
         for _ in range(n):
-            df = reg[op_id].fn(spark, sf_dir)
+            # construction INSIDE the timer: Catalyst analysis is a real
+            # per-query cost, and ops that eagerly localCheckpoint a reused
+            # intermediate (graph family, bitext) do that work at
+            # construction — timing only the write would silently exclude
+            # it (caught r6: bitext read 0.1 s while really costing ~7 s).
+            # scaling_report.py always measured construction+write; this
+            # aligns the two protocols.
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            reg[op_id].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
         return sorted(times)[n // 2]  # median (codegen/JIT settles after run 1)
 

@@ -31,10 +31,17 @@ def asof_join(
     time: tuple[str, str],
     right_payload: list[str],
     right_dups: str = "unique",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the payload of the LATEST right row with the
     same key and right.time <= left.time (left rows with no prior right row
     keep NULL payloads — ASOF LEFT JOIN semantics).
+
+    ``direction="forward"`` flips the inequality: the EARLIEST right row
+    with right.time >= left.time (the "next scheduled event" shape).  Same
+    single-shuffle union+window plan — only the window's time ordering
+    reverses; the ``right_dups="max"`` tiebreak is unchanged (greatest
+    payload struct at the winning timestamp).
 
     ``right_dups`` picks the duplicate-timestamp policy:
 
@@ -50,6 +57,10 @@ def asof_join(
     """
     if right_dups not in ("unique", "max"):
         raise ValueError(f"right_dups must be 'unique' or 'max', got {right_dups!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     lk, rk = key
     lt, rt = time
     reserved = {"_k", "_t", "_payload", "_side", "_asof"}
@@ -74,7 +85,10 @@ def asof_join(
     # right rows sort before left rows at equal time → "at-or-before" matches;
     # under right_dups="max" the payload struct joins the sort so the last
     # right row at the winning time carries the greatest payload
-    order = ["_t", "_side"] if right_dups == "unique" else ["_t", "_side", "_payload"]
+    # forward: reverse the time order so "carry last non-null preceding"
+    # surfaces the earliest at-or-after right row instead
+    t_ord = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    order = [t_ord, "_side"] if right_dups == "unique" else [t_ord, "_side", "_payload"]
     w = (
         Window.partitionBy("_k")
         .orderBy(*order)

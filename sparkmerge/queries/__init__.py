@@ -97,6 +97,10 @@ _FORCE_REVERIFY = {
     # r6: ranked-candidate prefilter + localCheckpoint (3 downstream
     # consumers no longer re-execute the LSH join) after its r4 green row.
     "bitext_margin_mine",
+    # r6: asof_join grew a direction parameter (forward variant) — the
+    # shared window-order construction changed under these two after their
+    # r5 green rows (semantically identical ordering; re-confirm anyway).
+    "join_asof", "join_asof_tolerance",
 }
 
 

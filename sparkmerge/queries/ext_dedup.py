@@ -72,6 +72,18 @@ def _minhash_oracle_sql(*, num_hashes: int = 32, bands: int = 8, min_matches: in
     (normalize → 5-gram shingles → poly31 → 32 permutations → 8-band
     slice-join → est_jaccard), mirroring minhash_signatures/minhash_lsh_pairs
     with base_hash='poly31', band_key='slice'."""
+    ctes, final = _minhash_oracle_parts(
+        num_hashes=num_hashes, bands=bands, min_matches=min_matches
+    )
+    return f"\nWITH {ctes}\n{final}\n"
+
+
+def _minhash_oracle_parts(
+    *, num_hashes: int = 32, bands: int = 8, min_matches: int = 16
+) -> tuple[str, str]:
+    """The MinHash oracle split into (CTE chain, final SELECT) so composite
+    oracles (e.g. the LSH recall evaluation) can extend the pipeline with
+    further CTEs instead of duplicating it."""
     rows_per_band = num_hashes // bands
     mins = ",\n         ".join(
         f"CAST(min((h31 * {a} + {b}) % {_MH_PRIME}) AS BIGINT) AS mh_{i}"
@@ -87,8 +99,7 @@ def _minhash_oracle_sql(*, num_hashes: int = 32, bands: int = 8, min_matches: in
         f"(CASE WHEN a_sig[{i + 1}] = b_sig[{i + 1}] THEN 1 ELSE 0 END)"
         for i in range(num_hashes)
     )
-    return f"""
-WITH norm AS (
+    ctes = f"""norm AS (
   SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents
 ),
 pos AS (
@@ -107,11 +118,11 @@ banded AS (
 pairs AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS a_sig, b.sig AS b_sig
     FROM banded a JOIN banded b ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
-)
-SELECT a_id, b_id, CAST({matches} AS DOUBLE) / {num_hashes}.0 AS est_jaccard
+)"""
+    final = f"""SELECT a_id, b_id, CAST({matches} AS DOUBLE) / {num_hashes}.0 AS est_jaccard
   FROM pairs
- WHERE {matches} >= {min_matches}
-"""
+ WHERE {matches} >= {min_matches}"""
+    return ctes, final
 
 
 def _simhash_oracle_sql(*, max_hamming: int = 3) -> str:
@@ -571,4 +582,125 @@ def dedup_sorted_neighborhood(spark, sf_dir):
         F.col("inter").cast("long").alias("inter"),
         F.col("uni").cast("long").alias("uni"),
         (F.col("inter").cast("double") / F.col("uni").cast("double")).alias("jacc"),
+    )
+
+
+# --- dedup_lsh_recall_eval (r6) ----------------------------------------------
+
+_EVAL_MOD = 20  # evaluation sample: doc_id % 20 == 0 (the ngram-op sample)
+
+
+def _lsh_recall_oracle_sql() -> str:
+    ctes, final = _minhash_oracle_parts()
+    return f"""
+WITH {ctes},
+shl AS (SELECT doc_id, list(s ORDER BY s) AS ss FROM sh GROUP BY doc_id),
+truth AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
+         greatest(a.doc_id, b.doc_id) AS b_id
+    FROM shl a JOIN shl b ON a.doc_id <> b.doc_id
+   WHERE a.doc_id % {_EVAL_MOD} = 0
+     AND 3 * len(list_intersect(a.ss, b.ss)) >= len(a.ss) + len(b.ss)
+),
+cand AS (
+  SELECT a_id, b_id FROM ({final})
+   WHERE a_id % {_EVAL_MOD} = 0 OR b_id % {_EVAL_MOD} = 0
+),
+j AS (
+  SELECT t.a_id IS NOT NULL AS is_true, c.a_id IS NOT NULL AS is_cand
+    FROM truth t FULL JOIN cand c ON t.a_id = c.a_id AND t.b_id = c.b_id
+)
+SELECT CAST(count(*) FILTER (is_true) AS BIGINT) AS n_true,
+       CAST(count(*) FILTER (is_cand) AS BIGINT) AS n_cand,
+       CAST(count(*) FILTER (is_true AND is_cand) AS BIGINT) AS tp,
+       CAST(count(*) FILTER (is_cand AND NOT is_true) AS BIGINT) AS fp,
+       CAST(count(*) FILTER (is_true AND NOT is_cand) AS BIGINT) AS fn,
+       CASE WHEN count(*) FILTER (is_true) > 0
+            THEN CAST(count(*) FILTER (is_true AND is_cand) AS DOUBLE)
+                 / CAST(count(*) FILTER (is_true) AS DOUBLE) END AS recall,
+       CASE WHEN count(*) FILTER (is_cand) > 0
+            THEN CAST(count(*) FILTER (is_true AND is_cand) AS DOUBLE)
+                 / CAST(count(*) FILTER (is_cand) AS DOUBLE) END AS precision
+  FROM j
+"""
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    oracle=_lsh_recall_oracle_sql(),
+    description=f"LSH quality certification harness: the MinHash(32)+LSH(8 "
+    f"bands) candidate pairs measured against exact 5-shingle Jaccard ≥ 0.5 "
+    f"ground truth on a 1/{_EVAL_MOD} document sample — TP/FP/FN counts plus "
+    "recall/precision (each ONE division of exact counts).  This is how a "
+    "100 TB dedup deployment ships with a MEASURED recall instead of a "
+    "hoped-for one: the approximate pipeline runs at full scale, the exact "
+    "all-pairs certifier runs only on the bounded sample (a deliberate "
+    "broadcast nested-loop over sample² pairs — the one place quadratic "
+    "cost is the point, same discipline as the spatial oracles); truth "
+    "threshold tested as the integer inequality 3·inter ≥ |A|+|B|",
+)
+def dedup_lsh_recall_eval(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    # exact side: the SAME normalize + 5-shingle definition the MinHash
+    # signatures use (sparkmerge/ext/dedup.py minhash_signatures); truth
+    # pairs have at least one SAMPLED endpoint (the ngram-op sampling
+    # style: probe side sampled, build side full corpus), so the exact
+    # certifier costs sample x corpus, never corpus².
+    norm = d.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").alias("_norm"),
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.length("_norm") - 4, F.lit(1)))
+    sets = norm.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(idx, lambda i: F.substring(F.col("_norm"), i, 5))
+        ).alias("ss"),
+    ).localCheckpoint(eager=True)  # probe AND build side below
+    a = sets.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
+        F.col("doc_id").alias("p_id"), F.col("ss").alias("sa")
+    )
+    b = sets.select(F.col("doc_id").alias("c_id"), F.col("ss").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    truth = (
+        F.broadcast(a)
+        .join(b, F.col("p_id") != F.col("c_id"))
+        .filter(3 * inter >= F.size("sa") + F.size("sb"))
+        .select(
+            F.least(F.col("p_id"), F.col("c_id")).alias("a_id"),
+            F.greatest(F.col("p_id"), F.col("c_id")).alias("b_id"),
+        )
+        .distinct()  # both-sampled pairs are found from each endpoint
+        .withColumn("is_true", F.lit(True))
+    )
+    cand = (
+        _minhash_pairs(spark, sf_dir)
+        .filter(
+            (F.col("a_id") % _EVAL_MOD == 0) | (F.col("b_id") % _EVAL_MOD == 0)
+        )
+        .select("a_id", "b_id", F.lit(True).alias("is_cand"))
+    )
+    j = truth.join(cand, ["a_id", "b_id"], "full").select(
+        F.coalesce(F.col("is_true"), F.lit(False)).alias("is_true"),
+        F.coalesce(F.col("is_cand"), F.lit(False)).alias("is_cand"),
+    )
+    # coalesce: an empty sample must report 0 (like the oracle's count
+    # FILTER), not SUM's NULL-on-no-rows
+    n_true = F.coalesce(F.sum(F.when(F.col("is_true"), 1).otherwise(0)), F.lit(0))
+    n_cand = F.coalesce(F.sum(F.when(F.col("is_cand"), 1).otherwise(0)), F.lit(0))
+    tp = F.coalesce(
+        F.sum(F.when(F.col("is_true") & F.col("is_cand"), 1).otherwise(0)), F.lit(0)
+    )
+    return j.agg(
+        n_true.alias("n_true"),
+        n_cand.alias("n_cand"),
+        tp.alias("tp"),
+        (n_cand - tp).alias("fp"),
+        (n_true - tp).alias("fn"),
+        F.when(n_true > 0, tp.cast("double") / n_true.cast("double")).alias(
+            "recall"
+        ),
+        F.when(n_cand > 0, tp.cast("double") / n_cand.cast("double")).alias(
+            "precision"
+        ),
     )

@@ -305,3 +305,39 @@ def join_asof_nearest(spark, sf_dir):
         .otherwise(fwd_gap)
         .alias("gap_us"),
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS next_orderkey
+    FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts, o.next_orderkey
+  FROM events e ASOF LEFT JOIN r o
+    ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+""",
+    description="forward as-of join (the 'next scheduled event' direction "
+    "the backward family can't answer): earliest order at-or-AFTER each "
+    "event, via the same union + partitioned-window carry-forward with the "
+    "time ordering reversed — still ONE shuffle total, never a nested-loop "
+    "theta join; right side deduped to max orderkey per (key, time) on "
+    "both engines; oracle is DuckDB's native forward ASOF JOIN (ts <= t)",
+)
+def join_asof_forward(spark, sf_dir):
+    from sparkmerge.ext.temporal import asof_join
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", F.col("o_orderkey").alias("next_orderkey")
+    )
+    return asof_join(
+        events,
+        orders,
+        key=("user_id", "o_custkey"),
+        time=("ts", "o_orderdate"),
+        right_payload=["next_orderkey"],
+        right_dups="max",
+        direction="forward",
+    )

@@ -121,6 +121,9 @@ SECTIONS = [
     ("Sorted-neighborhood ER, cohort LTV, arg-extrema (r6 batch 5)", [
         "dedup_sorted_neighborhood", "orders_cohort_ltv", "fn_agg_argminmax",
     ]),
+    ("Forward as-of, LSH recall certification (r6 batch 6)", [
+        "join_asof_forward", "dedup_lsh_recall_eval",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",
