@@ -48,6 +48,14 @@ OPS = [
     "window_rolling_distinct",        # contribution-explode distinct counts
     "tpch_q21_style",                 # multi-frame window chain (r6 rewrite)
     "graph_triangle_count",           # adjacency-intersection (r6 rewrite)
+    # r6 batch 4-6 partitioning-sensitive surfaces
+    "graph_clustering_coefficient",   # triangle participation + degree join
+    "events_inter_arrival",           # lag window + nearest-rank index
+    "events_funnel_latency",          # per-stage rank windows over the fold
+    "dedup_sorted_neighborhood",      # intra-block lead() neighbor pairs
+    "fn_agg_argminmax",               # struct-key extrema under agg combine
+    "join_asof_forward",              # reversed-order carry window
+    "dedup_lsh_recall_eval",          # full-outer pair reconciliation
 ]
 
 
