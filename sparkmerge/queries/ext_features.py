@@ -327,3 +327,68 @@ def pipeline_interleave_sources(spark, sf_dir):
         "source",
         (F.col("pos") * F.col("n_src") + F.col("src_rank")).alias("global_pos"),
     )
+
+
+# --- text_readability_fk (r6) -----------------------------------------------
+
+
+@register(
+    "text_readability_fk",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKS_RAW}) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(text, '{_VOWELS}')) AS BIGINT)
+           AS n_syllables
+    FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0
+            THEN ((0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)))
+                  + (11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))))
+                 - 15.59 END AS fk_grade
+  FROM t
+""",
+    description="Flesch-Kincaid grade level per document (the classic "
+    "readability score quality filters bucket on): whitespace words, "
+    "sentence count from terminal-punctuation runs (min 1), vowel-group "
+    "syllables — all exact integer counts, then the FK polynomial as a "
+    "FIXED-association chain (two divisions, two multiplies, two adds — "
+    "every op correctly-rounded IEEE on exact-integer inputs, so the "
+    "double is engine-portable with no tolerance); pure map-side, zero "
+    "shuffles, plans as one WholeStageCodegen scan",
+)
+def text_readability_fk(spark, sf_dir):
+    from sparkmerge.ext.text import whitespace_tokens
+
+    d = load(spark, sf_dir, "documents")
+    words = F.size(whitespace_tokens(F.col("text"))).cast("long")
+    sents = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("long")
+    sylls = F.size(F.expr(r"regexp_extract_all(text, '[aeiouy]+', 0)")).cast("long")
+    t = d.select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        sylls.alias("n_syllables"),
+    )
+    fk = (
+        (
+            F.lit(0.39)
+            * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        )
+        + (
+            F.lit(11.8)
+            * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
+        )
+    ) - F.lit(15.59)
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(F.col("n_words") > 0, fk).alias("fk_grade"),
+    )

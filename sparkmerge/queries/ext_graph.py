@@ -795,3 +795,167 @@ def graph_bfs_layers(spark, sf_dir):
         visited = visited.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return out
+
+
+# --- graph_assortativity (r6) ----------------------------------------------
+
+
+@register(
+    "graph_assortativity",
+    oracle=f"""
+WITH {_EDGES_SQL},
+bi AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM bi GROUP BY 1),
+de AS (
+  SELECT dj.d AS j, dk.d AS k
+    FROM bi JOIN deg dj ON dj.node = bi.u JOIN deg dk ON dk.node = bi.v
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m2,
+         CAST(sum(j) AS BIGINT) AS s_j,
+         CAST(sum(j * j) AS BIGINT) AS s_jj,
+         CAST(sum(j * k) AS BIGINT) AS s_jk
+    FROM de
+)
+SELECT m2, s_j, s_jj, s_jk,
+       ((CAST(s_jk AS DOUBLE) / CAST(m2 AS DOUBLE))
+        - ((CAST(s_j AS DOUBLE) / CAST(m2 AS DOUBLE))
+           * (CAST(s_j AS DOUBLE) / CAST(m2 AS DOUBLE))))
+       / ((CAST(s_jj AS DOUBLE) / CAST(m2 AS DOUBLE))
+          - ((CAST(s_j AS DOUBLE) / CAST(m2 AS DOUBLE))
+             * (CAST(s_j AS DOUBLE) / CAST(m2 AS DOUBLE)))) AS assortativity
+  FROM s
+""",
+    description="degree assortativity (Newman's r — do hubs link to hubs?) "
+    "over the capped co-occurrence graph: Pearson correlation of endpoint "
+    "degrees across the symmetrized edge list, computed from FOUR exact "
+    "int64 moment sums (count, Σj, Σj², Σjk — each bounded < 2^53 even at "
+    "sf10, so their double images are exact) combined in a FIXED sequence "
+    "of correctly-rounded IEEE ops — bit-portable, no tolerance; plan is "
+    "the degree agg (one shuffle) + two degree joins + one global moment "
+    "agg, nothing quadratic",
+)
+def graph_assortativity(spark, sf_dir):
+    edges = _edges(spark, sf_dir).select("u", "v")
+    bi = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = bi.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    de = (
+        bi.join(deg.select(F.col("node").alias("u"), F.col("d").alias("j")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("k")), "v")
+        .select("j", "k")
+    )
+    s = de.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum("j").alias("s_j"),
+        F.sum(F.col("j") * F.col("j")).alias("s_jj"),
+        F.sum(F.col("j") * F.col("k")).alias("s_jk"),
+    )
+    m2d = F.col("m2").cast("double")
+    mu = F.col("s_j").cast("double") / m2d
+    r = (
+        (F.col("s_jk").cast("double") / m2d) - (mu * mu)
+    ) / ((F.col("s_jj").cast("double") / m2d) - (mu * mu))
+    return s.select("m2", "s_j", "s_jj", "s_jk", r.alias("assortativity"))
+
+
+# --- graph_modularity_score (r6) --------------------------------------------
+
+
+@register(
+    "graph_modularity_score",
+    oracle=f"""
+WITH RECURSIVE
+{_EDGES_SQL},
+{_SPARSE_EDGES_SQL},
+bi AS (SELECT u, v FROM sedges UNION SELECT v, u FROM sedges),
+reach AS (
+  SELECT u AS node, u AS r FROM bi
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN bi e ON e.u = reach.r
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM sedges),
+within AS (
+  SELECT cu.component, CAST(count(*) AS BIGINT) AS m_c
+    FROM sedges e
+    JOIN comp cu ON cu.node = e.u
+    JOIN comp cv ON cv.node = e.v
+   WHERE cu.component = cv.component
+   GROUP BY 1
+),
+degc AS (
+  SELECT c.component, CAST(count(*) AS BIGINT) AS d_c
+    FROM bi JOIN comp c ON c.node = bi.u GROUP BY 1
+),
+percomp AS (
+  SELECT d.component,
+         COALESCE(w.m_c, 0) AS m_c,
+         d.d_c,
+         4 * m.n_edges * COALESCE(w.m_c, 0) - d.d_c * d.d_c AS q_num_c
+    FROM degc d LEFT JOIN within w ON w.component = d.component
+    CROSS JOIN m
+)
+SELECT m.n_edges,
+       p.n_communities,
+       p.q_num,
+       CAST(4 * m.n_edges * m.n_edges AS BIGINT) AS q_den,
+       CASE WHEN m.n_edges > 0
+            THEN CAST(p.q_num AS DOUBLE)
+                 / CAST(4 * m.n_edges * m.n_edges AS DOUBLE) END AS modularity
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+               CAST(sum(q_num_c) AS BIGINT) AS q_num
+          FROM percomp) p
+  CROSS JOIN m
+""",
+    description="Newman modularity Q of the connected-component partition "
+    "over the sparse subgraph (the community-quality score a clustering "
+    "pass is judged by): Q·4m² = Σ_c (4m·m_c − d_c²) keeps the ENTIRE "
+    "statistic in exact int64 (numerator and denominator are output "
+    "columns; the float is ONE division) — no per-community FP summation "
+    "order to disagree on; components come from the same iterative "
+    "min-label propagation the CC op certifies, edges/degrees from two "
+    "component joins + bounded aggs",
+)
+def graph_modularity_score(spark, sf_dir):
+    from sparkmerge.ext.dedup import connected_components
+
+    sed = _sparse_edges(spark, sf_dir).select("u", "v").localCheckpoint(eager=True)
+    labels = connected_components(sed, "u", "v", max_iters=12)
+    cu = labels.select(F.col("node").alias("u"), F.col("component").alias("comp_u"))
+    cv = labels.select(F.col("node").alias("v"), F.col("component").alias("comp_v"))
+    e = sed.join(cu, "u").join(cv, "v")
+    n_edges = sed.count()  # bounded: one scalar for the integer formula
+    within = (
+        e.filter(F.col("comp_u") == F.col("comp_v"))
+        .groupBy(F.col("comp_u").alias("component"))
+        .agg(F.count(F.lit(1)).alias("m_c"))
+    )
+    bi = sed.unionByName(sed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    degc = (
+        bi.join(cu, "u")
+        .groupBy(F.col("comp_u").alias("component"))
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    per = degc.join(within, "component", "left").select(
+        "component",
+        F.coalesce(F.col("m_c"), F.lit(0)).alias("m_c"),
+        "d_c",
+        (
+            4 * F.lit(n_edges) * F.coalesce(F.col("m_c"), F.lit(0))
+            - F.col("d_c") * F.col("d_c")
+        ).alias("q_num_c"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum("q_num_c").alias("q_num"),
+    )
+    q_den = 4 * n_edges * n_edges
+    return agg.select(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        "n_communities",
+        F.col("q_num").cast("long").alias("q_num"),
+        F.lit(q_den).cast("long").alias("q_den"),
+        (F.col("q_num").cast("double") / F.lit(float(q_den))).alias("modularity"),
+    )

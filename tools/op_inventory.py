@@ -124,6 +124,9 @@ SECTIONS = [
     ("Forward as-of, LSH recall certification (r6 batch 6)", [
         "join_asof_forward", "dedup_lsh_recall_eval",
     ]),
+    ("Readability grade, assortativity, modularity (r6 batch 7)", [
+        "text_readability_fk", "graph_assortativity", "graph_modularity_score",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",
