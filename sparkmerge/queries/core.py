@@ -777,3 +777,78 @@ def merge_sparse_patch(spark, sf_dir):
         F.col("_new.o_totalprice").alias("new_totalprice"),
         F.col("_new.o_orderdate").alias("new_orderdate"),
     )
+
+
+# --- merge_column_change_profile (r6) ---------------------------------------
+
+
+@register(
+    "merge_column_change_profile",
+    oracle=f"""
+WITH src AS ({ORDERS_DELTA_SQL}),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_matched,
+         CAST(sum(CASE WHEN s.o_custkey IS DISTINCT FROM t.o_custkey
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_custkey,
+         CAST(sum(CASE WHEN s.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_status,
+         CAST(sum(CASE WHEN s.o_totalprice IS DISTINCT FROM t.o_totalprice
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_price,
+         CAST(sum(CASE WHEN s.o_orderdate IS DISTINCT FROM t.o_orderdate
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_date,
+         CAST(sum(CASE WHEN s.o_orderpriority IS DISTINCT FROM t.o_orderpriority
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_priority
+    FROM src s JOIN orders t ON t.o_orderkey = s.o_orderkey
+)
+SELECT col, n_changed, n_matched,
+       CAST(n_changed AS DOUBLE) / CAST(n_matched AS DOUBLE) AS change_frac
+  FROM (
+    SELECT 'o_custkey' AS col, c_custkey AS n_changed, n_matched FROM m
+    UNION ALL SELECT 'o_orderstatus', c_status, n_matched FROM m
+    UNION ALL SELECT 'o_totalprice', c_price, n_matched FROM m
+    UNION ALL SELECT 'o_orderdate', c_date, n_matched FROM m
+    UNION ALL SELECT 'o_orderpriority', c_priority, n_matched FROM m
+  )
+""",
+    description="per-column change profile of a merge feed (the changeset "
+    "introspection a warehouse team reads before enabling a feed: WHICH "
+    "columns actually drive updates, and at what rate): matched source/"
+    "target rows compared column-by-column with null-safe inequality "
+    "(eqNullSafe negation = IS DISTINCT FROM — the same comparator "
+    "update_changed uses, sp_SimpleMerge.sql:275-309's INTERSECT "
+    "semantics), ONE key-join shuffle + one global agg, unpivoted to a "
+    "row per column via stack(); exact counts, one division per fraction",
+)
+def merge_column_change_profile(spark, sf_dir):
+    from sparkmerge.queries.fixtures import orders_delta
+
+    src = orders_delta(spark, sf_dir)
+    tgt = load(spark, sf_dir, "orders")
+    j = src.alias("s").join(
+        tgt.alias("t"), F.col("s.o_orderkey") == F.col("t.o_orderkey")
+    )
+    cols = [
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_matched")] + [
+        F.sum(
+            F.when(~F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}")), 1).otherwise(0)
+        ).alias(f"c_{i}")
+        for i, c in enumerate(cols)
+    ]
+    m = j.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', c_{i}" for i, c in enumerate(cols))
+    return m.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col, n_changed)", "n_matched"
+    ).select(
+        "col",
+        "n_changed",
+        "n_matched",
+        (F.col("n_changed").cast("double") / F.col("n_matched").cast("double")).alias(
+            "change_frac"
+        ),
+    )

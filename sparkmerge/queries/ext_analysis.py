@@ -1059,3 +1059,112 @@ def orders_cohort_ltv(spark, sf_dir):
         "revenue_cents",
         F.sum("revenue_cents").over(w).alias("cum_revenue_cents"),
     )
+
+
+# --- orders_abc_xyz_class (r6) ----------------------------------------------
+#
+# The inventory-management classification matrix: ABC = revenue
+# concentration (cumulative-share cut at 80 % / 95 %), XYZ = demand
+# variability (coefficient of variation of the part's monthly quantity
+# series, cut at 0.5 / 1.0).  Every class decision is an INTEGER
+# inequality on exact cents/moments — the FP columns are report-only:
+#   cumshare <= 0.80  <=>  5*cum <= 4*total
+#   cv < 0.5          <=>  4*D < s1²   where D = n*s2 - s1², cv = sqrt(D)/s1
+#   cv < 1.0          <=>  D < s1²
+
+
+@register(
+    "orders_abc_xyz_class",
+    oracle="""
+WITH monthly AS (
+  SELECT l_partkey,
+         date_trunc('month', l_shipdate) AS month,
+         CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS q_cents,
+         CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+    FROM lineitem GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS n_months,
+         CAST(sum(rev_cents) AS BIGINT) AS revenue_cents,
+         CAST(sum(q_cents) AS BIGINT) AS s1,
+         CAST(sum(q_cents * q_cents) AS BIGINT) AS s2
+    FROM monthly GROUP BY 1
+),
+ranked AS (
+  SELECT *,
+         CAST(sum(revenue_cents) OVER (ORDER BY revenue_cents DESC, l_partkey
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_cents,
+         CAST(sum(revenue_cents) OVER () AS BIGINT) AS total_cents
+    FROM per_part
+)
+SELECT l_partkey, n_months, revenue_cents,
+       CASE WHEN 5 * cum_cents <= 4 * total_cents THEN 'A'
+            WHEN 20 * cum_cents <= 19 * total_cents THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CASE WHEN s1 = 0 THEN NULL
+            ELSE sqrt(CAST(n_months * s2 - s1 * s1 AS DOUBLE))
+                 / CAST(s1 AS DOUBLE) END AS cv,
+       CASE WHEN s1 = 0 THEN 'Z'
+            WHEN 4 * (n_months * s2 - s1 * s1) < s1 * s1 THEN 'X'
+            WHEN (n_months * s2 - s1 * s1) < s1 * s1 THEN 'Y'
+            ELSE 'Z' END AS xyz_class
+  FROM ranked
+""",
+    description="ABC-XYZ inventory classification per part: ABC from "
+    "cumulative revenue share (80/95 cuts), XYZ from the coefficient of "
+    "variation of the monthly demand series (0.5/1.0 cuts) — EVERY class "
+    "decision is an integer inequality on exact cents/moments (5·cum ≤ "
+    "4·total; 4·D < s1² with D = n·s2 − s1²), so classes are bit-portable "
+    "with no FP boundary hazard; the cv column itself is sqrt(D)/s1, two "
+    "correctly-rounded IEEE ops on exact integers.  ONE (part, month) agg "
+    "+ one part agg + a rank window over the per-part table — the windows "
+    "run on the REDUCED table (|parts| rows), never on lineitem",
+)
+def orders_abc_xyz_class(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    qc = F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("long")
+    rc = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", F.col("l_shipdate")).alias("month")
+    ).agg(F.sum(qc).alias("q_cents"), F.sum(rc).alias("rev_cents"))
+    per = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("rev_cents").alias("revenue_cents"),
+        F.sum("q_cents").alias("s1"),
+        F.sum(F.col("q_cents") * F.col("q_cents")).alias("s2"),
+    )
+    w_cum = (
+        Window.orderBy(F.desc("revenue_cents"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per.select(
+        "*",
+        F.sum("revenue_cents").over(w_cum).alias("cum_cents"),
+        F.sum("revenue_cents").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total_cents"),
+    )
+    d = F.col("n_months") * F.col("s2") - F.col("s1") * F.col("s1")
+    return ranked.select(
+        "l_partkey",
+        "n_months",
+        "revenue_cents",
+        F.when(5 * F.col("cum_cents") <= 4 * F.col("total_cents"), "A")
+        .when(20 * F.col("cum_cents") <= 19 * F.col("total_cents"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        F.when(
+            F.col("s1") != 0, F.sqrt(d.cast("double")) / F.col("s1").cast("double")
+        ).alias("cv"),
+        F.when(F.col("s1") == 0, "Z")
+        .when(4 * d < F.col("s1") * F.col("s1"), "X")
+        .when(d < F.col("s1") * F.col("s1"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )

@@ -656,7 +656,8 @@ def dedup_lsh_recall_eval(spark, sf_dir):
         F.array_distinct(
             F.transform(idx, lambda i: F.substring(F.col("_norm"), i, 5))
         ).alias("ss"),
-    ).localCheckpoint(eager=True)  # probe AND build side below
+    )  # probe AND build side below — map-side lineage, cheap to recompute;
+    # checkpointing would pin O(corpus) shingle arrays on the heap
     a = sets.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
         F.col("doc_id").alias("p_id"), F.col("ss").alias("sa")
     )

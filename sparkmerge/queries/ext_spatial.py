@@ -278,14 +278,19 @@ def spatial_dbscan_core(spark, sf_dir):
         F.abs(F.col("x") - F.col("bx")), F.abs(F.col("y") - F.col("by"))
     )
     # directed eps-neighbor list (pid -> nbr), deduped across the 3x3
-    # cell visits a pair can share; referenced twice (count + border
-    # semi-join), so truncate the grid-join lineage once
+    # cell visits a pair can share.  Referenced twice (count + border
+    # semi-join) — NO checkpoint: the dedup's Exchange subtree is
+    # identical under both consumers, so ReuseExchange computes it once
+    # and both read the shuffle files from disk.  An eager localCheckpoint
+    # here pinned the full pair list (~1e8 rows at sf10 — output-bound
+    # like join_spatial_grid) on the executor heap and OOMed; caught by
+    # tools/scale10_report.py, the third real scale bug the sf-sweep
+    # discipline has found.
     nbr = (
         build.join(probe, ["cx", "cy"])
         .filter((F.col("pid") != F.col("b_pid")) & (cheb <= _RADIUS))
         .select("pid", F.col("b_pid").alias("nbr"))
         .dropDuplicates(["pid", "nbr"])
-        .localCheckpoint(eager=True)
     )
     cnt = nbr.groupBy("pid").agg(F.count(F.lit(1)).alias("n_neighbors"))
     lab = pts.select("pid").join(cnt, "pid", "left").select(

@@ -550,3 +550,132 @@ def window_rolling_distinct(spark, sf_dir):
         .agg(F.count_distinct(F.col("user_id")).alias("n_active_7d"))
         .select(F.col("end_d").cast("string").alias("d"), "n_active_7d")
     )
+
+
+# --- timeseries_acf_lags (r6) -----------------------------------------------
+#
+# Autocorrelation of each event type's daily-revenue series at lags 1-3 —
+# the seasonality/momentum diagnostic.  FP discipline: the series is exact
+# integer (daily cents DIV 100 — the DIV bounds the moment sums below 2^63
+# even at sf10), every moment (S, S2, P_k, A_k, B_k, counts) is an exact
+# integer aggregate, and the estimator combines them in ONE fixed
+# parenthesization of correctly-rounded IEEE ops — identical on any
+# engine/partitioning.  Estimator (x̄ = S/n over the full series):
+#   r_k = (((P_k − x̄·A_k) − x̄·B_k) + n_k·x̄²) / (S2 − x̄·S)
+
+
+@register(
+    "timeseries_acf_lags",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) // 100
+              AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, x,
+         lag(x, 1) OVER w AS l1,
+         lag(x, 2) OVER w AS l2,
+         lag(x, 3) OVER w AS l3
+    FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS s1,
+         CAST(sum(x * x) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN l1 IS NOT NULL THEN x * l1 END) AS BIGINT) AS p1,
+         CAST(sum(CASE WHEN l1 IS NOT NULL THEN x END) AS BIGINT) AS a1,
+         CAST(sum(l1) AS BIGINT) AS b1,
+         CAST(count(l1) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN l2 IS NOT NULL THEN x * l2 END) AS BIGINT) AS p2,
+         CAST(sum(CASE WHEN l2 IS NOT NULL THEN x END) AS BIGINT) AS a2,
+         CAST(sum(l2) AS BIGINT) AS b2,
+         CAST(count(l2) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN l3 IS NOT NULL THEN x * l3 END) AS BIGINT) AS p3,
+         CAST(sum(CASE WHEN l3 IS NOT NULL THEN x END) AS BIGINT) AS a3,
+         CAST(sum(l3) AS BIGINT) AS b3,
+         CAST(count(l3) AS BIGINT) AS n3
+    FROM lagged GROUP BY 1
+)
+SELECT event_type, CAST(lg AS INT) AS lag, n_days, n_pairs,
+       CASE WHEN den <> 0.0 THEN num / den END AS acf
+  FROM (
+    SELECT event_type, u.lg, n_days,
+           CASE u.lg WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END AS n_pairs,
+           (((CAST(CASE u.lg WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+                * CAST(CASE u.lg WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END AS DOUBLE))
+             - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+               * CAST(CASE u.lg WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS DOUBLE))
+           + CAST(CASE u.lg WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END AS DOUBLE)
+             * ((CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)))) AS num,
+           CAST(s2 AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) * CAST(s1 AS DOUBLE)
+             AS den
+      FROM m CROSS JOIN (SELECT unnest([1, 2, 3]) AS lg) u
+  )
+""",
+    description="lag-1/2/3 autocorrelation of each event type's daily "
+    "revenue series (seasonality/momentum diagnostic): exact-integer daily "
+    "series (cents DIV 100 bounds every moment below 2^63 at sf10 — the "
+    "spatial-overflow lesson applied up front), one type-keyed window for "
+    "the lag columns riding the same shuffle as the moment agg, estimator "
+    "combined in ONE fixed parenthesization of IEEE ops — bit-portable, "
+    "no tolerance; output is |types|·3 rows from a bounded per-type state",
+)
+def timeseries_acf_lags(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(cents).alias("c"))
+        .select("event_type", "d", F.expr("c div 100").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"l{k}") for k in (1, 2, 3)],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    ]
+    for k in (1, 2, 3):
+        lk = F.col(f"l{k}")
+        aggs += [
+            F.sum(F.when(lk.isNotNull(), F.col("x") * lk)).alias(f"p{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("x"))).alias(f"a{k}"),
+            F.sum(lk).alias(f"b{k}"),
+            F.count(lk).alias(f"n{k}"),
+        ]
+    m = lagged.groupBy("event_type").agg(*aggs)
+    mu = F.col("s1").cast("double") / F.col("n_days").cast("double")
+    rows = []
+    for k in (1, 2, 3):
+        num = (
+            (
+                F.col(f"p{k}").cast("double")
+                - mu * F.col(f"a{k}").cast("double")
+            )
+            - mu * F.col(f"b{k}").cast("double")
+        ) + F.col(f"n{k}").cast("double") * (mu * mu)
+        den = F.col("s2").cast("double") - mu * F.col("s1").cast("double")
+        rows.append(
+            m.select(
+                "event_type",
+                F.lit(k).cast("int").alias("lag"),
+                "n_days",
+                F.col(f"n{k}").alias("n_pairs"),
+                F.when(den != 0.0, num / den).alias("acf"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

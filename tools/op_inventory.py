@@ -127,6 +127,10 @@ SECTIONS = [
     ("Readability grade, assortativity, modularity (r6 batch 7)", [
         "text_readability_fk", "graph_assortativity", "graph_modularity_score",
     ]),
+    ("Change profile, ABC-XYZ, autocorrelation (r6 batch 8)", [
+        "merge_column_change_profile", "orders_abc_xyz_class",
+        "timeseries_acf_lags",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",

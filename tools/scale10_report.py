@@ -54,10 +54,23 @@ OPS = [
     "graph_cooccurrence_edges",
     "merge_sparse_patch",
     "events_funnel_steps",
+    # r6 late batches: map-side readability, per-doc hapax profile, the
+    # bounded-agg graph statistics, cadence/funnel folds, the reversed
+    # carry-forward asof, the period KPI, and the grid density labels
+    # (dedup/set-similarity ops stay excluded — chained-replica dup
+    # inflation, see module docstring)
+    "text_readability_fk",
+    "text_hapax_ratio",
+    "graph_assortativity",
+    "events_inter_arrival",
+    "events_funnel_latency",
+    "join_asof_forward",
+    "timeseries_mom_growth",
+    "spatial_dbscan_core",
 ]
 # spark-only at sf10: the certifying oracles are quadratic (spatial
 # all-pairs) or disk-spilling (raw co-occurrence) at this size
-SPARK_ONLY = {"join_spatial_grid"}
+SPARK_ONLY = {"join_spatial_grid", "spatial_dbscan_core"}
 SF10 = "/tmp/sparkmerge_sf10"
 SF1 = "/tmp/sparkmerge_sf1"
 TABLES = [
