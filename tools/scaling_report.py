@@ -69,6 +69,15 @@ OPS = [
     "spatial_dbscan_core",
     "dedup_sorted_neighborhood",
     "text_hapax_ratio",
+    # r6 batch 6-8: the reversed carry-forward asof, the cohort LTV
+    # self-join, the per-stage latency windows, the moment-sum graph
+    # statistic, the class-matrix agg chain, and the fixed-association ACF
+    "join_asof_forward",
+    "orders_cohort_ltv",
+    "events_funnel_latency",
+    "graph_assortativity",
+    "orders_abc_xyz_class",
+    "timeseries_acf_lags",
 ]
 
 # (op, sf) pairs whose ORACLE formulation is intentionally not run: the
