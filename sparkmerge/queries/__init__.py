@@ -75,32 +75,13 @@ def register(op_id: str, *, oracle: str | None = None, description: str = ""):
 # not code edits).  They sort right after never-verified ops so the next
 # capped driver window re-confirms the current code.  Remove an entry once
 # a post-rewrite green row lands.
-# NOTE (r6): the 7 r5 entries (MVCC lifecycle ×4, VARIANT json, asof ×2)
-# all landed green r5 rows and are cleared per the contract above, so the
-# r6 window spends its slots on the graph-family re-verification below
-# plus the stalest r1/r2 greens.
+# NOTE (r7): all 12 r6 entries (graph family ×7, abtest, q21, bitext,
+# asof ×2) landed green r6 rows and are cleared per the contract above.
 _FORCE_REVERIFY = {
-    # r6: the whole graph family migrated to the capped (≤32/bucket) edge
-    # builder after its last green rows (r5 verdict ask #2) —
-    # graph_cooccurrence_capped itself moved to a tighter cap (8) to stay
-    # a distinct cap-sensitivity surface.
-    "graph_cooccurrence_edges", "graph_degree_profile",
-    "graph_triangle_count", "graph_pagerank_fixedpoint",
-    "graph_connected_components", "graph_jaccard_neighbors",
-    "graph_cooccurrence_capped",
-    # r6: arm-assignment hash changed from (algebraic) parity to the
-    # high bit of the integer mix (ADVICE r5).
-    "events_abtest_lift",
-    # r6: rewritten from two lineitem self-joins to one-window-shuffle
-    # aggregates (2.74 s → 1.40 s at sf1) after its r3 green row.
-    "tpch_q21_style",
-    # r6: ranked-candidate prefilter + localCheckpoint (3 downstream
-    # consumers no longer re-execute the LSH join) after its r4 green row.
-    "bitext_margin_mine",
-    # r6: asof_join grew a direction parameter (forward variant) — the
-    # shared window-order construction changed under these two after their
-    # r5 green rows (semantically identical ordering; re-confirm anyway).
-    "join_asof", "join_asof_tolerance",
+    # r7: Apriori-style min-support pushdown before the pair self-join
+    # (r6 verdict ask #5) — output unchanged by construction (the support
+    # floor already excluded the pruned pairs), re-confirm anyway.
+    "orders_basket_lift",
 }
 
 
