@@ -354,11 +354,29 @@ def connected_components(
             break
         prev_sum = new_sum
     if not converged:
+        # The sum check trails the fixed point by one round (the confirming
+        # equal-sum round), so a run that converges EXACTLY on the last
+        # allowed iteration exhausts the loop with correct labels (ADVICE
+        # r6).  Spend one extra confirming round before declaring failure:
+        # at the fixed point propagation is the identity, so an unchanged
+        # sum here proves the labels are final — max_iters therefore only
+        # needs to cover the true round count, not round count + 1.
+        prop = edges.join(labels, edges.v == labels.node).select(
+            F.col("u").alias("node"), "component"
+        )
+        confirm = (
+            labels.unionAll(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        if confirm.agg(F.sum("component")).first()[0] == prev_sum:
+            converged = True
+    if not converged:
         # The label sum strictly decreases while any node still updates, so
-        # an exhausted loop whose last round changed the sum is NOT at the
-        # fixed point — the labels would be silently wrong for any component
-        # with min-label eccentricity > max_iters.  Non-convergence must be
-        # an error, not a wrong answer (ADVICE r5).
+        # an exhausted loop whose confirming round changed the sum is NOT at
+        # the fixed point — the labels would be silently wrong for any
+        # component with min-label eccentricity > max_iters.  Non-convergence
+        # must be an error, not a wrong answer (ADVICE r5).
         raise RuntimeError(
             f"connected_components did not converge within max_iters={max_iters}; "
             "raise max_iters (component diameter exceeds the round budget)"

@@ -177,6 +177,7 @@ def table_path(sf_dir: str, table: str) -> str:
     dst_dir = f"/tmp/sparkmerge_cache/{key}"
     dst = f"{dst_dir}/part-0.parquet"
     if not os.path.exists(dst):
+        prune_stale_siblings("/tmp/sparkmerge_cache", key)
         os.makedirs(dst_dir, exist_ok=True)
         t = pq.read_table(src)
         fields = [
@@ -197,16 +198,22 @@ def events_path(sf_dir: str) -> str:
 
 
 def fingerprint(*paths: str) -> str:
-    """Cache key for a /tmp-derived fixture: md5 over each source path PLUS
-    its (size, mtime_ns).  Keying on the path alone left stale caches live
+    """Cache key for a /tmp-derived fixture: ``<path-hash>-<content-hash>``.
+
+    The path half is md5 over the abspaths alone; the content half adds each
+    file's (size, mtime_ns).  Keying on the path alone left stale caches live
     after a testdata regeneration at the same location — the derived blobs
     would silently diverge from the oracle, which reads the live tables
-    (ADVICE r5).  A directory path fingerprints every ``*.parquet`` in it."""
+    (ADVICE r5).  The two-part layout lets :func:`prune_stale_siblings` drop
+    superseded content generations of the SAME source path, so repeated
+    regenerations no longer grow /tmp without bound (ADVICE r6).  A
+    directory path fingerprints every ``*.parquet`` in it."""
     import glob
     import hashlib
     import os
 
-    h = hashlib.md5()
+    hp = hashlib.md5()
+    hc = hashlib.md5()
     for p in paths:
         p = os.path.abspath(p)
         files = (
@@ -214,8 +221,23 @@ def fingerprint(*paths: str) -> str:
             if os.path.isdir(p)
             else [p]
         )
-        h.update(p.encode())
+        hp.update(p.encode())
         for f in files:
             st = os.stat(f)
-            h.update(f"|{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode())
-    return h.hexdigest()[:12]
+            hc.update(f"|{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return f"{hp.hexdigest()[:12]}-{hc.hexdigest()[:12]}"
+
+
+def prune_stale_siblings(base_dir: str, key: str) -> None:
+    """Remove cache directories under ``base_dir`` for the same source path
+    (same path-hash prefix) but a superseded content fingerprint.  Called
+    when a NEW fingerprint materializes; racing readers of a pruned dir can
+    only be reading a stale generation that no current writer produces."""
+    import glob
+    import os
+    import shutil
+
+    prefix = key.split("-", 1)[0]
+    for d in glob.glob(os.path.join(base_dir, f"{prefix}-*")):
+        if os.path.basename(d) != key:
+            shutil.rmtree(d, ignore_errors=True)

@@ -541,7 +541,7 @@ def text_cooccurrence_window(spark, sf_dir):
     oracle="""
 WITH assign AS (
   SELECT user_id,
-         CAST(CASE WHEN (user_id * 2654435761) % 4294967296 >= 2147483648
+         CAST(CASE WHEN ((user_id % 2147483647) * 2654435761) % 4294967296 >= 2147483648
                    THEN 1 ELSE 0 END AS BIGINT) AS arm
     FROM events GROUP BY user_id
 ),
@@ -573,7 +573,7 @@ SELECT t.n_users AS treat_users, t.n_converted AS treat_conv,
 def events_abtest_lift(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     arm = (
-        F.when((F.col("user_id") * 2654435761) % 4294967296 >= 2147483648, 1)
+        F.when(((F.col("user_id") % 2147483647) * 2654435761) % 4294967296 >= 2147483648, 1)
         .otherwise(0)
         .cast("long")
     )

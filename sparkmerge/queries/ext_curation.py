@@ -34,11 +34,11 @@ _TOKS_LOWER = f"list_filter(string_split_regex(lower(text), '{_WS}'), x -> x <> 
 
 # Knuth multiplicative hash of the doc id in [0, 1) — the registry's standard
 # RNG replacement (exact dyadic rational, identical in both engines).
-_U_SQL = "((doc_id * 2654435761) % 4294967296) / 4294967296.0"
+_U_SQL = "(((doc_id % 2147483647) * 2654435761) % 4294967296) / 4294967296.0"
 
 
 def _u(col):
-    return ((col * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(4294967296.0)
+    return (((col % F.lit(2147483647)) * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(4294967296.0)
 
 
 # --- pipeline_chunk_split: documents -> overlapping context-window chunks ---
@@ -154,7 +154,7 @@ WITH t AS (
   SELECT doc_id,
          CASE WHEN len({_TOKS_RAW}) < 50 THEN 0
               WHEN len({_TOKS_RAW}) < 200 THEN 1 ELSE 2 END AS stage,
-         CAST(((doc_id * 2654435761) % 4294967296) % 16 AS INT) AS shard,
+         CAST((((doc_id % 2147483647) * 2654435761) % 4294967296) % 16 AS INT) AS shard,
          CAST((doc_id * 40503) % 65536 AS BIGINT) AS hkey
     FROM documents
 )
@@ -175,7 +175,7 @@ def pipeline_curriculum_order(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     n = token_count(F.col("text"))
     stage = F.when(n < 50, 0).when(n < 200, 1).otherwise(2)
-    shard = (((F.col("doc_id") * 2654435761) % 4294967296) % 16).cast("int")
+    shard = ((((F.col("doc_id") % 2147483647) * 2654435761) % 4294967296) % 16).cast("int")
     hkey = ((F.col("doc_id") * 40503) % 65536).cast("bigint")
     t = d.select(
         "doc_id", stage.alias("stage"), shard.alias("shard"), hkey.alias("hkey")
@@ -195,7 +195,7 @@ def pipeline_curriculum_order(spark, sf_dir):
 SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (
   SELECT lang, doc_id,
          row_number() OVER (PARTITION BY lang
-                            ORDER BY CAST((doc_id * 2654435761) % 4294967296 AS BIGINT),
+                            ORDER BY CAST(((doc_id % 2147483647) * 2654435761) % 4294967296 AS BIGINT),
                                      doc_id) AS rk
     FROM documents) t
  WHERE rk <= 20
@@ -210,7 +210,7 @@ def agg_reservoir_sample(spark, sf_dir):
     from pyspark.sql.window import Window
 
     d = load(spark, sf_dir, "documents")
-    hkey = ((F.col("doc_id") * 2654435761) % 4294967296).cast("bigint")
+    hkey = (((F.col("doc_id") % 2147483647) * 2654435761) % 4294967296).cast("bigint")
     t = d.select("lang", "doc_id", hkey.alias("hkey"))
     w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
     return (

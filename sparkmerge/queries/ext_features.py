@@ -136,6 +136,7 @@ def tokenizer_vocab_coverage(spark, sf_dir):
 
 _PROJ_K = 8  # output dimensions
 _KNUTH = 2654435761
+_MIXP = 2147483647  # pre-reduce prime: bounds doc_id * _KNUTH below 2^63 (ADVICE r6)
 _M32 = 4294967296
 _HALF32 = 2147483648
 
@@ -291,7 +292,7 @@ p AS (
   SELECT doc_id, source,
          ROW_NUMBER() OVER (
            PARTITION BY source
-           ORDER BY (doc_id * {_KNUTH}) % {_M32}, doc_id) - 1 AS pos
+           ORDER BY ((doc_id % {_MIXP}) * {_KNUTH}) % {_M32}, doc_id) - 1 AS pos
     FROM documents
 )
 SELECT p.doc_id, p.source,
@@ -317,7 +318,7 @@ def pipeline_interleave_sources(spark, sf_dir):
         F.count(F.lit(1)).over(w_all).alias("n_src"),
     )
     w_pos = Window.partitionBy("source").orderBy(
-        (F.col("doc_id") * _KNUTH) % _M32, F.col("doc_id")
+        ((F.col("doc_id") % _MIXP) * _KNUTH) % _M32, F.col("doc_id")
     )
     p = d.select(
         "doc_id", "source", (F.row_number().over(w_pos) - 1).alias("pos")

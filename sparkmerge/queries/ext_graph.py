@@ -46,6 +46,22 @@ from sparkmerge.queries import load, register
 
 _BUCKET_CAP = 32  # max members per (hour, type) bucket before pairing
 
+# Knuth-mix rank key for the bucket cap.  The id is pre-reduced modulo a
+# 31-bit prime BEFORE the golden-ratio multiply so the product stays under
+# (P-1)*2654435761 < 2^63 for ANY int64 user_id — the raw formulation
+# overflowed (silent wrap in non-ANSI Spark, error in DuckDB/ANSI) once
+# ids exceeded ~3.4e9 (ADVICE r6).  For user_id < P the reduction is the
+# identity, so the rank order (and every downstream oracle hash) is
+# unchanged on all test corpora.
+_MIX_PRIME = 2147483647  # 2^31 - 1
+
+
+def _mix_key(col):
+    return ((col % _MIX_PRIME) * 2654435761) % 4294967296
+
+
+_MIX_KEY_SQL = "((user_id % 2147483647) * 2654435761) % 4294967296"
+
 
 def _edges_sql(cap: int) -> str:
     """DuckDB CTE chain mirroring :func:`_edges` at the given cap."""
@@ -58,7 +74,7 @@ capped AS (
   SELECT b, event_type, user_id FROM (
     SELECT b, event_type, user_id,
            row_number() OVER (PARTITION BY b, event_type
-                              ORDER BY (user_id * 2654435761) % 4294967296, user_id) AS rn
+                              ORDER BY {_MIX_KEY_SQL}, user_id) AS rn
       FROM ev) WHERE rn <= {cap}
 ),
 edges AS (
@@ -104,7 +120,7 @@ def _edges(spark, sf_dir, cap: int = _BUCKET_CAP) -> DataFrame:
     )
     rn = F.row_number().over(
         Window.partitionBy("b", "event_type").orderBy(
-            (F.col("user_id") * 2654435761) % 4294967296, F.col("user_id")
+            _mix_key(F.col("user_id")), F.col("user_id")
         )
     )
     capped = ev.withColumn("rn", rn).filter(F.col("rn") <= cap).drop("rn")

@@ -159,7 +159,7 @@ def json_extract_props(spark, sf_dir):
     oracle="""
 SELECT doc_id, lang
   FROM documents
- WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+ WHERE (((doc_id % 2147483647) * 2654435761) % 4294967296) / 4294967296.0
        < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END)
 """,
     description="deterministic stratified sampling for training-data mixes: "
@@ -168,7 +168,7 @@ SELECT doc_id, lang
 )
 def sample_stratified(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(4294967296.0)
+    u = (((F.col("doc_id") % F.lit(2147483647)) * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(4294967296.0)
     rate = (
         F.when(F.col("lang") == "en", 0.5)
         .when(F.col("lang") == "de", 0.25)
@@ -203,7 +203,7 @@ deduped AS (
 SELECT doc_id, lang, n_tokens
   FROM deduped
  WHERE rn = 1
-   AND ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+   AND (((doc_id % 2147483647) * 2654435761) % 4294967296) / 4294967296.0
        < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END)
 """,
     description="end-to-end training-data mix as ONE declarative plan: quality "
@@ -226,7 +226,7 @@ def pipeline_training_mix(spark, sf_dir):
     filtered = scored.filter((F.col("n_tokens") >= 10) & (F.col("pr") <= 0.2))
     w = Window.partitionBy("fp").orderBy("doc_id")
     deduped = filtered.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(4294967296.0)
+    u = (((F.col("doc_id") % F.lit(2147483647)) * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(4294967296.0)
     rate = (
         F.when(F.col("lang") == "en", 0.5)
         .when(F.col("lang") == "de", 0.25)
@@ -691,7 +691,7 @@ SELECT doc_id, shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS INT) AS pos
   FROM (
     SELECT doc_id,
-           CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) % 64 AS shard,
+           CAST(((doc_id % 2147483647) * 2654435761) % 4294967296 AS BIGINT) % 64 AS shard,
            CAST((doc_id * 40503) % 65536 AS BIGINT) AS hkey
       FROM documents)
 """,
@@ -705,7 +705,7 @@ def pipeline_shard_shuffle(spark, sf_dir):
     from pyspark.sql.window import Window
 
     d = load(spark, sf_dir, "documents")
-    shard = (((F.col("doc_id") * 2654435761) % 4294967296).cast("bigint") % 64)
+    shard = ((((F.col("doc_id") % 2147483647) * 2654435761) % 4294967296).cast("bigint") % 64)
     hkey = ((F.col("doc_id") * 40503) % 65536).cast("bigint")
     based = d.select("doc_id", shard.alias("shard"), hkey.alias("hkey"))
     w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
@@ -722,9 +722,9 @@ def pipeline_shard_shuffle(spark, sf_dir):
     oracle="""
 WITH assigned AS (
   SELECT doc_id, source, n_chars,
-         CASE WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.98
+         CASE WHEN (((doc_id % 2147483647) * 2654435761) % 4294967296) / 4294967296.0 < 0.98
               THEN 'train'
-              WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.99
+              WHEN (((doc_id % 2147483647) * 2654435761) % 4294967296) / 4294967296.0 < 0.99
               THEN 'val' ELSE 'test' END AS split
     FROM documents)
 SELECT source, split,
@@ -740,7 +740,7 @@ SELECT source, split,
 )
 def pipeline_train_split(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(4294967296.0)
+    u = (((F.col("doc_id") % F.lit(2147483647)) * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(4294967296.0)
     split = (
         F.when(u < 0.98, "train").when(u < 0.99, "val").otherwise("test")
     )

@@ -12,13 +12,19 @@ import os
 
 from pyspark.sql import functions as F
 
-from sparkmerge.queries import fingerprint, load, register, table_path
+from sparkmerge.queries import fingerprint, load, prune_stale_siblings, register, table_path
 
 
 def _derived(sf_dir: str, name: str) -> str:
     # content-fingerprinted key: regenerated testdata at the same path
-    # invalidates the cache instead of silently serving stale derivations
-    return f"/tmp/sparkmerge_formats/{fingerprint(sf_dir)}/{name}"
+    # invalidates the cache instead of silently serving stale derivations;
+    # superseded content generations of the same sf_dir are pruned so
+    # /tmp/sparkmerge_formats stays bounded across regenerations (ADVICE r6)
+    key = fingerprint(sf_dir)
+    base = f"/tmp/sparkmerge_formats/{key}"
+    if not os.path.exists(base):
+        prune_stale_siblings("/tmp/sparkmerge_formats", key)
+    return f"{base}/{name}"
 
 
 def _ensure_nation_csv(sf_dir: str) -> str:

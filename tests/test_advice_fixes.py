@@ -190,3 +190,72 @@ def test_fingerprint_tracks_content_changes(tmp_path):
     k_dir = fingerprint(str(tmp_path))
     (tmp_path / "u.parquet").write_bytes(b"x")
     assert fingerprint(str(tmp_path)) != k_dir
+
+
+# --- round-6 ADVICE regressions ---------------------------------------------
+
+
+def test_mix_key_prereduction_is_identity_below_prime(spark):
+    """The capped-edge rank key pre-reduces ids modulo 2^31-1 before the
+    Knuth multiply (ADVICE r6: the raw product overflows int64 for ids over
+    ~3.4e9 — silent wrap in non-ANSI Spark, error in DuckDB).  For every id
+    below the prime the reduction is the identity, so the rank order — and
+    every committed graph-oracle hash — is unchanged."""
+    from sparkmerge.queries.ext_graph import _MIX_PRIME, _mix_key
+
+    ids = spark.range(1, 100000, 997).select(F.col("id").alias("user_id"))
+    old = (F.col("user_id") * 2654435761) % 4294967296
+    rows = ids.select(
+        _mix_key(F.col("user_id")).alias("new"), old.alias("old")
+    ).collect()
+    assert all(r["new"] == r["old"] for r in rows)
+    # and the pre-reduced product is int64-safe for ANY int64 id
+    assert (_MIX_PRIME - 1) * 2654435761 < 2**63
+    huge = spark.createDataFrame(
+        [(2**62 + 12345,), (2**63 - 1,)], "user_id long"
+    )
+    vals = [r[0] for r in huge.select(_mix_key(F.col("user_id"))).collect()]
+    assert all(0 <= v < 4294967296 for v in vals)
+
+
+def test_connected_components_accepts_exact_convergence(spark):
+    """A 3-node path converges in exactly 2 label-changing rounds; the old
+    check needed a THIRD confirming round inside the budget and raised
+    spuriously at max_iters=2 even though the labels were final (ADVICE
+    r6).  The confirm-on-exhaustion round must accept it."""
+    from sparkmerge.ext.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a_id int, b_id int")
+    labels = connected_components(pairs, max_iters=2)
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    # genuinely insufficient budgets still raise
+    long_path = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "a_id int, b_id int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(long_path, max_iters=1)
+
+
+def test_prune_stale_siblings(tmp_path):
+    """A new content generation of the same source path prunes superseded
+    cache dirs (same path-hash, different content-hash) and leaves other
+    sources untouched (ADVICE r6: unbounded /tmp growth)."""
+    from sparkmerge.queries import fingerprint, prune_stale_siblings
+
+    src = tmp_path / "t.parquet"
+    src.write_bytes(b"gen1")
+    k1 = fingerprint(str(src))
+    src.write_bytes(b"gen2-longer")
+    k2 = fingerprint(str(src))
+    assert k1 != k2 and k1.split("-")[0] == k2.split("-")[0]
+
+    base = tmp_path / "cache"
+    (base / k1).mkdir(parents=True)
+    other = "ffffffffffff-000000000000"
+    (base / other).mkdir()
+    (base / k2).mkdir()
+    prune_stale_siblings(str(base), k2)
+    assert not (base / k1).exists()
+    assert (base / k2).exists()
+    assert (base / other).exists()

@@ -76,6 +76,10 @@ def main() -> int:
     reg = registry()
     failures, passed, rows_only = [], 0, 0
     record: dict[str, dict] = {}
+    # Per-op provenance stamp (ADVICE r6): merged partial runs re-stamp the
+    # artifact-level generated_utc, so each ROW carries the timestamp of the
+    # run that actually produced it — carried-over rows keep their own.
+    run_utc = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
     for op_id, spec in sorted(reg.items()):
         if only and op_id not in only:
             continue
@@ -84,18 +88,18 @@ def main() -> int:
             sdf = spec.fn(spark, sf_dir).toPandas()
         except Exception:
             failures.append((op_id, "SPARK ERROR:\n" + traceback.format_exc(limit=8)))
-            record[op_id] = {"status": "spark_error", "rows": None, "secs": round(time.time() - t0, 2)}
+            record[op_id] = {"status": "spark_error", "checked_utc": run_utc, "rows": None, "secs": round(time.time() - t0, 2)}
             continue
         if spec.oracle is None:
             rows_only += 1
             print(f"  ~ {op_id:28s} rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
-            record[op_id] = {"status": "rows_only", "rows": len(sdf), "secs": round(time.time() - t0, 2)}
+            record[op_id] = {"status": "rows_only", "checked_utc": run_utc, "rows": len(sdf), "secs": round(time.time() - t0, 2)}
             continue
         try:
             odf = con.sql(spec.oracle).df()
         except Exception:
             failures.append((op_id, "ORACLE ERROR:\n" + traceback.format_exc(limit=4)))
-            record[op_id] = {"status": "oracle_error", "rows": len(sdf), "secs": round(time.time() - t0, 2)}
+            record[op_id] = {"status": "oracle_error", "checked_utc": run_utc, "rows": len(sdf), "secs": round(time.time() - t0, 2)}
             continue
         problems = []
         # Driver-comparator safety: the driver canonicalizes via pandas
@@ -133,11 +137,11 @@ def main() -> int:
         if problems:
             failures.append((op_id, "; ".join(problems)))
             print(f"  ✗ {op_id:28s} MISMATCH ({time.time()-t0:.1f}s)")
-            record[op_id] = {"status": "mismatch", "rows": len(sdf), "secs": round(time.time() - t0, 2)}
+            record[op_id] = {"status": "mismatch", "checked_utc": run_utc, "rows": len(sdf), "secs": round(time.time() - t0, 2)}
         else:
             passed += 1
             print(f"  ✓ {op_id:28s} ok ({len(sdf)} rows, {time.time()-t0:.1f}s)")
-            record[op_id] = {"status": "pass", "rows": len(sdf), "secs": round(time.time() - t0, 2)}
+            record[op_id] = {"status": "pass", "checked_utc": run_utc, "rows": len(sdf), "secs": round(time.time() - t0, 2)}
 
     if json_path:
         # Incremental (`op_id ...`-restricted) runs MERGE into an existing
@@ -151,7 +155,17 @@ def main() -> int:
                 with open(json_path, encoding="utf-8") as f:
                     prev = json.load(f)
                 if prev.get("sf_dir") == sf_dir and isinstance(prev.get("ops"), dict):
-                    merged = {**prev["ops"], **record}
+                    carried = {
+                        op: (
+                            r
+                            if "checked_utc" in r
+                            # pre-r7 rows have no per-op stamp: inherit the
+                            # artifact stamp they were generated under
+                            else {**r, "checked_utc": prev.get("generated_utc")}
+                        )
+                        for op, r in prev["ops"].items()
+                    }
+                    merged = {**carried, **record}
             except (OSError, ValueError):
                 pass
         merged = {op: r for op, r in merged.items() if op in reg}
