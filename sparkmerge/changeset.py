@@ -150,6 +150,58 @@ def _rank_duplicates(df: DataFrame, keys: list[str], order_cols: list[str] | Non
     return df.withColumn(rn_name, F.row_number().over(w))
 
 
+def latest_per_key(
+    source_df: DataFrame,
+    join_columns: str | list[str],
+    latest_by: str | list[str],
+) -> DataFrame:
+    """Recency-reduce a multi-version feed to its latest row per key.
+
+    The reference hard-rejects duplicate-key sources unless ``@badKey``
+    (sp_SimpleMerge.sql:63); real CDC/upsert feeds instead carry several
+    versions per key and want latest-wins BEFORE the changeset join.  Rank
+    within each key by the ``latest_by`` columns DESCENDING (a source
+    timestamp / sequence number), deterministically tie-broken by every
+    remaining column ascending, keep the winner, and DROP the ranking
+    columns — they are feed metadata (like a CDC ``seq``), not data columns,
+    so the reduced source satisfies the normal source ⊆ target schema rule.
+
+    One rank window = one shuffle on the key — the same partitioning the
+    changeset join needs next, so Catalyst reuses the Exchange and the
+    reduction is free at 100 TB beyond the window sort itself.
+    """
+    from sparkmerge.plan import normalize_ident, split_csv
+
+    keys = (
+        split_csv(join_columns)
+        if isinstance(join_columns, str)
+        else [normalize_ident(k) for k in join_columns]
+    )
+    by = (
+        split_csv(latest_by)
+        if isinstance(latest_by, str)
+        else [normalize_ident(c) for c in latest_by]
+    )
+    missing = [c for c in keys + by if c not in source_df.columns]
+    if missing:
+        raise MergeValidationError(
+            f"latest_per_key: columns missing from source: {missing!r}."
+        )
+    overlap = set(keys) & set(by)
+    if overlap:
+        raise MergeValidationError(
+            f"latest_per_key: latest_by overlaps the key: {sorted(overlap)!r}."
+        )
+    tiebreak = [c for c in source_df.columns if c not in keys and c not in by]
+    order = [F.desc(c) for c in by] + [F.asc(c) for c in tiebreak]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return (
+        source_df.withColumn("__lpk_rn", F.row_number().over(w))
+        .filter(F.col("__lpk_rn") == 1)
+        .drop("__lpk_rn", *by)
+    )
+
+
 @dataclass(frozen=True)
 class Changeset:
     """The classified merge result; one row per (target ∪ source) row."""
@@ -230,6 +282,7 @@ def build_changeset(
     plan: MergePlan | None = None,
     strategy: str = "shuffle",
     update_mode: str = "overwrite",
+    source_latest_by: str | list[str] | None = None,
 ) -> Changeset:
     """Classify every row of ``target_df ⟗ source_df`` into a merge action.
 
@@ -258,7 +311,17 @@ def build_changeset(
     target value to keep).  Under 'patch' a NULL is a hole, not a value, so
     "set this column to NULL" is not expressible — that feed shape needs
     'overwrite'.
+
+    ``source_latest_by``: recency-dedup a multi-version feed to latest-per-
+    key by these source columns (descending, deterministic tiebreak) BEFORE
+    the join, dropping them afterwards — see :func:`latest_per_key`.  The
+    real-CDC upsert shape the reference's duplicate-key error rejects.
     """
+    if source_latest_by:
+        # recency-dedup the feed BEFORE plan construction: the ranking
+        # columns are dropped, so the plan never sees them (``plan`` callers
+        # must pass a plan built against the REDUCED source schema)
+        source_df = latest_per_key(source_df, join_columns, source_latest_by)
     if plan is None:
         plan = MergePlan.build(target_df.schema, source_df.schema, join_columns)
     if update_mode not in ("overwrite", "patch"):

@@ -41,6 +41,7 @@ from sparkmerge.changeset import (
     Changeset,
     DeleteMode,
     build_changeset,
+    latest_per_key,
 )
 from sparkmerge.errors import MergeThresholdExceeded, MergeValidationError
 from sparkmerge.plan import MergePlan, split_csv
@@ -430,6 +431,7 @@ def simple_merge(
     schema_evolution: bool = False,
     strategy: str = "shuffle",
     update_mode: str = "overwrite",
+    source_latest_by: str | list[str] | None = None,
 ) -> MergeResult | MergeReport:
     """Merge ``source_df`` into ``target`` — see module docstring.
 
@@ -439,10 +441,16 @@ def simple_merge(
     widening the target with typed-NULL columns first (the committed
     snapshot carries the evolved schema).  ``strategy='broadcast'``/
     ``'auto'`` selects the broadcast small-source path (no target-row shuffle)
-    (changeset.py); the merge result is identical under every strategy."""
+    (changeset.py); the merge result is identical under every strategy.
+    ``source_latest_by`` recency-dedups a multi-version feed to latest-per-
+    key by those source columns before the merge (changeset.latest_per_key)."""
     if audit and audit_path is None:
         audit_path = default_audit_path(target)
     thr = _parse_threshold(threshold)
+    if source_latest_by:
+        # reduce the multi-version feed to latest-per-key BEFORE the plan is
+        # built (the ranking columns are dropped from the reduced source)
+        source_df = latest_per_key(source_df, join_columns, source_latest_by)
     target_df = target.read(spark)
     if schema_evolution:
         target_df = evolve_target_schema(target_df, source_df.schema)

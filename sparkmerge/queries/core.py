@@ -22,6 +22,7 @@ from sparkmerge.queries.fixtures import (
     ORDERS_DELTA_SQL,
     ORDERS_MUT_SQL,
     ORDERS_PATCH_SQL,
+    ORDERS_UPSERT_FEED_SQL,
     PART_MUT_SQL,
     classify_sql,
     customer_nullkey,
@@ -29,6 +30,7 @@ from sparkmerge.queries.fixtures import (
     orders_delta,
     orders_patch,
     orders_source,
+    orders_upsert_feed,
     part_source,
 )
 
@@ -852,3 +854,50 @@ def merge_column_change_profile(spark, sf_dir):
             "change_frac"
         ),
     )
+
+
+# --- merge_upsert_latest (r7): recency-dedup-then-merge ---------------------
+
+
+@register(
+    "merge_upsert_latest",
+    oracle=f"""
+WITH feed AS ({ORDERS_UPSERT_FEED_SQL}),
+latest AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY o_orderkey
+               ORDER BY src_seq DESC, o_custkey, o_orderstatus,
+                        o_totalprice, o_orderdate, o_orderpriority) AS rn
+        FROM feed) WHERE rn = 1
+)
+SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       CASE WHEN s.o_orderkey IS NULL THEN t.o_custkey ELSE s.o_custkey END AS o_custkey,
+       CASE WHEN s.o_orderkey IS NULL THEN t.o_orderstatus ELSE s.o_orderstatus END AS o_orderstatus,
+       CASE WHEN s.o_orderkey IS NULL THEN t.o_totalprice ELSE s.o_totalprice END AS o_totalprice,
+       CASE WHEN s.o_orderkey IS NULL THEN t.o_orderdate ELSE s.o_orderdate END AS o_orderdate,
+       CASE WHEN s.o_orderkey IS NULL THEN t.o_orderpriority ELSE s.o_orderpriority END AS o_orderpriority
+  FROM orders t FULL OUTER JOIN latest s ON t.o_orderkey = s.o_orderkey
+""",
+    description="recency-dedup-then-merge (source_latest_by): a multi-"
+    "version CDC/upsert feed — several rows per key carrying a source "
+    "sequence/timestamp — reduces to latest-per-key by ONE rank window "
+    "BEFORE the changeset join, then merges with delete='NO' (upsert "
+    "feeds never delete); the feed shape the reference hard-rejects via "
+    "its duplicate-key @badKey error (sp_SimpleMerge.sql:63).  The rank "
+    "window shuffles on the same key the full-outer join needs next, so "
+    "the reduction adds no extra Exchange at 100 TB; the ranking column "
+    "is feed metadata and is dropped before the schema-checked join.  "
+    "Output is the upserted end state (apply_changes)",
+)
+def merge_upsert_latest(spark, sf_dir):
+    cs = build_changeset(
+        load(spark, sf_dir, "orders"),
+        orders_upsert_feed(spark, sf_dir),
+        "o_orderkey",
+        delete="NO",
+        source_latest_by="src_seq",
+    )
+    return cs.apply_changes()

@@ -135,6 +135,65 @@ def orders_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionAll(extra)
 
 
+# Multi-version upsert feed on orders (r7, merge_upsert_latest): several
+# versions per key carrying a source sequence number (`src_seq` — a CDC
+# LSN / source timestamp; any totally-ordered column works), where
+# latest-per-key must win BEFORE the changeset join.  The reference hard-
+# rejects this feed shape outright (duplicate-key source → @badKey error,
+# sp_SimpleMerge.sql:63).  Coverage: %5 keys get one update version; %10
+# keys a second, higher-seq version that must override it; %15 keys a
+# final byte-identical version (the winner must then classify KEEP, not
+# UPDATE — recency pick before change detection); %97 keys insert a brand
+# new key (offset 9e9, clear of every derived SF) in two versions where
+# the later one must become the insert image.
+ORDERS_UPSERT_FEED_SQL = """
+SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+       o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority,
+       CAST(1 AS BIGINT) AS src_seq
+  FROM orders WHERE o_orderkey % 5 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, 'U2', o_totalprice + 2.0,
+       o_orderdate, o_orderpriority, 2
+  FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority, 3
+  FROM orders WHERE o_orderkey % 15 = 0
+UNION ALL
+SELECT o_orderkey + 9000000000, o_custkey, 'N1', o_totalprice,
+       o_orderdate, o_orderpriority, 1
+  FROM orders WHERE o_orderkey % 97 = 0
+UNION ALL
+SELECT o_orderkey + 9000000000, o_custkey, 'N2', o_totalprice + 3.0,
+       o_orderdate, o_orderpriority, 2
+  FROM orders WHERE o_orderkey % 97 = 0
+""".strip()
+
+
+def orders_upsert_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def ver(pred, key, status, price, seq):
+        return o.where(pred).select(
+            key.alias("o_orderkey"),
+            "o_custkey",
+            status.alias("o_orderstatus"),
+            price.alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+            F.lit(seq).cast("long").alias("src_seq"),
+        )
+
+    return (
+        ver(k % 5 == 0, k, F.lit("U1"), F.col("o_totalprice") + 1.0, 1)
+        .unionAll(ver(k % 10 == 0, k, F.lit("U2"), F.col("o_totalprice") + 2.0, 2))
+        .unionAll(ver(k % 15 == 0, k, F.col("o_orderstatus"), F.col("o_totalprice"), 3))
+        .unionAll(ver(k % 97 == 0, k + 9000000000, F.lit("N1"), F.col("o_totalprice"), 1))
+        .unionAll(ver(k % 97 == 0, k + 9000000000, F.lit("N2"), F.col("o_totalprice") + 3.0, 2))
+    )
+
+
 def orders_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     mut = F.col("o_orderkey") % 5 == 0

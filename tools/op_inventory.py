@@ -15,6 +15,7 @@ SECTIONS = [
         "threshold_guard", "lastupdate_prop", "debug_dry_run", "merge_scd2",
         "merge_scd2_multibatch", "merge_schema_evolution", "merge_multi_source",
         "merge_broadcast_delta", "merge_version_diff", "merge_sparse_patch",
+        "merge_upsert_latest",
     ]),
     ("Generator / lifecycle (SURVEY §2.B)", [
         "split_csv", "ident_normalize", "schema_introspect",
