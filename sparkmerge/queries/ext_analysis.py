@@ -1168,3 +1168,79 @@ def orders_abc_xyz_class(spark, sf_dir):
         .otherwise("Z")
         .alias("xyz_class"),
     )
+
+
+# --- orders_reorder_interval (r7) -------------------------------------------
+#
+# Customer repurchase-gap profile — the `events_inter_arrival` shape on the
+# orders table: for every customer with 2+ orders, the day gaps between
+# consecutive order dates, summarized as count/min/max/total plus nearest-
+# rank p50/p90 picked from the sorted exact-integer gap array (index
+# ceil(q·n) = (qn + q) DIV 1 form — never interpolated percentile, which
+# associates differently per engine).  ONE customer-keyed shuffle: the lag
+# window and both aggregations share the o_custkey hash partitioning, so
+# everything after the single Exchange is partition-local; per-customer
+# state is bounded by that customer's order count.
+
+
+@register(
+    "orders_reorder_interval",
+    oracle="""
+WITH g AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) - lag(epoch_us(o_orderdate)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_us
+    FROM orders
+),
+gaps AS (
+  SELECT o_custkey, gap_us // 86400000000 AS gap_d FROM g WHERE gap_us IS NOT NULL
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_reorders,
+       CAST(min(gap_d) AS BIGINT) AS min_gap_d,
+       CAST(max(gap_d) AS BIGINT) AS max_gap_d,
+       CAST(sum(gap_d) AS BIGINT) AS total_gap_d,
+       CAST(list_sort(list(gap_d))[CAST((5 * count(*) + 5) // 10 AS BIGINT)]
+            AS BIGINT) AS p50_gap_d,
+       CAST(list_sort(list(gap_d))[CAST((9 * count(*) + 9) // 10 AS BIGINT)]
+            AS BIGINT) AS p90_gap_d
+  FROM gaps GROUP BY 1
+""",
+    description="customer repurchase-interval profile (the replenishment-"
+    "cadence feature behind CRM/demand models): day gaps between "
+    "consecutive orders per customer via ONE lag window ordered by "
+    "(o_orderdate, o_orderkey) — a total order, engine-portable — then "
+    "count/min/max/sum plus nearest-rank p50 and p90 from the per-customer "
+    "sorted exact-integer gap array (ceil(q·n) index — no interpolated-"
+    "percentile FP hazard); window and aggregations share the o_custkey "
+    "partitioning so everything after the single shuffle is partition-"
+    "local, per-customer state bounded by that customer's order count",
+)
+def orders_reorder_interval(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    us = F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))")
+    gaps = (
+        o.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("gap_us", us - F.lag(us).over(w))
+        .filter(F.col("gap_us").isNotNull())
+        .select("o_custkey", F.expr("gap_us div 86400000000").alias("gap_d"))
+    )
+    agg = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_reorders"),
+        F.min("gap_d").alias("min_gap_d"),
+        F.max("gap_d").alias("max_gap_d"),
+        F.sum("gap_d").alias("total_gap_d"),
+        F.sort_array(F.collect_list("gap_d")).alias("sorted_gaps"),
+    )
+    p50 = F.expr("(5 * n_reorders + 5) div 10")
+    p90 = F.expr("(9 * n_reorders + 9) div 10")
+    return agg.select(
+        "o_custkey",
+        "n_reorders",
+        "min_gap_d",
+        "max_gap_d",
+        "total_gap_d",
+        F.element_at("sorted_gaps", p50.cast("int")).alias("p50_gap_d"),
+        F.element_at("sorted_gaps", p90.cast("int")).alias("p90_gap_d"),
+    )

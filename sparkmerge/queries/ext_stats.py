@@ -679,3 +679,179 @@ def timeseries_acf_lags(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --- window_dau_mau_stickiness (r7) -----------------------------------------
+#
+# DAU / MAU(28d) engagement ratio per day — the product-analytics
+# "stickiness" curve.  Both distinct counts come from the SAME deduped
+# (user, day) presence relation (ONE raw-data shuffle); the trailing-28-day
+# distinct uses the contribution-explode reformulation proven by
+# window_rolling_distinct (each presence fans out map-side to the ≤28
+# window-end days it covers — no per-frame distinct state, linear in
+# presences at any corpus size), and DAU is a plain count over the already-
+# distinct presences.  The ratio is ONE IEEE division of two exact integers
+# (bit-portable).  End days restricted to observed active days so both
+# engines emit the same calendar.
+
+
+@register(
+    "window_dau_mau_stickiness",
+    oracle="""
+WITH pres AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM pres),
+dau AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS dau FROM pres GROUP BY d
+),
+contrib AS (
+  SELECT p.user_id, p.d + CAST(x.i AS INTEGER) AS end_d
+    FROM pres p, (SELECT unnest(generate_series(0, 27)) AS i) x
+),
+mau AS (
+  SELECT c.end_d AS d, CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau_28
+    FROM contrib c
+   WHERE c.end_d IN (SELECT d FROM days)
+   GROUP BY c.end_d
+)
+SELECT CAST(dau.d AS VARCHAR) AS d, dau.dau, mau.mau_28,
+       CAST(dau.dau AS DOUBLE) / CAST(mau.mau_28 AS DOUBLE) AS stickiness
+  FROM dau JOIN mau ON dau.d = mau.d
+""",
+    description="DAU/MAU(28d) stickiness per day: dedup (user, day) presence "
+    "once (ONE raw-data shuffle), DAU = plain per-day count of the distinct "
+    "presences, trailing-28-day MAU via the contribution-explode "
+    "reformulation (map-side fan-out to ≤28 window-end days, distinct-count "
+    "over the tiny day domain — zero per-frame distinct state), stickiness "
+    "= ONE IEEE division of the two exact integers; the DAU and MAU "
+    "aggregates join on the bounded day domain, so everything after the "
+    "presence dedup is day-domain-sized at any corpus scale",
+)
+def window_dau_mau_stickiness(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    pres = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = pres.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    contrib = pres.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("i"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("i")).alias("end_d"))
+    days = pres.select("d").distinct().withColumnRenamed("d", "end_d")
+    mau = (
+        contrib.join(days, "end_d", "left_semi")
+        .groupBy("end_d")
+        .agg(F.count_distinct(F.col("user_id")).alias("mau_28"))
+        .withColumnRenamed("end_d", "d")
+    )
+    return dau.join(mau, "d").select(
+        F.col("d").cast("string").alias("d"),
+        "dau",
+        "mau_28",
+        (F.col("dau").cast("double") / F.col("mau_28").cast("double")).alias(
+            "stickiness"
+        ),
+    )
+
+
+# --- timeseries_seasonal_strength (r7) ---------------------------------------
+#
+# Variance-ratio seasonal strength per event type: 1 − SSW/SST where the
+# seasonal component is the hour-of-week cell mean (timeseries_seasonal_
+# profile's decomposition) — the STL-style "how much of the series variance
+# the seasonal pattern explains" statistic.  Cross-engine determinism comes
+# from rounding every mean to INTEGER cents with floor-division (values are
+# non-negative cents, so DuckDB `//` and Spark `div` agree): with integer
+# means, SSW = Σ_g (Q_g − 2·m̂_g·S_g + n_g·m̂_g²) and SST = Q − 2·m̂·S + n·m̂²
+# are EXACT int64 sums — no order-dependent FP accumulation across the 168
+# cells — and the strength is ONE IEEE division of two exact integers.
+# Overflow bound: terms ≤ 4·n·C² for C = max cents; at sf10 (n≈1e7, C≈1e5)
+# that is ~4e17 ≪ 2^63.  Plan: ONE map-side-combined (type, how) agg
+# shuffle over raw events; everything after runs on the |types|×168 cell
+# relation.
+
+
+@register(
+    "timeseries_seasonal_strength",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 3600000000) % 168 AS BIGINT) AS how,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_g,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                  * CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS q_g
+    FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, n_g, s_g, q_g,
+         (2 * s_g + n_g) // (2 * n_g) AS mhat_g
+    FROM c
+),
+t AS (
+  SELECT event_type,
+         CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(s_g) AS BIGINT) AS s,
+         CAST(sum(q_g) AS BIGINT) AS q,
+         CAST(sum(q_g - 2 * mhat_g * s_g + n_g * mhat_g * mhat_g) AS BIGINT)
+           AS ssw
+    FROM m GROUP BY event_type
+),
+f AS (
+  SELECT event_type, n, ssw,
+         CAST(q - 2 * ((2 * s + n) // (2 * n)) * s
+                + n * ((2 * s + n) // (2 * n)) * ((2 * s + n) // (2 * n))
+              AS BIGINT) AS sst
+    FROM t
+)
+SELECT event_type, n, sst, ssw,
+       CASE WHEN sst <= 0 THEN 0.0
+            ELSE CAST(sst - ssw AS DOUBLE) / CAST(sst AS DOUBLE) END
+         AS seasonal_strength
+  FROM f
+""",
+    description="variance-ratio seasonal strength per event type (1 − "
+    "SSW/SST with hour-of-week cell means as the seasonal component — the "
+    "STL-style explained-variance statistic): seasonal means rounded to "
+    "integer cents by floor-division so SSW and SST are EXACT int64 moment "
+    "sums (zero order-dependent FP accumulation across the 168 cells; "
+    "terms bounded ≤4·n·C² ≪ 2^63 at sf10), strength = ONE IEEE division "
+    "of the two exact integers; ONE map-side-combined (type, hour-of-week) "
+    "agg shuffle, everything downstream on the |types|×168 cell relation",
+)
+def timeseries_seasonal_strength(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    how = (
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000") % 168
+    ).alias("how")
+    cells = e.groupBy("event_type", how).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(cents).alias("s_g"),
+        F.sum(cents * cents).alias("q_g"),
+    )
+    m = cells.withColumn("mhat_g", F.expr("(2 * s_g + n_g) div (2 * n_g)"))
+    t = m.groupBy("event_type").agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum(
+            F.expr("q_g - 2 * mhat_g * s_g + n_g * mhat_g * mhat_g")
+        ).alias("ssw"),
+    )
+    f = t.select(
+        "event_type",
+        "n",
+        "ssw",
+        F.expr(
+            "q - 2 * ((2 * s + n) div (2 * n)) * s"
+            " + n * ((2 * s + n) div (2 * n)) * ((2 * s + n) div (2 * n))"
+        ).alias("sst"),
+    )
+    strength = F.when(F.col("sst") <= 0, F.lit(0.0)).otherwise(
+        (F.col("sst") - F.col("ssw")).cast("double")
+        / F.col("sst").cast("double")
+    )
+    return f.select(
+        "event_type", "n", "sst", "ssw", strength.alias("seasonal_strength")
+    )

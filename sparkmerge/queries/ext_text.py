@@ -846,3 +846,98 @@ def text_hapax_ratio(spark, sf_dir):
         ),
         (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("ttr"),
     )
+
+
+# --- text_vocab_growth (r7) -------------------------------------------------
+#
+# Heaps-law vocabulary growth curve: corpus vocabulary size V(n) and token
+# count N(n) at doc-id CHECKPOINTS (every _VOCAB_STRIDE docs) in doc_id
+# order.  The distributed reformulation avoids any quadratic "re-count
+# distinct per prefix": a token's contribution is fully determined by its
+# FIRST occurrence (min doc_id), so ONE token-keyed aggregation yields
+# per-checkpoint new-type counts, and the cumulative curve is a window over
+# the checkpoint domain (|docs|/stride rows, not |tokens|).  The stride is
+# the scale lever: a cumulative curve is inherently sequential, so its
+# window is single-partition by construction — the stride bounds that
+# partition to the number of curve points you actually want (a 100 TB
+# corpus wants thousands of checkpoints, not one per document).
+
+_VOCAB_STRIDE = 8
+
+
+@register(
+    "text_vocab_growth",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+first_seen AS (
+  SELECT tok, min(doc_id) AS doc_id FROM tok GROUP BY tok
+),
+new_types AS (
+  SELECT doc_id // {_VOCAB_STRIDE} AS ckpt, CAST(count(*) AS BIGINT) AS new_types
+    FROM first_seen GROUP BY 1
+),
+doc_tokens AS (
+  SELECT doc_id // {_VOCAB_STRIDE} AS ckpt,
+         CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+)
+SELECT d.ckpt,
+       d.n_docs,
+       coalesce(n.new_types, 0) AS new_types,
+       CAST(sum(coalesce(n.new_types, 0)) OVER w AS BIGINT) AS vocab_size,
+       CAST(sum(d.n_tokens) OVER w AS BIGINT) AS cum_tokens
+  FROM doc_tokens d LEFT JOIN new_types n ON d.ckpt = n.ckpt
+WINDOW w AS (ORDER BY d.ckpt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    description="Heaps-law vocabulary growth: V(n) = cumulative distinct "
+    "vocabulary and N(n) = cumulative tokens at doc-id checkpoints (every "
+    f"{_VOCAB_STRIDE} docs) — first-occurrence reformulation (a type "
+    "counts exactly once, at its min doc_id) turns the quadratic per-"
+    "prefix distinct into ONE token-keyed agg; the inherently-sequential "
+    "cumsum window runs over the checkpoint domain only (|docs|/stride "
+    "rows — the stride is the curve-resolution/scale lever).  The curve "
+    "feeds dedup/quality monitoring (vocab saturating too fast = "
+    "boilerplate corpus; too slow = noise)",
+)
+def text_vocab_growth(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from sparkmerge.ext.text import whitespace_tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", whitespace_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    tok = toks.select("doc_id", F.explode("toks").alias("tok"))
+    first_seen = tok.groupBy("tok").agg(F.min("doc_id").alias("doc_id"))
+    new_types = (
+        first_seen.groupBy(
+            F.expr(f"doc_id div {_VOCAB_STRIDE}").alias("ckpt")
+        ).agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    doc_tokens = toks.groupBy(
+        F.expr(f"doc_id div {_VOCAB_STRIDE}").alias("ckpt")
+    ).agg(
+        F.sum(F.size("toks")).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    w = Window.orderBy("ckpt").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        doc_tokens.join(new_types, "ckpt", "left")
+        .select(
+            "ckpt",
+            "n_docs",
+            F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
+            "n_tokens",
+        )
+        .select(
+            "ckpt",
+            "n_docs",
+            "new_types",
+            F.sum("new_types").over(w).cast("long").alias("vocab_size"),
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        )
+    )

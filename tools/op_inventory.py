@@ -132,6 +132,10 @@ SECTIONS = [
         "merge_column_change_profile", "orders_abc_xyz_class",
         "timeseries_acf_lags",
     ]),
+    ("Engagement, cadence, vocab growth & seasonal strength (r7 batch 1)", [
+        "window_dau_mau_stickiness", "orders_reorder_interval",
+        "text_vocab_growth", "timeseries_seasonal_strength",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",
