@@ -78,10 +78,16 @@ def register(op_id: str, *, oracle: str | None = None, description: str = ""):
 # NOTE (r7): all 12 r6 entries (graph family ×7, abtest, q21, bitext,
 # asof ×2) landed green r6 rows and are cleared per the contract above.
 _FORCE_REVERIFY = {
-    # r7: Apriori-style min-support pushdown before the pair self-join
+    # r7: basket-array + posexplode rewrite with opt-in Apriori prune
     # (r6 verdict ask #5) — output unchanged by construction (the support
     # floor already excluded the pruned pairs), re-confirm anyway.
     "orders_basket_lift",
+    # r7: cell_size exposed as a parameter with generalized neighborhood
+    # reach (r6 verdict ask #7) — default reproduces the old constant, so
+    # behavior-preserving, but the pair-generation code path changed.
+    "join_spatial_grid",
+    "spatial_dbscan_core",
+    "spatial_knn_grid",
 }
 
 

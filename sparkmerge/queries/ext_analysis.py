@@ -807,31 +807,55 @@ SELECT part_a, part_b, pair_n, ia.c AS n_a, ib.c AS n_b,
   CROSS JOIN n
  WHERE pair_n >= {_BASKET_MIN_PAIR}
 """,
-    description="market-basket association rules over order baskets: "
-    "part pairs co-bought within an order, support/confidence/lift from "
-    "EXACT int64 counts combined in one IEEE division each; the pair "
-    "self-join is keyed on l_orderkey so per-basket cost is bounded by "
-    "basket size² (TPC-H ≤ 7 lines/order — never an all-pairs part join), "
-    f"support floor pair_n ≥ {_BASKET_MIN_PAIR} bounds the output "
-    "(~3.5k rows at every measured SF); the 1-row corpus total is "
-    "broadcast",
+    description="market-basket association rules over order baskets (r7 "
+    "rewrite): baskets materialize as sorted part arrays from ONE order-"
+    "keyed shuffle (collect_set dedups in-agg — kills the old distinct + "
+    "self-join exchanges, 8 → 7), pairs expand MAP-SIDE via posexplode + "
+    "slice (Generate nodes, NO lambda HOFs — the transform/flatten "
+    "formulation falls out of codegen and measured slower), so the big "
+    "table is shuffled once and the pair Exchange carries only real "
+    "pairs; Apriori downward-closure prune (pair_n ≤ min(n_a, n_b) → "
+    "broadcast-semi-join pair legs against the frequent-item set) is an "
+    "opt-in lever (apriori_prune=True): at THIS corpus every part clears "
+    f"floor {_BASKET_MIN_PAIR} (0 %% selectivity) and the prune's "
+    "broadcast build measured ~1.5 s pure overhead at sf1 (A/B medians "
+    "5.6 s vs 3.6 s), but at a selective 100 TB support floor it "
+    "collapses the shuffled pair volume to the frequent subgraph; "
+    "support/confidence/lift from EXACT int64 counts, one IEEE division "
+    "each; prune on/off output-identical (tested)",
 )
-def orders_basket_lift(spark, sf_dir):
+def orders_basket_lift(spark, sf_dir, apriori_prune=False):
     li = load(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a, c = b.alias("a"), b.alias("c")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    item = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # map-side i < j pair expansion over the sorted array: two Generate
+    # nodes (posexplode + explode-of-slice), fully codegen — no lambdas
+    raw_pairs = (
+        baskets.select(F.posexplode("parts").alias("i", "part_a"), "parts")
+        .select(
+            "part_a",
+            F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("part_b"),
+        )
+    )
+    if apriori_prune:
+        # downward closure: a pair with an infrequent member can never
+        # reach the support floor — drop it BEFORE the pair Exchange
+        freq = item.filter(F.col("c") >= _BASKET_MIN_PAIR)
+        fa = F.broadcast(freq.select(F.col("l_partkey").alias("part_a")))
+        fb = F.broadcast(freq.select(F.col("l_partkey").alias("part_b")))
+        raw_pairs = raw_pairs.join(fa, "part_a", "left_semi").join(
+            fb, "part_b", "left_semi"
+        )
     pair = (
-        a.join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("c.l_partkey").alias("part_b"),
-        )
+        raw_pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("pair_n"))
         .filter(F.col("pair_n") >= _BASKET_MIN_PAIR)
     )

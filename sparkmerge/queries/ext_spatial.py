@@ -62,9 +62,16 @@ SELECT a.pid AS a_id, b.pid AS b_id,
     "probe side explodes into its 3×3 cell neighborhood, candidates "
     "equi-join on the cell id, exact integer predicate filters; cost "
     "bounded by cell occupancy, never all-pairs (the oracle RUNS the "
-    "all-pairs formulation to certify zero lost pairs)",
+    "all-pairs formulation to certify zero lost pairs); cell_size is the "
+    "density lever: occupancy ~ density·cell², so a denser corpus re-grids "
+    "FINER (neighborhood reach widens to ceil(radius/cell) — candidate "
+    "volume ~ density·(radius+cell)² falls as cell shrinks); output is "
+    "cell-size-INVARIANT (only the radius is semantic — tested at 4/8/16)",
 )
-def join_spatial_grid(spark, sf_dir):
+def join_spatial_grid(spark, sf_dir, cell_size=_RADIUS):
+    if cell_size < 1:
+        raise ValueError(f"cell_size must be >= 1, got {cell_size}")
+    reach = -(-_RADIUS // cell_size)  # ceil: cells a radius can span
     e = load(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
     ek, uk = F.col("event_id") % _P, F.col("user_id") % _P
     x = (((ek) * 2654435761) % 4294967296) % _GRID
@@ -74,11 +81,12 @@ def join_spatial_grid(spark, sf_dir):
         x.cast("long").alias("x"),
         y.cast("long").alias("y"),
     )
-    cx, cy = (F.col("x") / _RADIUS).cast("long"), (F.col("y") / _RADIUS).cast("long")
+    cx = (F.col("x") / cell_size).cast("long")
+    cy = (F.col("y") / cell_size).cast("long")
     build = pts.select("pid", "x", "y", cx.alias("cx"), cy.alias("cy"))
-    # probe rows visit the 3×3 neighborhood of their own cell, so every pair
-    # within the radius shares at least one (cell, neighbor-visit) key
-    offsets = F.expr("sequence(-1, 1)")
+    # probe rows visit the (2·reach+1)² neighborhood of their own cell, so
+    # every pair within the radius shares a (cell, neighbor-visit) key
+    offsets = F.expr(f"sequence({-reach}, {reach})")
     probe = (
         pts.select("pid", "x", "y", cx.alias("cx0"), cy.alias("cy0"))
         .withColumn("dx", F.explode(offsets))
@@ -149,11 +157,16 @@ SELECT query_id, neighbor_id, cheb, CAST(rn AS INT) AS rn FROM (
     "on the cell id so candidate cost is bounded by cell occupancy — the "
     "standard grid-ANN decomposition (neighbors beyond 2 cell sides are "
     "out of scope BY CONTRACT, both engines apply the identical candidate "
-    "rule); per-query top-k via one rank window on the query key",
+    "rule); per-query top-k via one rank window on the query key; "
+    "cell_size here is SEMANTIC (the candidate scope is defined as the "
+    "3×3 neighborhood at that cell size — recall/cost knob; the oracle "
+    f"pins the default {_KNN_CELL}, non-default sizes change the contract)",
 )
-def spatial_knn_grid(spark, sf_dir):
+def spatial_knn_grid(spark, sf_dir, cell_size=_KNN_CELL):
     from pyspark.sql.window import Window
 
+    if cell_size < 1:
+        raise ValueError(f"cell_size must be >= 1, got {cell_size}")
     e = load(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
     ek, uk = F.col("event_id") % _P, F.col("user_id") % _P
     x = (((ek) * 2654435761) % 4294967296) % _GRID
@@ -163,8 +176,8 @@ def spatial_knn_grid(spark, sf_dir):
         x.cast("long").alias("x"),
         y.cast("long").alias("y"),
     )
-    cx = (F.col("x") / _KNN_CELL).cast("long")
-    cy = (F.col("y") / _KNN_CELL).cast("long")
+    cx = (F.col("x") / cell_size).cast("long")
+    cy = (F.col("y") / cell_size).cast("long")
     corpus = pts.select(
         F.col("pid").alias("neighbor_id"),
         F.col("x").alias("bx"),
@@ -247,9 +260,14 @@ SELECT l.pid,
     "a core eps-neighbor (one semi-join of the pair list against the core "
     "set), isolated points fall out of the pair list and re-enter as "
     "noise via a left join on the point set; every distance is exact "
-    "integer arithmetic",
+    "integer arithmetic; cell_size is the density lever (occupancy ~ "
+    "density·cell² — denser corpus → finer cells, reach widens to "
+    "ceil(eps/cell)); output cell-size-INVARIANT, only eps is semantic",
 )
-def spatial_dbscan_core(spark, sf_dir):
+def spatial_dbscan_core(spark, sf_dir, cell_size=_RADIUS):
+    if cell_size < 1:
+        raise ValueError(f"cell_size must be >= 1, got {cell_size}")
+    reach = -(-_RADIUS // cell_size)
     e = load(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
     ek, uk = F.col("event_id") % _P, F.col("user_id") % _P
     x = (((ek) * 2654435761) % 4294967296) % _GRID
@@ -259,9 +277,10 @@ def spatial_dbscan_core(spark, sf_dir):
         x.cast("long").alias("x"),
         y.cast("long").alias("y"),
     )
-    cx, cy = (F.col("x") / _RADIUS).cast("long"), (F.col("y") / _RADIUS).cast("long")
+    cx = (F.col("x") / cell_size).cast("long")
+    cy = (F.col("y") / cell_size).cast("long")
     build = pts.select("pid", "x", "y", cx.alias("cx"), cy.alias("cy"))
-    offsets = F.expr("sequence(-1, 1)")
+    offsets = F.expr(f"sequence({-reach}, {reach})")
     probe = (
         pts.select("pid", "x", "y", cx.alias("cx0"), cy.alias("cy0"))
         .withColumn("dx", F.explode(offsets))
