@@ -705,3 +705,82 @@ def dedup_lsh_recall_eval(spark, sf_dir):
             "precision"
         ),
     )
+
+
+# --- dedup_cross_source_matrix (r7b2) ----------------------------------------
+#
+# Cross-source overlap matrix — the curation question behind source
+# weighting and contamination audits: how much 5-word-shingle content does
+# source A share with source B?  (Verbatim whole-document overlap is the
+# degenerate case and is 0 on this corpus below sf0.1 — shingles are the
+# standard contamination unit, cf. text_decontaminate.)  Each distinct
+# (shingle-md5, source) contributes once; shingles aggregate their DISTINCT
+# source sets in ONE content-keyed shuffle, and the |sources|-bounded
+# sorted set expands map-side into i < j source pairs — the pair
+# aggregation's domain is |sources|², never |docs|².  The oracle certifies
+# via the self-join formulation on the distinct (shingle, source) relation.
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle="""
+WITH tok AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(t[i:i+4], ' ')) AS h
+    FROM (SELECT source, t,
+                 unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
+            FROM tok)
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+    FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_shingles
+  FROM pairs GROUP BY 1, 2
+""",
+    description="cross-source overlap matrix (contamination / source-"
+    "weighting audit): distinct 5-word shingles per source reduce to md5 "
+    "fingerprints, each fingerprint aggregates its distinct source set in "
+    "ONE content-keyed map-side-combined shuffle (collect_set dedups "
+    "in-agg), and the sorted ≤|sources| set expands to i < j pairs "
+    "MAP-SIDE (posexplode+slice, no text-level self-join) — the final "
+    "aggregation runs over the |sources|²-bounded pair domain at any "
+    "corpus size; oracle certifies against the (shingle, source) "
+    "self-join formulation",
+)
+def dedup_cross_source_matrix(spark, sf_dir):
+    from sparkmerge.ext.text import whitespace_tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = whitespace_tokens(F.lower(F.col("text")))
+    # sequence(1, 0) is DESCENDING in Spark, not empty — guard short docs
+    idx = F.when(
+        F.size(toks) >= 5, F.sequence(F.lit(1), F.size(toks) - 4)
+    ).otherwise(F.expr("array()"))
+    sh = F.transform(
+        idx, lambda i: F.md5(F.array_join(F.slice(toks, i, 5), " ").cast("binary"))
+    )
+    per_shingle = (
+        d.select("source", F.explode(sh).alias("h"))
+        .distinct()
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("sources"))
+    )
+    pairs = (
+        per_shingle.select(
+            F.posexplode("sources").alias("i", "source_a"), "sources"
+        ).select(
+            "source_a",
+            F.explode(
+                F.expr("slice(sources, i + 2, size(sources))")
+            ).alias("source_b"),
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared_shingles")
+    )

@@ -855,3 +855,64 @@ def timeseries_seasonal_strength(spark, sf_dir):
     return f.select(
         "event_type", "n", "sst", "ssw", strength.alias("seasonal_strength")
     )
+
+
+# --- window_interval_stabbing (r7b2) ------------------------------------------
+#
+# The interval-stabbing / backlog question ("how many intervals are open on
+# day d?") evaluated the scale-safe way: NEVER a day×interval range join —
+# each interval contributes a +1 delta at its open day and a −1 at its
+# close day (exclusive), deltas aggregate per day (ONE map-side-combined
+# shuffle, |days| rows out), and the open count is the running sum over the
+# bounded calendar domain.  Intervals are derived deterministically from
+# lineitem (open = ship day, span = 1 + l_partkey % 28 days) because the
+# corpus carries no native close column — same derived-input precedent as
+# the spatial family's coordinates.
+
+
+@register(
+    "window_interval_stabbing",
+    oracle="""
+WITH iv AS (
+  SELECT CAST(l_shipdate AS DATE) AS d0,
+         CAST(l_shipdate AS DATE) + CAST(1 + l_partkey % 28 AS INTEGER) AS d1
+    FROM lineitem
+),
+deltas AS (
+  SELECT d0 AS d, CAST(1 AS BIGINT) AS delta FROM iv
+  UNION ALL
+  SELECT d1 AS d, CAST(-1 AS BIGINT) AS delta FROM iv
+),
+per AS (SELECT d, CAST(sum(delta) AS BIGINT) AS day_delta FROM deltas GROUP BY d)
+SELECT CAST(d AS VARCHAR) AS d, day_delta,
+       CAST(sum(day_delta) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS open_count
+  FROM per
+""",
+    description="interval stabbing / backlog curve: open-interval count per "
+    "day via the event-delta reformulation (+1 at open day, −1 at exclusive "
+    "close day) — ONE map-side-combined day aggregation over 2 rows per "
+    "interval, then a running sum over the BOUNDED calendar domain; never "
+    "a day×interval range join (which is |days|·|intervals| at 100 TB); "
+    "exact integers throughout, intervals derived deterministically from "
+    "lineitem (span = 1 + l_partkey % 28 days)",
+)
+def window_interval_stabbing(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    d0 = F.to_date("l_shipdate")
+    span = (F.lit(1) + F.col("l_partkey") % 28).cast("int")
+    opens = li.select(d0.alias("d"), F.lit(1).cast("long").alias("delta"))
+    closes = li.select(
+        F.date_add(d0, span).alias("d"), F.lit(-1).cast("long").alias("delta")
+    )
+    per = (
+        opens.unionByName(closes)
+        .groupBy("d")
+        .agg(F.sum("delta").alias("day_delta"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        F.col("d").cast("string").alias("d"),
+        "day_delta",
+        F.sum("day_delta").over(w).alias("open_count"),
+    )

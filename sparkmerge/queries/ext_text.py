@@ -941,3 +941,84 @@ def text_vocab_growth(spark, sf_dir):
             F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
         )
     )
+
+
+# --- text_code_detect (r7b2) --------------------------------------------------
+#
+# Code-vs-prose detection — the corpus-routing gate every LLM data pipeline
+# runs (code shards tokenize/weight differently).  Three integer surface
+# features per document (structural-symbol count, indented-line count,
+# line count), all map-side string expressions, ZERO shuffles; the
+# classification threshold compares by integer CROSS-MULTIPLICATION
+# (sym·25 ≥ chars ⇔ symbol share ≥ 4 %) so both engines decide identically
+# with no FP boundary hazard, and the reported share is ONE IEEE division.
+
+_CODE_SYM = r"[{}();=<>\[\]#]"  # structural symbols (same 2-char escapes in RE2/Java)
+_CODE_INDENT = r"(?:^|\n)(?:  |\t)"  # line starting with 2 spaces or a tab
+
+
+@register(
+    "text_code_detect",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text)
+              - length(regexp_replace(text, '{_CODE_SYM}', '', 'g'))
+              AS BIGINT) AS n_sym,
+         CAST(len(regexp_extract_all(text, '{_CODE_INDENT}')) AS BIGINT)
+           AS n_indent,
+         CAST(1 + length(text) - length(replace(text, chr(10), ''))
+              AS BIGINT) AS n_lines
+    FROM documents
+)
+SELECT doc_id, n_chars, n_sym, n_indent, n_lines,
+       CASE WHEN n_chars = 0 THEN 0.0
+            ELSE CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE) END
+         AS sym_share,
+       CASE WHEN n_chars > 0 AND n_sym * 25 >= n_chars THEN 'code'
+            ELSE 'prose' END AS label
+  FROM f
+""",
+    description="code-vs-prose routing gate (code shards tokenize/weight "
+    "differently in an LLM corpus): three integer surface features per "
+    "document — structural-symbol count (length-minus-stripped, one "
+    "regexp_replace), indented-line count (regexp_extract_all on the "
+    "2-space/tab line-start pattern), line count — ALL map-side string "
+    "expressions, ZERO shuffles at any corpus size; the class boundary "
+    "compares by integer cross-multiplication (sym·25 ≥ chars ⇔ symbol "
+    "share ≥ 4 %) so both engines decide identically, and the reported "
+    "share is ONE IEEE division of exact ints",
+)
+def text_code_detect(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("long")
+    n_sym = (
+        F.length("text") - F.length(F.regexp_replace("text", _CODE_SYM, ""))
+    ).cast("long")
+    n_indent = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_CODE_INDENT), F.lit(0))
+    ).cast("long")
+    n_lines = (
+        F.lit(1)
+        + F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("\n"), F.lit("")))
+    ).cast("long")
+    f = d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_sym.alias("n_sym"),
+        n_indent.alias("n_indent"),
+        n_lines.alias("n_lines"),
+    )
+    share = F.when(F.col("n_chars") == 0, F.lit(0.0)).otherwise(
+        F.col("n_sym").cast("double") / F.col("n_chars").cast("double")
+    )
+    label = F.when(
+        (F.col("n_chars") > 0) & (F.col("n_sym") * 25 >= F.col("n_chars")),
+        F.lit("code"),
+    ).otherwise(F.lit("prose"))
+    return f.select(
+        "doc_id", "n_chars", "n_sym", "n_indent", "n_lines",
+        share.alias("sym_share"), label.alias("label"),
+    )

@@ -570,3 +570,88 @@ def timeseries_mom_growth(spark, sf_dir):
             (F.col("revenue_cents") - prev).cast("double") / prev.cast("double"),
         ).alias("mom_growth"),
     )
+
+
+# --- events_user_cadence_cv (r7b2) -------------------------------------------
+#
+# Per-user activity-cadence regularity — the bot / scheduled-job detector:
+# a coefficient of variation of the inter-arrival gaps near 0 means
+# clockwork automation, ≫1 means bursty human traffic.  ONE user-keyed
+# shuffle shared by the lag window and the aggregation; variance comes
+# from exact int64 moment sums (n·Σg² − (Σg)², the agg_variance_exact
+# recipe) and the regular/bursty/mixed boundaries compare by integer
+# cross-multiplication (CV < 1/2 ⇔ 4·var_num < s1², CV > 2 ⇔ var_num >
+# 4·s1²), so both engines classify identically.  Overflow-safe: Σgaps
+# telescopes to (last − first) ≤ corpus span, so s1² and n·s2 stay far
+# below 2^63 at any SF.
+
+
+@register(
+    "events_user_cadence_cv",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s
+    FROM events
+),
+m AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap_s) AS BIGINT) AS s1,
+         CAST(sum(gap_s * gap_s) AS BIGINT) AS s2
+    FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+  HAVING count(*) >= 2
+)
+SELECT user_id, n_gaps, s1, s2,
+       CASE WHEN s1 = 0 THEN NULL
+            ELSE sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE))
+                 / CAST(s1 AS DOUBLE) END AS cv_scaled,
+       CASE WHEN s1 = 0 THEN 'degenerate'
+            WHEN 4 * (n_gaps * s2 - s1 * s1) < s1 * s1 THEN 'regular'
+            WHEN n_gaps * s2 - s1 * s1 > 4 * (s1 * s1) THEN 'bursty'
+            ELSE 'mixed' END AS cadence_class
+  FROM m
+""",
+    description="per-user cadence regularity (bot / scheduled-job "
+    "detector): inter-arrival gap seconds from ONE lag window ordered by "
+    "(ts, event_id), exact int64 moment sums (n, Σg, Σg²) sharing the "
+    "same user partitioning — one shuffle total; CV published as one "
+    "fixed-association sqrt/divide and the regular(<0.5)/bursty(>2) "
+    "class boundaries decided by integer cross-multiplication (no FP "
+    "threshold hazard); Σgaps telescopes to the user's active span so "
+    "every moment stays far below 2^63 at any SF",
+)
+def events_user_cadence_cv(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    g = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("gap_us", us - F.lag(us).over(w))
+        .filter(F.col("gap_us").isNotNull())
+        .select("user_id", F.expr("gap_us div 1000000").alias("gap_s"))
+    )
+    m = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_s").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    var_num = F.col("n_gaps") * F.col("s2") - F.col("s1") * F.col("s1")
+    cv = F.when(F.col("s1") == 0, F.lit(None).cast("double")).otherwise(
+        F.sqrt(var_num.cast("double")) / F.col("s1").cast("double")
+    )
+    klass = (
+        F.when(F.col("s1") == 0, F.lit("degenerate"))
+        .when(F.lit(4) * var_num < F.col("s1") * F.col("s1"), F.lit("regular"))
+        .when(var_num > F.lit(4) * F.col("s1") * F.col("s1"), F.lit("bursty"))
+        .otherwise(F.lit("mixed"))
+    )
+    return m.select(
+        "user_id", "n_gaps", "s1", "s2",
+        cv.alias("cv_scaled"), klass.alias("cadence_class"),
+    )

@@ -136,6 +136,10 @@ SECTIONS = [
         "window_dau_mau_stickiness", "orders_reorder_interval",
         "text_vocab_growth", "timeseries_seasonal_strength",
     ]),
+    ("Interval stabbing, code detect, cadence CV, cross-source overlap (r7 batch 2)", [
+        "window_interval_stabbing", "text_code_detect",
+        "events_user_cadence_cv", "dedup_cross_source_matrix",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",
