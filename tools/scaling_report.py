@@ -78,6 +78,17 @@ OPS = [
     "graph_assortativity",
     "orders_abc_xyz_class",
     "timeseries_acf_lags",
+    # r7 additions: the recency-dedup merge, the ×28 contribution-explode
+    # engagement ratio, the first-occurrence vocab curve, the event-delta
+    # backlog cumsum, the per-user gap fold, and the shingle-keyed
+    # cross-source overlap (the heaviest new shape — md5 over every
+    # 5-word shingle in the corpus)
+    "merge_upsert_latest",
+    "window_dau_mau_stickiness",
+    "text_vocab_growth",
+    "window_interval_stabbing",
+    "events_user_cadence_cv",
+    "dedup_cross_source_matrix",
 ]
 
 # (op, sf) pairs whose ORACLE formulation is intentionally not run: the
