@@ -76,6 +76,10 @@ HEADLINE = [
     # heaviest new shapes — iterative semi-join rounds and a keyed self-join)
     "orders_basket_lift",
     "graph_kcore_peel",
+    # r7 additions: the recency-dedup merge mode and the shingle-keyed
+    # cross-source overlap (the heaviest new r7 shape — ~8 s at sf1)
+    "merge_upsert_latest",
+    "dedup_cross_source_matrix",
 ]
 
 # sf1-leg exclusions with recorded reasons (the budget guards entry, not
