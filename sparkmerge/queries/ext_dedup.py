@@ -713,8 +713,12 @@ def dedup_lsh_recall_eval(spark, sf_dir):
 # weighting and contamination audits: how much 5-word-shingle content does
 # source A share with source B?  (Verbatim whole-document overlap is the
 # degenerate case and is 0 on this corpus below sf0.1 — shingles are the
-# standard contamination unit, cf. text_decontaminate.)  Each distinct
-# (shingle-md5, source) contributes once; shingles aggregate their DISTINCT
+# standard contamination unit, cf. text_decontaminate.)  Shingles group by
+# their RAW string (an md5 digest is the same ~30 bytes on the wire and
+# measured ~10 % slower at sf1 for 25M digests; at 100 TB you would hash
+# to an 8-byte xxhash64 shuffle key — that is the compaction lever, and it
+# need not match across engines since only pair COUNTS surface).  Each
+# distinct (shingle, source) contributes once; shingles aggregate their DISTINCT
 # source sets in ONE content-keyed shuffle, and the |sources|-bounded
 # sorted set expands map-side into i < j source pairs — the pair
 # aggregation's domain is |sources|², never |docs|².  The oracle certifies
@@ -731,7 +735,7 @@ WITH tok AS (
 ),
 sh AS (
   SELECT DISTINCT source,
-         md5(array_to_string(t[i:i+4], ' ')) AS h
+         array_to_string(t[i:i+4], ' ') AS h
     FROM (SELECT source, t,
                  unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
             FROM tok)
@@ -744,10 +748,11 @@ SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_shingles
   FROM pairs GROUP BY 1, 2
 """,
     description="cross-source overlap matrix (contamination / source-"
-    "weighting audit): distinct 5-word shingles per source reduce to md5 "
-    "fingerprints, each fingerprint aggregates its distinct source set in "
-    "ONE content-keyed map-side-combined shuffle (collect_set dedups "
-    "in-agg), and the sorted ≤|sources| set expands to i < j pairs "
+    "weighting audit): distinct 5-word shingles per source group by their "
+    "raw string (md5 measured pure overhead at this key width; xxhash64 "
+    "is the 100 TB shuffle-compaction lever), each shingle aggregates its "
+    "distinct source set in ONE content-keyed map-side-combined shuffle "
+    "(collect_set dedups in-agg), and the sorted ≤|sources| set expands to i < j pairs "
     "MAP-SIDE (posexplode+slice, no text-level self-join) — the final "
     "aggregation runs over the |sources|²-bounded pair domain at any "
     "corpus size; oracle certifies against the (shingle, source) "
@@ -762,12 +767,12 @@ def dedup_cross_source_matrix(spark, sf_dir):
     idx = F.when(
         F.size(toks) >= 5, F.sequence(F.lit(1), F.size(toks) - 4)
     ).otherwise(F.expr("array()"))
-    # explode the index FIRST, build each shingle with plain slice/join/md5
+    # explode the index FIRST, build each shingle with plain slice/join
     # expressions (codegen) — a transform() lambda here runs interpreted
     # over every shingle and measured ~15 % slower at sf1; collect_set
     # dedups (h, source) in-agg, so no separate distinct pass
     ex = d.select("source", toks.alias("t"), F.explode(idx).alias("i"))
-    h = F.md5(F.array_join(F.expr("slice(t, i, 5)"), " ").cast("binary"))
+    h = F.array_join(F.expr("slice(t, i, 5)"), " ")
     per_shingle = (
         ex.select("source", h.alias("h"))
         .groupBy("h")
