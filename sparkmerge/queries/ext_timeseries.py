@@ -655,3 +655,72 @@ def events_user_cadence_cv(spark, sf_dir):
         "user_id", "n_gaps", "s1", "s2",
         cv.alias("cv_scaled"), klass.alias("cadence_class"),
     )
+
+
+# --- window_calendar_densify (r7b2) ------------------------------------------
+#
+# Gapless reporting calendar — the densification every BI/forecast table
+# needs: emit one row per (event_type, day) for EVERY day in the type's
+# [min, max] active range, zero-filled where no events landed.  The
+# missing days come from a map-side sequence-explode of the per-type date
+# range (bounded by |types| × calendar — NEVER a cross join against a
+# global calendar table) left-joined against the per-day aggregate; both
+# engines build the identical day list with date-increment sequences.
+
+
+@register(
+    "window_calendar_densify",
+    oracle="""
+WITH per AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+    FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, min(d) AS d0, max(d) AS d1 FROM per GROUP BY 1
+),
+cal AS (
+  SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+    FROM spans
+)
+SELECT c.event_type, CAST(c.d AS VARCHAR) AS d,
+       coalesce(p.n, 0) AS n,
+       coalesce(p.cents, 0) AS cents,
+       (p.n IS NULL) AS is_gap
+  FROM cal c LEFT JOIN per p ON p.event_type = c.event_type AND p.d = c.d
+""",
+    description="gapless reporting calendar per event type: per-(type, day) "
+    "aggregate (ONE map-side-combined shuffle over raw events), per-type "
+    "min/max span over that bounded relation, map-side sequence-explode of "
+    "each type's day range (bounded by |types| × calendar — never a cross "
+    "join against a global calendar), LEFT JOIN back zero-filling gap "
+    "days; everything after the first shuffle is day-domain-sized at any "
+    "corpus scale; exact integers throughout",
+)
+def window_calendar_densify(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    per = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).alias("cents"),
+    )
+    spans = per.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    cal = spans.select(
+        "event_type",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+    )
+    return (
+        cal.join(per, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("d"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("cents"), F.lit(0)).alias("cents"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )

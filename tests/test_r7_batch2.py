@@ -133,3 +133,48 @@ def test_cross_source_matrix_matches_bruteforce(spark):
     }
     assert out == dict(expect)
     assert len(out) > 0
+
+
+def test_calendar_densify_matches_bruteforce(spark):
+    import math
+    from datetime import timedelta as _td
+
+    events = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    per = defaultdict(lambda: [0, 0])
+    for r in events:
+        cell = per[(r["event_type"], r["ts"].date())]
+        cell[0] += 1
+        cell[1] += int(math.floor(r["value"] * 100.0 + 0.5))
+    spans = {}
+    for (ty, d) in per:
+        lo, hi = spans.get(ty, (d, d))
+        spans[ty] = (min(lo, d), max(hi, d))
+    out = {
+        (r["event_type"], r["d"]): r
+        for r in registry()["window_calendar_densify"].fn(spark, SF_DIR).collect()
+    }
+    expect_keys = set()
+    for ty, (lo, hi) in spans.items():
+        d = lo
+        while d <= hi:
+            expect_keys.add((ty, d.isoformat()))
+            d += _td(days=1)
+    assert set(out) == expect_keys
+    n_gaps = 0
+    for (ty, ds), row in out.items():
+        from datetime import date
+        key = (ty, date.fromisoformat(ds))
+        if key in per:
+            assert (row["n"], row["cents"], row["is_gap"]) == (
+                per[key][0], per[key][1], False,
+            )
+        else:
+            assert (row["n"], row["cents"], row["is_gap"]) == (0, 0, True)
+            n_gaps += 1
+    # the invariant that motivates the op: spans are contiguous in output
+    # even when the raw data has gap days
+    assert len(out) >= len(per)

@@ -139,6 +139,7 @@ SECTIONS = [
     ("Interval stabbing, code detect, cadence CV, cross-source overlap (r7 batch 2)", [
         "window_interval_stabbing", "text_code_detect",
         "events_user_cadence_cv", "dedup_cross_source_matrix",
+        "window_calendar_densify",
     ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
