@@ -67,6 +67,17 @@ OPS = [
     "join_asof_forward",
     "timeseries_mom_growth",
     "spatial_dbscan_core",
+    # r7: the recency-dedup merge, the ×28 contribution-explode engagement
+    # ratio, the event-delta backlog cumsum, the per-user gap fold, the
+    # first-occurrence vocab curve, and the calendar densify
+    # (dedup_cross_source_matrix stays excluded with the dedup family —
+    # chained-replica duplicate texts inflate cross-source shingle overlap)
+    "merge_upsert_latest",
+    "window_dau_mau_stickiness",
+    "window_interval_stabbing",
+    "events_user_cadence_cv",
+    "text_vocab_growth",
+    "window_calendar_densify",
 ]
 # spark-only at sf10: the certifying oracles are quadratic (spatial
 # all-pairs) or disk-spilling (raw co-occurrence) at this size
@@ -130,9 +141,18 @@ def main() -> None:
     print("| op | spark s @sf10 | duckdb s @sf10 | ratio |")
     print("| --- | --- | --- | --- |")
     tot_s = tot_d = 0.0
+    import gc as _gc
+
     for op in OPS:
         spec = reg[op]
         s = _adaptive(lambda: spec.fn(spark, SF10).write.format("noop").mode("overwrite").save())
+        # reclaim prior ops' localCheckpoint blocks: they stay pinned on the
+        # executor heap until the Python refs die AND the JVM ContextCleaner
+        # fires — ~30 accumulated ops OOMed this session at sf10 (and GC
+        # thrash from the same aging is the best explanation for r6's
+        # anomalous 166 s dbscan reading vs 1.3 s solo at HEAD)
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
         if op in SPARK_ONLY:
             print(f"| {op} | {s:.2f} | skip (quadratic certifier) | — |", flush=True)
             continue
