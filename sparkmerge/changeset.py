@@ -321,6 +321,24 @@ def build_changeset(
         # recency-dedup the feed BEFORE plan construction: the ranking
         # columns are dropped, so the plan never sees them (``plan`` callers
         # must pass a plan built against the REDUCED source schema)
+        latest_cols = (
+            [source_latest_by]
+            if isinstance(source_latest_by, str)
+            else list(source_latest_by)
+        )
+        if plan is not None:
+            # enforce the reduced-schema contract instead of trusting the
+            # comment (ADVICE r7): a plan built against the UNREDUCED feed
+            # still carries the ranking columns and would reference columns
+            # that the reduction drops below.
+            stale = sorted(set(latest_cols) & set(plan.source_columns))
+            if stale:
+                raise MergeValidationError(
+                    "plan was built against the unreduced source schema: "
+                    f"source_latest_by columns {stale!r} appear in "
+                    "plan.source_columns — rebuild the plan from the "
+                    "latest_per_key-reduced source"
+                )
         source_df = latest_per_key(source_df, join_columns, source_latest_by)
     if plan is None:
         plan = MergePlan.build(target_df.schema, source_df.schema, join_columns)

@@ -234,16 +234,45 @@ def fingerprint(*paths: str) -> str:
     return f"{hp.hexdigest()[:12]}-{hc.hexdigest()[:12]}"
 
 
+#: Skip pruning a superseded cache generation this recently touched
+#: (atime/mtime), in seconds.  A concurrently running OLDER session may
+#: still be scanning it — deleting parquet files under an active Spark scan
+#: crashes that session's query rather than serving it stale data (ADVICE
+#: r7).  After the grace window no live scan can plausibly hold it open.
+_PRUNE_GRACE_S = 600.0
+
+
 def prune_stale_siblings(base_dir: str, key: str) -> None:
     """Remove cache directories under ``base_dir`` for the same source path
     (same path-hash prefix) but a superseded content fingerprint.  Called
-    when a NEW fingerprint materializes; racing readers of a pruned dir can
-    only be reading a stale generation that no current writer produces."""
+    when a NEW fingerprint materializes.  Two safety rails (ADVICE r7):
+
+    - dirs whose atime/mtime is within :data:`_PRUNE_GRACE_S` are kept —
+      a racing older session could still be mid-scan in them;
+    - legacy dash-less dirs (the pre-r6 single-hash key format, orphaned
+      forever by the ``<path>-<content>`` rename since the prefix glob
+      never matches them) are swept on the same aged-out terms.
+    """
     import glob
     import os
     import shutil
+    import time
+
+    cutoff = time.time() - _PRUNE_GRACE_S
+
+    def aged_out(d: str) -> bool:
+        try:
+            st = os.stat(d)
+        except OSError:
+            return False
+        return max(st.st_mtime, st.st_atime) < cutoff
 
     prefix = key.split("-", 1)[0]
     for d in glob.glob(os.path.join(base_dir, f"{prefix}-*")):
-        if os.path.basename(d) != key:
+        if os.path.basename(d) != key and aged_out(d):
+            shutil.rmtree(d, ignore_errors=True)
+    # one-time-per-call sweep of pre-r6 legacy names: 12-hex, no dash
+    for d in glob.glob(os.path.join(base_dir, "*")):
+        name = os.path.basename(d)
+        if "-" not in name and len(name) == 12 and aged_out(d):
             shutil.rmtree(d, ignore_errors=True)

@@ -581,9 +581,14 @@ def timeseries_mom_growth(spark, sf_dir):
 # from exact int64 moment sums (n·Σg² − (Σg)², the agg_variance_exact
 # recipe) and the regular/bursty/mixed boundaries compare by integer
 # cross-multiplication (CV < 1/2 ⇔ 4·var_num < s1², CV > 2 ⇔ var_num >
-# 4·s1²), so both engines classify identically.  Overflow-safe: Σgaps
-# telescopes to (last − first) ≤ corpus span, so s1² and n·s2 stay far
-# below 2^63 at any SF.
+# 4·s1²), so both engines classify identically.  Overflow bound: Σgaps
+# telescopes to (last − first) ≤ corpus span (~2.6e6 s), so s1² ≤ span²
+# ≈ 7e12 is always safe; n·s2 is bounded by n_gaps·span², which stays
+# below 2^63 while per-user event counts stay under ~1.3e6.  That holds
+# on this corpus at every SF because user_id is strided per replica
+# (per-user counts do NOT grow with SF) — a feed whose per-user event
+# counts DO scale would need the pre-scaled-DIV moment recipe instead
+# (ADVICE r7 tightened this claim from "at any SF").
 
 
 @register(

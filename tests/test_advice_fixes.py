@@ -237,6 +237,17 @@ def test_connected_components_accepts_exact_convergence(spark):
         connected_components(long_path, max_iters=1)
 
 
+def _age_out(path):
+    """Backdate a dir's atime/mtime past the prune grace window."""
+    import os
+    import time
+
+    from sparkmerge.queries import _PRUNE_GRACE_S
+
+    old = time.time() - _PRUNE_GRACE_S - 60
+    os.utime(path, (old, old))
+
+
 def test_prune_stale_siblings(tmp_path):
     """A new content generation of the same source path prunes superseded
     cache dirs (same path-hash, different content-hash) and leaves other
@@ -252,10 +263,79 @@ def test_prune_stale_siblings(tmp_path):
 
     base = tmp_path / "cache"
     (base / k1).mkdir(parents=True)
+    _age_out(base / k1)
     other = "ffffffffffff-000000000000"
     (base / other).mkdir()
+    _age_out(base / other)
     (base / k2).mkdir()
     prune_stale_siblings(str(base), k2)
     assert not (base / k1).exists()
     assert (base / k2).exists()
     assert (base / other).exists()
+
+
+def test_prune_age_gate_keeps_recent_dirs(tmp_path):
+    """A superseded generation touched within the grace window survives the
+    prune: a concurrently running older session may still be scanning it,
+    and deleting parquet under an active scan crashes that session rather
+    than serving stale data (ADVICE r7)."""
+    from sparkmerge.queries import prune_stale_siblings
+
+    base = tmp_path / "cache"
+    stale_recent = "aaaaaaaaaaaa-111111111111"
+    live = "aaaaaaaaaaaa-222222222222"
+    (base / stale_recent).mkdir(parents=True)
+    (base / live).mkdir()
+    prune_stale_siblings(str(base), live)
+    assert (base / stale_recent).exists()  # recent → kept
+    _age_out(base / stale_recent)
+    prune_stale_siblings(str(base), live)
+    assert not (base / stale_recent).exists()  # aged out → pruned
+
+
+def test_prune_sweeps_legacy_dashless_dirs(tmp_path):
+    """Pre-r6 cache dirs used a single 12-hex key with no dash; the
+    prefix glob '{prefix}-*' never matches them, so the r6 growth fix left
+    them orphaned forever (ADVICE r7).  The prune now sweeps aged-out
+    legacy names, and ONLY plausible legacy names (12-hex, dash-less)."""
+    from sparkmerge.queries import prune_stale_siblings
+
+    base = tmp_path / "cache"
+    legacy = "0123456789ab"
+    unrelated = "not-a-cache-dir-name"
+    (base / legacy).mkdir(parents=True)
+    (base / unrelated).mkdir()
+    _age_out(base / legacy)
+    _age_out(base / unrelated)
+    prune_stale_siblings(str(base), "bbbbbbbbbbbb-333333333333")
+    assert not (base / legacy).exists()
+    # a dash-bearing name of non-legacy shape is out of scope
+    assert (base / unrelated).exists()
+
+
+def test_latest_by_plan_schema_contract(spark):
+    """build_changeset(plan=..., source_latest_by=...) must reject a plan
+    built against the UNREDUCED source schema — before ADVICE r7 the
+    contract lived only in a comment and the mismatch silently produced a
+    plan referencing columns the reduction drops."""
+    import pytest
+
+    from sparkmerge.changeset import build_changeset
+    from sparkmerge.errors import MergeValidationError
+    from sparkmerge.plan import MergePlan
+
+    target = spark.createDataFrame([(1, "a", 1)], "id int, v string, version int")
+    source = spark.createDataFrame(
+        [(1, "b", 2)], "id int, v string, version int"
+    )
+    bad_plan = MergePlan.build(target.schema, source.schema, ["id"])
+    with pytest.raises(MergeValidationError, match="unreduced source schema"):
+        build_changeset(target, source, ["id"], plan=bad_plan, source_latest_by="version")
+    # the reduced-schema plan is accepted
+    good_plan = MergePlan.build(
+        target.schema, source.drop("version").schema, ["id"]
+    )
+    cs = build_changeset(
+        target, source, ["id"], plan=good_plan, source_latest_by="version"
+    )
+    assert cs.df.count() >= 1

@@ -81,8 +81,9 @@ OPS = [
     # r7 additions: the recency-dedup merge, the ×28 contribution-explode
     # engagement ratio, the first-occurrence vocab curve, the event-delta
     # backlog cumsum, the per-user gap fold, and the shingle-keyed
-    # cross-source overlap (the heaviest new shape — md5 over every
-    # 5-word shingle in the corpus)
+    # cross-source overlap (the heaviest new shape — grouping by the raw
+    # 5-word shingle string; see the op's shingle_key='hash' lever for the
+    # xxhash64-compacted shuffle key)
     "merge_upsert_latest",
     "window_dau_mau_stickiness",
     "text_vocab_growth",
