@@ -975,3 +975,102 @@ def graph_modularity_score(spark, sf_dir):
         F.lit(q_den).cast("long").alias("q_den"),
         (F.col("q_num").cast("double") / F.lit(float(q_den))).alias("modularity"),
     )
+
+
+# --- graph_link_predict_cn (r8) ----------------------------------------------
+#
+# Common-neighbors link prediction over the mutual top-K sparsified
+# co-occurrence graph: score every NON-adjacent node pair (u, v) that
+# shares at least one neighbor by |N(u) ∩ N(v)| — the classic integer
+# link-prediction baseline (Liben-Nowell & Kleinberg 2003).  The
+# Adamic-Adar weighting is deliberately out of scope: log() is not
+# bit-portable across engines (SURVEY §7.5), and CN is the exact-integer
+# member of the same feature family.
+#
+# Shares graph_jaccard_neighbors' derivation discipline (the sparsified
+# graph bounds degree ≤ K structurally, so the wedge join costs ≤
+# nodes·K² at ANY corpus density) but inverts the final filter: jaccard
+# scores ADJACENT pairs; link prediction anti-joins the adjacency so only
+# candidate NEW edges remain.  The wedge/anti-join inputs are consumed by
+# multiple plan branches, so the bounded edge set is checkpointed once —
+# same lineage discipline as the rest of the family.
+
+
+@register(
+    "graph_link_predict_cn",
+    oracle=f"""
+WITH
+{_EDGES_SQL},
+db AS (SELECT u, v, w FROM edges UNION ALL SELECT v, u, w FROM edges),
+pick AS (
+  SELECT u, v FROM (
+    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
+      FROM db) WHERE rn <= {_KNN_K}
+),
+fe AS (
+  SELECT least(u, v) AS u, greatest(u, v) AS v
+    FROM pick GROUP BY 1, 2 HAVING count(*) = 2
+),
+bi AS (SELECT u, v FROM fe UNION ALL SELECT v, u FROM fe),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM bi GROUP BY u),
+wedge AS (
+  SELECT a.u AS u, b.u AS v, CAST(count(*) AS BIGINT) AS common
+    FROM bi a JOIN bi b ON a.v = b.v AND a.u < b.u
+   GROUP BY 1, 2
+)
+SELECT w.u, w.v, w.common, du.d AS deg_u, dv.d AS deg_v
+  FROM wedge w
+  JOIN deg du ON du.node = w.u
+  JOIN deg dv ON dv.node = w.v
+ WHERE NOT EXISTS (SELECT 1 FROM fe e WHERE e.u = w.u AND e.v = w.v)
+""",
+    description="common-neighbors link prediction: NON-adjacent node pairs "
+    f"of the mutual top-K graph (k={_KNN_K}) sharing ≥1 neighbor, scored "
+    "by the exact integer |N(u)∩N(v)| with endpoint degrees as companion "
+    "features (the Adamic-Adar log weighting is out of scope — not "
+    "bit-portable); degree ≤ K structurally, so the wedge join is bounded "
+    "by nodes·K² at any corpus density and the adjacency anti-join removes "
+    "existing edges — the candidate-edge generator a 100 TB entity-graph "
+    "pipeline feeds to its ranker",
+)
+def graph_link_predict_cn(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    raw = _edges(spark, sf_dir)
+    db = raw.select("u", "v", "w").unionByName(
+        raw.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    rn = F.row_number().over(Window.partitionBy("u").orderBy(F.desc("w"), F.asc("v")))
+    pick = db.withColumn("rn", rn).filter(F.col("rn") <= _KNN_K).select("u", "v")
+    edges = (
+        pick.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("npick"))
+        .filter(F.col("npick") == 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    bi = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = (
+        bi.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .withColumnRenamed("u", "node")
+    )
+    a, b = bi.alias("a"), bi.alias("b")
+    wedge = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.u") < F.col("b.u")))
+        .groupBy(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    deg_u = deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))
+    deg_v = deg.select(F.col("node").alias("v"), F.col("d").alias("deg_v"))
+    return (
+        wedge.join(edges, ["u", "v"], "left_anti")
+        .join(deg_u, "u")
+        .join(deg_v, "v")
+        .select("u", "v", "common", "deg_u", "deg_v")
+    )

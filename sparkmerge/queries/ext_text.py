@@ -1022,3 +1022,75 @@ def text_code_detect(spark, sf_dir):
         "doc_id", "n_chars", "n_sym", "n_indent", "n_lines",
         share.alias("sym_share"), label.alias("label"),
     )
+
+
+# --- pipeline_length_bucket_stats (r8) ---------------------------------------
+#
+# Sequence-length histogram per source on power-of-two buckets — the
+# packing-efficiency planning table: batch construction for training
+# wants to know, per source, how document lengths distribute across
+# doubling buckets (how much of the corpus is shorter than the context
+# window, where the padding waste concentrates, which sources contribute
+# the long tail).  Bucket = bit length of the whitespace token count,
+# computed PORTABLY as length(bin(n)) — the binary-string render is
+# exact in both engines, so no log2() (not bit-portable) anywhere.
+# share_of_source is ONE IEEE division of two exact integer counts.
+#
+# Scale: one map-side-combined (source, bucket) aggregation over the
+# corpus; the output relation is |sources| × ≤64 buckets, and the share
+# window runs on that tiny relation — nothing downstream of the single
+# shuffle is corpus-sized.
+
+
+@register(
+    "pipeline_length_bucket_stats",
+    oracle=f"""
+WITH t AS (
+  SELECT source, CAST(len({_TOKS_RAW}) AS BIGINT) AS n_tokens
+    FROM documents
+),
+g AS (
+  SELECT source,
+         CAST(length(bin(n_tokens)) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+         CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM t GROUP BY 1, 2
+)
+SELECT source, bucket, n_docs, total_tokens, min_tokens, max_tokens,
+       CAST(n_docs AS DOUBLE)
+         / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE)
+         AS share_of_source
+  FROM g
+""",
+    description="sequence-length histogram per source on power-of-two "
+    "buckets (bucket = bit length of the whitespace token count, rendered "
+    "portably via length(bin(n)) — no log2 anywhere): doc count, total/"
+    "min/max tokens and share-of-source per bucket — the packing-"
+    "efficiency planning table batch construction reads; ONE map-side-"
+    "combined (source, bucket) agg shuffle, the share window runs on the "
+    "|sources|×≤64 output relation",
+)
+def pipeline_length_bucket_stats(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "source", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    g = d.groupBy(
+        "source",
+        F.length(F.bin(F.col("n_tokens"))).cast("long").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    share = F.col("n_docs").cast("double") / F.sum("n_docs").over(
+        Window.partitionBy("source")
+    ).cast("double")
+    return g.select(
+        "source", "bucket", "n_docs", "total_tokens", "min_tokens",
+        "max_tokens", share.alias("share_of_source"),
+    )

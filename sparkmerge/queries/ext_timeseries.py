@@ -729,3 +729,124 @@ def window_calendar_densify(spark, sf_dir):
             F.col("n").isNull().alias("is_gap"),
         )
     )
+
+
+# --- orders_seasonal_naive_mase (r8) -----------------------------------------
+#
+# Forecast-accuracy evaluation of the seasonal-naive baseline (ŷ_m =
+# y_{m−12}, "same month last year") per part brand — the demand-planning
+# question "does this brand's revenue have exploitable yearly structure,
+# or is last month already the best predictor?".  MASE (mean absolute
+# scaled error, Hyndman & Koehler 2006) scales the seasonal-naive MAE by
+# the one-step-naive MAE, so MASE < 1 means the seasonal forecast beats
+# carrying last month forward.
+#
+# Determinism: monthly revenue is an EXACT int64 cents sum (per-row
+# floor(x·100+0.5), the house recipe), absolute errors and their sums are
+# exact integers, and MASE is ONE IEEE division of two cross-multiplied
+# exact integers ((sae_s·n_n) / (sae_n·n_s)) — no FP accumulation, no mean
+# of means.  Lags are CALENDAR joins on add_months(month, −12/−1), not
+# row-offset lag windows, so a brand with a missing month never silently
+# pairs the wrong months.
+#
+# Scale (100 TB): the only data-sized work is ONE map-side-combined
+# (brand, month) aggregation over lineitem (part joined by broadcast —
+# the dim is tiny); everything downstream runs on the |brands| × |months|
+# relation (25 × ~80 here, still only ~10^5 ish for a real catalog), so
+# the lag joins and final rollup are driver-trivial at any corpus size.
+# Overflow: sae ≤ Σ|rev| ≈ total corpus cents (~2e13 at sf10); the
+# cross-multiply by n ≤ 10^2 months keeps products ≪ 2^63.
+
+
+@register(
+    "orders_seasonal_naive_mase",
+    oracle="""
+WITH m AS (
+  SELECT p_brand AS brand,
+         date_trunc('month', CAST(l_shipdate AS DATE)) AS mo,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS rev
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+   GROUP BY 1, 2
+),
+s AS (
+  SELECT a.brand,
+         CAST(count(*) AS BIGINT) AS n_seasonal,
+         CAST(sum(abs(a.rev - b.rev)) AS BIGINT) AS sae_seasonal_cents
+    FROM m a JOIN m b
+      ON a.brand = b.brand
+     AND b.mo = CAST(a.mo - INTERVAL 12 MONTH AS DATE)
+   GROUP BY 1
+),
+n AS (
+  SELECT a.brand,
+         CAST(count(*) AS BIGINT) AS n_naive,
+         CAST(sum(abs(a.rev - b.rev)) AS BIGINT) AS sae_naive_cents
+    FROM m a JOIN m b
+      ON a.brand = b.brand
+     AND b.mo = CAST(a.mo - INTERVAL 1 MONTH AS DATE)
+   GROUP BY 1
+),
+t AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_months FROM m GROUP BY 1)
+SELECT t.brand, t.n_months, s.n_seasonal, n.n_naive,
+       s.sae_seasonal_cents, n.sae_naive_cents,
+       CASE WHEN n.sae_naive_cents = 0 THEN NULL
+            ELSE CAST(s.sae_seasonal_cents * n.n_naive AS DOUBLE)
+                 / CAST(n.sae_naive_cents * s.n_seasonal AS DOUBLE) END AS mase
+  FROM t
+  JOIN s ON s.brand = t.brand
+  JOIN n ON n.brand = t.brand
+""",
+    description="seasonal-naive forecast evaluation per part brand: monthly "
+    "revenue as EXACT int64 cents, seasonal (m−12) and one-step (m−1) "
+    "absolute errors via calendar add_months joins (gap-proof, never "
+    "row-offset lag), MASE = ONE IEEE division of cross-multiplied exact "
+    "integers; ONE map-side-combined (brand, month) agg over lineitem with "
+    "the part dim broadcast — everything downstream is |brands|×|months|-"
+    "sized at any corpus scale",
+)
+def orders_seasonal_naive_mase(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + 0.5
+    ).cast("long")
+    m = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.trunc(F.col("l_shipdate").cast("date"), "month").alias("mo"),
+        )
+        .agg(F.sum(cents).alias("rev"))
+    )
+
+    def lag_errors(months: int, n_name: str, sae_name: str):
+        a, b = m.alias("a"), m.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.brand") == F.col("b.brand"))
+                & (F.col("b.mo") == F.add_months(F.col("a.mo"), -months)),
+            )
+            .groupBy(F.col("a.brand").alias("brand"))
+            .agg(
+                F.count(F.lit(1)).alias(n_name),
+                F.sum(F.abs(F.col("a.rev") - F.col("b.rev"))).alias(sae_name),
+            )
+        )
+
+    s = lag_errors(12, "n_seasonal", "sae_seasonal_cents")
+    n = lag_errors(1, "n_naive", "sae_naive_cents")
+    t = m.groupBy("brand").agg(F.count(F.lit(1)).alias("n_months"))
+    mase = F.when(F.col("sae_naive_cents") == 0, F.lit(None).cast("double")).otherwise(
+        (F.col("sae_seasonal_cents") * F.col("n_naive")).cast("double")
+        / (F.col("sae_naive_cents") * F.col("n_seasonal")).cast("double")
+    )
+    return (
+        t.join(s, "brand")
+        .join(n, "brand")
+        .select(
+            "brand", "n_months", "n_seasonal", "n_naive",
+            "sae_seasonal_cents", "sae_naive_cents", mase.alias("mase"),
+        )
+    )

@@ -341,3 +341,106 @@ def join_asof_forward(spark, sf_dir):
         right_dups="max",
         direction="forward",
     )
+
+
+# --- join_temporal_validity (r8) ---------------------------------------------
+#
+# Validity-interval join: two per-entity interval tables, pairs whose
+# validity windows OVERLAP at some instant — the temporal-warehouse shape
+# behind "which dimension versions were simultaneously valid" / "which
+# later purchase's return window fell inside an earlier purchase's
+# warranty".  Both interval tables derive deterministically from orders
+# (the corpus carries no native end-date column — same derived-input
+# precedent as window_interval_stabbing): per order, a 90-day warranty
+# [d, d+90) and a 30-day return window [d, d+30), keyed by customer.
+#
+# Scale: NEVER the theta nested-loop the oracle runs — each interval
+# explodes into its covered MONTH bins (≤ 4 for the 90-day side), pairs
+# equi-join on (custkey, bin) with bounded per-bin occupancy (per-customer
+# order counts do not grow with corpus size), duplicates from multi-bin
+# matches collapse via distinct, and the exact half-open overlap predicate
+# filters.  One shuffle per side on the bin key; overlap length in exact
+# integer days.
+
+
+@register(
+    "join_temporal_validity",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders
+),
+a AS (
+  SELECT o_custkey, o_orderkey AS a_orderkey, d AS a_start, d + 90 AS a_end
+    FROM o
+),
+b AS (
+  SELECT o_custkey, o_orderkey AS b_orderkey, d AS b_start, d + 30 AS b_end
+    FROM o
+)
+SELECT a.o_custkey, a.a_orderkey, b.b_orderkey,
+       CAST(a.a_start AS VARCHAR) AS a_start,
+       CAST(b.b_start AS VARCHAR) AS b_start,
+       CAST(date_diff('day', greatest(a.a_start, b.b_start),
+                      least(a.a_end, b.b_end)) AS BIGINT) AS overlap_days
+  FROM a JOIN b
+    ON a.o_custkey = b.o_custkey
+   AND a.a_orderkey <> b.b_orderkey
+   AND a.a_start < b.b_end AND b.b_start < a.a_end
+""",
+    description="validity-interval join (per-customer 90-day warranty "
+    "windows × 30-day return windows, half-open overlap semantics) via "
+    "month-bin decomposition: each interval explodes into ≤4 covered month "
+    "bins, pairs equi-join on (custkey, bin) — bounded shuffle with "
+    "per-bin occupancy pinned by per-customer order counts — multi-bin "
+    "duplicates collapse via distinct, the exact overlap predicate "
+    "filters; overlap length in exact integer days (the oracle runs the "
+    "theta nested-loop, proving the decomposition exact)",
+)
+def join_temporal_validity(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+
+    def binned(prefix: str, days: int):
+        start = F.col("d")
+        end = F.date_add(F.col("d"), days)
+        return o.select(
+            "o_custkey",
+            F.col("o_orderkey").alias(f"{prefix}_orderkey"),
+            start.alias(f"{prefix}_start"),
+            end.alias(f"{prefix}_end"),
+            F.explode(
+                F.sequence(
+                    F.trunc(start, "month"),
+                    F.trunc(F.date_sub(end, 1), "month"),
+                    F.expr("interval 1 month"),
+                )
+            ).alias("bin"),
+        )
+
+    a = binned("a", 90)
+    b = binned("b", 30)
+    return (
+        a.join(b, ["o_custkey", "bin"])
+        .filter(
+            (F.col("a_orderkey") != F.col("b_orderkey"))
+            & (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end"))
+        )
+        .select(
+            "o_custkey",
+            "a_orderkey",
+            "b_orderkey",
+            F.col("a_start").cast("string").alias("a_start"),
+            F.col("b_start").cast("string").alias("b_start"),
+            F.datediff(
+                F.least(F.col("a_end"), F.col("b_end")),
+                F.greatest(F.col("a_start"), F.col("b_start")),
+            )
+            .cast("long")
+            .alias("overlap_days"),
+        )
+        .distinct()
+    )

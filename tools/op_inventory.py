@@ -141,6 +141,10 @@ SECTIONS = [
         "events_user_cadence_cv", "dedup_cross_source_matrix",
         "window_calendar_densify",
     ]),
+    ("Seasonal-naive MASE, CN link prediction, temporal validity & length buckets (r8 batch 1)", [
+        "orders_seasonal_naive_mase", "graph_link_predict_cn",
+        "join_temporal_validity", "pipeline_length_bucket_stats",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",
