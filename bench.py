@@ -24,6 +24,14 @@ at sf1, which is the point of recording both (BASELINE.md round-4 section).
 The leg is wall-clock-budgeted (SPARK_GRAFT_SF1_BUDGET sec, default 360;
 SPARK_GRAFT_SF1=0 disables) and failure-isolated, so the primary sf0.1
 output line is never at risk.
+
+A third leg (r7 verdict ask #6) embeds the ~10 heaviest headline ops at
+sf10 (~1.7 GiB) under "sf10" — the committed per-round artifact for the
+amortization claim (sf0.1 readings are job-floor-dominated; at sf10 the
+aggregate sits near 1× DuckDB).  Same budget discipline
+(SPARK_GRAFT_SF10_BUDGET sec, default 600; SPARK_GRAFT_SF10=0 disables),
+quadratic certifier oracles never run, and both heaps are collected
+between ops (the r7 sf10 OOM lesson).
 """
 
 from __future__ import annotations
@@ -186,6 +194,12 @@ def main() -> None:
         except Exception as e:  # never risk the primary output line
             out["sf1"] = {"error": f"{type(e).__name__}: {e}"}
 
+    if sf == "0.1" and os.environ.get("SPARK_GRAFT_SF10", "1") != "0":
+        try:
+            out["sf10"] = _sf10_leg(spark, reg)
+        except Exception as e:  # never risk the primary output line
+            out["sf10"] = {"error": f"{type(e).__name__}: {e}"}
+
     # The driver records only a bounded tail of stdout, which truncated the
     # r4 per-query numbers out of BENCH_r04.json (r4 verdict ask #3).  Write
     # the complete machine-readable result as its own committed artifact too.
@@ -303,6 +317,130 @@ def _sf1_leg(spark, reg) -> dict:
         "skipped": skipped,
         "oracle_skipped": oracle_skipped,
         "skipped_expensive": SF1_SKIP,
+    }
+
+
+# The ~10 heaviest headline ops (by the committed sf1 leg) — the set whose
+# 100 TB amortization claim (sf0.1 job-floor domination → ~1× at sf10) must
+# be a committed per-round BENCH artifact, not a separate tool run (r7
+# verdict ask #6).  The full 34-op sf10 sweep stays in SCALING.md.
+SF10_OPS = [
+    "orders_basket_lift",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "graph_kcore_peel",
+    "dedup_containment",
+    "merge_upsert_latest",
+    "tpch_q21_style",
+    "topk_similarity",
+    "tpch_q5",
+    "merge_full",
+    "dedup_cross_source_matrix",
+]
+
+# quadratic all-pairs certifier oracles — NEVER run at sf10 (~hours); the
+# Spark side is the measurement, the algorithmic gap is the point
+SF10_ORACLE_SKIP = {"dedup_ngram_jaccard", "dedup_containment"}
+
+
+def _sf10_leg(spark, reg) -> dict:
+    """Budgeted sf10 re-measure of the heaviest headline ops, same session.
+
+    Same structure as :func:`_sf1_leg` (dynamic conf flip, budget guards
+    entry not duration, failure-isolated by the caller) at 100× the driver
+    corpus (~1.7 GiB).  Between ops, collect both heaps: accumulated
+    localCheckpoint blocks stay pinned until the Python refs die AND the
+    JVM ContextCleaner fires — ~30 ops of that OOMed the r7 sf10 sweep.
+    ``SPARK_GRAFT_SF10=0`` disables; budget ``SPARK_GRAFT_SF10_BUDGET``
+    sec (default 600).
+    """
+    import gc
+    import subprocess
+
+    sf1_dir = "/tmp/sparkmerge_sf1"
+    sf10_dir = "/tmp/sparkmerge_sf10"
+    tools = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    for src, dst, factor in (("/root/testdata/sf0.1", sf1_dir, 10), (sf1_dir, sf10_dir, 10)):
+        if not all(os.path.exists(os.path.join(dst, f"{t}.parquet")) for t in TABLES):
+            subprocess.run(
+                [sys.executable, os.path.join(tools, "gen_scale.py"), src, dst, str(factor)],
+                check=True,
+                capture_output=True,
+            )
+    budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET", "600"))
+    t_start = time.perf_counter()
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={cpus}")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf10_dir}/{t}.parquet')")
+
+    from sparkmerge.queries import table_path
+
+    for t in TABLES:  # pre-warm read-optimized rewrites outside timings
+        table_path(sf10_dir, t)
+
+    def timed(run) -> float:
+        t0 = time.perf_counter()
+        run()
+        warm = time.perf_counter() - t0
+        n = 1 if warm >= 10 else 3 if warm >= 2 else 5
+        if n == 1:
+            return warm
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        return sorted(times)[n // 2]
+
+    spark_times: dict[str, float] = {}
+    duck_times: dict[str, float] = {}
+    skipped: list[str] = []
+    oracle_skipped: list[str] = []
+    try:
+        for op_id in SF10_OPS:
+            if time.perf_counter() - t_start > budget:
+                skipped.append(op_id)
+                continue
+            spec = reg[op_id]
+            spark_times[op_id] = round(
+                timed(lambda: spec.fn(spark, sf10_dir).write.format("noop").mode("overwrite").save()), 4
+            )
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            if op_id in SF10_ORACLE_SKIP:
+                oracle_skipped.append(op_id)
+            elif spec.oracle is not None and time.perf_counter() - t_start <= budget:
+                duck_times[op_id] = round(timed(lambda: con.sql(spec.oracle).arrow()), 4)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+    comparable = sum(spark_times[k] for k in duck_times)
+    duck_total = sum(duck_times.values())
+    return {
+        "sf": 10,
+        "queries": spark_times,
+        "duckdb": duck_times,
+        "ratio_vs_duckdb": round(comparable / duck_total, 3) if duck_total else None,
+        "skipped": skipped,
+        "oracle_skipped": oracle_skipped,
     }
 
 

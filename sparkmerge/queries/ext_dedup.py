@@ -715,9 +715,12 @@ def dedup_lsh_recall_eval(spark, sf_dir):
 # degenerate case and is 0 on this corpus below sf0.1 — shingles are the
 # standard contamination unit, cf. text_decontaminate.)  Shingles group by
 # their RAW string (an md5 digest is the same ~30 bytes on the wire and
-# measured ~10 % slower at sf1 for 25M digests; at 100 TB you would hash
-# to an 8-byte xxhash64 shuffle key — that is the compaction lever, and it
-# need not match across engines since only pair COUNTS surface).  Each
+# measured ~10 % slower at sf1 for 25M digests; at 100 TB you hash to an
+# 8-byte xxhash64 shuffle key — REGISTERED below as
+# ``shingle_key='hash'``, and it need not match across engines since only
+# pair COUNTS surface — a hash collision would merge two shingles' source
+# sets, an under-count of at most 1 per colliding pair at ~2^-64 per
+# shingle pair; the exact raw-string path stays the oracle surface).  Each
 # distinct (shingle, source) contributes once; shingles aggregate their DISTINCT
 # source sets in ONE content-keyed shuffle, and the |sources|-bounded
 # sorted set expands map-side into i < j source pairs — the pair
@@ -755,10 +758,13 @@ SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_shingles
     "(collect_set dedups in-agg), and the sorted ≤|sources| set expands to i < j pairs "
     "MAP-SIDE (posexplode+slice, no text-level self-join) — the final "
     "aggregation runs over the |sources|²-bounded pair domain at any "
-    "corpus size; oracle certifies against the (shingle, source) "
-    "self-join formulation",
+    "corpus size; shingle_key='hash' is the REGISTERED 100 TB lever "
+    "(xxhash64 compacts the ~30-byte shingle string to an 8-byte shuffle "
+    "key before the groupBy — counts-only surface, so cross-engine digest "
+    "match is not required); oracle certifies the raw path against the "
+    "(shingle, source) self-join formulation",
 )
-def dedup_cross_source_matrix(spark, sf_dir):
+def dedup_cross_source_matrix(spark, sf_dir, shingle_key="raw"):
     from sparkmerge.ext.text import whitespace_tokens
 
     d = load(spark, sf_dir, "documents")
@@ -773,6 +779,17 @@ def dedup_cross_source_matrix(spark, sf_dir):
     # dedups (h, source) in-agg, so no separate distinct pass
     ex = d.select("source", toks.alias("t"), F.explode(idx).alias("i"))
     h = F.array_join(F.expr("slice(t, i, 5)"), " ")
+    if shingle_key == "hash":
+        # the 100 TB shuffle-compaction lever: xxhash64 the shingle text
+        # map-side so the content-keyed Exchange carries an 8-byte long
+        # instead of the ~30-byte string (≈4× less shuffle I/O on the
+        # dominant wire payload).  Counts-only surface: a 64-bit collision
+        # merges two shingles' source sets (≤1 under-count per affected
+        # pair, P ≈ n²/2^65) — acceptable for a weighting/contamination
+        # audit; the exact raw path remains the oracle surface.
+        h = F.xxhash64(h)
+    elif shingle_key != "raw":
+        raise ValueError(f"Unknown shingle_key: {shingle_key!r}")
     per_shingle = (
         ex.select("source", h.alias("h"))
         .groupBy("h")

@@ -533,10 +533,49 @@ SELECT CAST(c.end_d AS VARCHAR) AS d,
     "covers (map-side, linear), distinct-count per end day over the tiny "
     "day domain — sliding COUNT(DISTINCT) with zero per-frame state; end "
     "days restricted to observed active days so both engines emit the "
-    "same calendar",
+    "same calendar; mode='hll' is the registered 100 TB lever (one "
+    "datasketches-HLL per day, trailing union over the |days|×7 day-level "
+    "sketch table — kills the presences×7 shuffle, same machinery as "
+    "window_dau_mau_stickiness(mau='hll'); register-max union is order-"
+    "independent, exact path stays the oracle surface)",
 )
-def window_rolling_distinct(spark, sf_dir):
+def window_rolling_distinct(spark, sf_dir, mode="exact"):
+    if mode not in ("exact", "hll"):
+        raise ValueError(f"mode must be 'exact' or 'hll', got {mode!r}")
     e = load(spark, sf_dir, "events")
+    if mode == "hll":
+        # the 100 TB lever, sharing window_dau_mau_stickiness(mau='hll')'s
+        # shape: the exact path's contribution explode shuffles
+        # presences×7 into the per-end-day distinct (linear in presences);
+        # here each DAY aggregates one mergeable HLL of its actives in ONE
+        # raw-event aggregation (the sketch dedups inherently — no
+        # materialized presence dedup), and the trailing-7 union runs over
+        # the ×7 fan-out of the DAY-LEVEL sketch table — |days|×7 rows at
+        # any corpus size.  Register-max union is order-independent, so
+        # the estimate is deterministic; not oracle-checkable (DuckDB's
+        # sketch differs), the exact default is the driver-verified
+        # surface (agreement tested alongside the DAU/MAU lever).
+        daily = (
+            e.select(F.to_date("ts").alias("d"), "user_id")
+            .groupBy("d")
+            .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+        )
+        contrib = (
+            daily.select("d", "sk")
+            .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(6))))
+            .select(F.date_add(F.col("d"), F.col("i")).alias("end_d"), "sk")
+        )
+        days = daily.select(F.col("d").alias("end_d"))
+        return (
+            contrib.join(days, "end_d", "left_semi")
+            .groupBy("end_d")
+            .agg(
+                F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+                .cast("long")
+                .alias("n_active_7d")
+            )
+            .select(F.col("end_d").cast("string").alias("d"), "n_active_7d")
+        )
     pres = e.select("user_id", F.to_date("ts").alias("d")).distinct()
     contrib = pres.select(
         "user_id",
