@@ -77,17 +77,15 @@ def register(op_id: str, *, oracle: str | None = None, description: str = ""):
 # a post-rewrite green row lands.
 # NOTE (r7): all 12 r6 entries (graph family ×7, abtest, q21, bitext,
 # asof ×2) landed green r6 rows and are cleared per the contract above.
+# NOTE (r8): all 4 r7 entries (basket rewrite + 3 spatial param surfaces)
+# landed green r7 rows and are cleared.
 _FORCE_REVERIFY = {
-    # r7: basket-array + posexplode rewrite with opt-in Apriori prune
-    # (r6 verdict ask #5) — output unchanged by construction (the support
-    # floor already excluded the pruned pairs), re-confirm anyway.
-    "orders_basket_lift",
-    # r7: cell_size exposed as a parameter with generalized neighborhood
-    # reach (r6 verdict ask #7) — default reproduces the old constant, so
-    # behavior-preserving, but the pair-generation code path changed.
-    "join_spatial_grid",
-    "spatial_dbscan_core",
-    "spatial_knn_grid",
+    # r8: 100 TB levers registered as parameters (r7 verdict asks #2/#5) —
+    # the DEFAULT paths are unchanged by construction (the lever is an
+    # if-branch off the default), re-confirm the registered surface anyway,
+    # same precedent as the r7 spatial cell_size parameter exposure.
+    "dedup_cross_source_matrix",
+    "window_rolling_distinct",
 }
 
 
