@@ -1314,3 +1314,188 @@ def orders_reorder_interval(spark, sf_dir):
         F.element_at("sorted_gaps", p50.cast("int")).alias("p50_gap_d"),
         F.element_at("sorted_gaps", p90.cast("int")).alias("p90_gap_d"),
     )
+
+
+# --- orders_cust_migration_matrix (r8b2) -------------------------------------
+#
+# Year-over-year customer activity-tier migration matrix — the retention
+# planning table behind "are mid-tier customers upgrading or churning?".
+# Tiers are integer order-count buckets (1-2 low, 3-5 mid, ≥6 high), the
+# transition target is next year's tier or 'churned' when the customer
+# places no order in year+1.  Exact integer counts end-to-end; tier
+# boundaries are integer comparisons, so both engines classify
+# identically.
+#
+# Scale: ONE (custkey, year) aggregation over orders (map-side combined),
+# then a self-join of the per-customer-year relation on (custkey, year+1)
+# — both sides are already partitioned by custkey from the agg, and the
+# relation is |customers|×|years|, orders-of-magnitude smaller than the
+# fact table.  The final matrix aggregation runs on |years|×4×4 cells.
+
+
+@register(
+    "orders_cust_migration_matrix",
+    oracle="""
+WITH cy AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1, 2
+),
+t AS (
+  SELECT o_custkey, y,
+         CASE WHEN n >= 6 THEN 'high' WHEN n >= 3 THEN 'mid' ELSE 'low' END
+           AS tier
+    FROM cy
+),
+last_y AS (SELECT max(y) AS maxy FROM cy)
+SELECT a.y, a.tier AS from_tier,
+       COALESCE(b.tier, 'churned') AS to_tier,
+       CAST(count(*) AS BIGINT) AS n_customers
+  FROM t a
+  LEFT JOIN t b ON a.o_custkey = b.o_custkey AND b.y = a.y + 1
+ WHERE a.y < (SELECT maxy FROM last_y)
+ GROUP BY 1, 2, 3
+""",
+    description="year-over-year customer activity-tier migration matrix "
+    "(low/mid/high by integer order-count buckets, 'churned' when absent "
+    "in year+1 — final partial year excluded as the transition source): "
+    "ONE map-side-combined (custkey, year) agg over orders, self-join of "
+    "the |customers|×|years| relation on (custkey, year+1) reusing the "
+    "custkey partitioning, matrix agg on |years|×4×4 cells; exact integer "
+    "counts and integer tier boundaries throughout",
+)
+def orders_cust_migration_matrix(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    cy = o.groupBy(
+        "o_custkey", F.year("o_orderdate").cast("long").alias("y")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tier = (
+        F.when(F.col("n") >= 6, "high")
+        .when(F.col("n") >= 3, "mid")
+        .otherwise("low")
+    )
+    t = cy.select("o_custkey", "y", tier.alias("tier"))
+    maxy = t.agg(F.max("y").alias("maxy"))
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("b.y") == F.col("a.y") + 1),
+            "left",
+        )
+        # 1-row broadcast + filter: the scalar max-year bound (the final
+        # partial year is excluded as a transition SOURCE)
+        .crossJoin(F.broadcast(maxy))
+        .filter(F.col("a.y") < F.col("maxy"))
+        .groupBy(
+            F.col("a.y").alias("y"),
+            F.col("a.tier").alias("from_tier"),
+            F.coalesce(F.col("b.tier"), F.lit("churned")).alias("to_tier"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --- orders_fulfillment_latency (r8b2) ---------------------------------------
+#
+# Order-to-ship latency profile per order priority — the fulfillment SLA
+# table.  The nearest-rank percentiles come from CUMULATIVE COUNTS over
+# the bounded gap-day domain (order→ship gaps are bounded by business
+# rule; ~1-120 days on this corpus), NOT from per-group sorted arrays:
+# the (priority, gap) aggregation is map-side combined and everything
+# after runs on |priorities|×|gap domain| rows — the formulation that
+# survives a 60-billion-row lineitem, where collecting a 12-billion-
+# element array per priority would not.  Nearest-rank index is the house
+# integer recipe (rank_p = (p·n + 99) DIV 100, 1-indexed ceil), mean is
+# ONE IEEE division of two exact integers.
+
+
+@register(
+    "orders_fulfillment_latency",
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority AS priority,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) AS BIGINT) AS gap_d,
+         CAST(count(*) AS BIGINT) AS c
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+   GROUP BY 1, 2
+),
+w AS (
+  SELECT priority, gap_d, c,
+         sum(c) OVER (PARTITION BY priority ORDER BY gap_d) AS cum,
+         sum(c) OVER (PARTITION BY priority) AS n,
+         sum(gap_d * c) OVER (PARTITION BY priority) AS s
+    FROM g
+)
+SELECT priority,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(min(gap_d) AS BIGINT) AS min_days,
+       CAST(max(gap_d) AS BIGINT) AS max_days,
+       CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN gap_d END) AS BIGINT)
+         AS p50_days,
+       CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN gap_d END) AS BIGINT)
+         AS p90_days,
+       CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN gap_d END) AS BIGINT)
+         AS p99_days,
+       CAST(max(s) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS mean_days
+  FROM w GROUP BY priority
+""",
+    description="order-to-ship latency profile per priority (the "
+    "fulfillment SLA table): exact integer day gaps aggregate to the "
+    "bounded (priority, gap-day) domain in ONE map-side-combined shuffle "
+    "after the orderkey join; nearest-rank p50/p90/p99 from cumulative "
+    "counts over that tiny relation — never a per-group sorted array "
+    "(the formulation that survives a 60-billion-row lineitem); mean = "
+    "ONE IEEE division of exact integer sum/count",
+)
+def orders_fulfillment_latency(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("long")
+            .alias("gap_d"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wp = Window.partitionBy("priority")
+    wcum = wp.orderBy("gap_d")
+    w = g.select(
+        "priority",
+        "gap_d",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wp).alias("n"),
+        F.sum(F.col("gap_d") * F.col("c")).over(wp).alias("s"),
+    )
+
+    # integer ceil: (p*n + 99) DIV 100 — keep it integer on both sides
+    def pctc(p: int):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({p} * n + 99) div 100"),
+                F.col("gap_d"),
+            )
+        )
+
+    return w.groupBy("priority").agg(
+        F.max("n").alias("n"),
+        F.min("gap_d").alias("min_days"),
+        F.max("gap_d").alias("max_days"),
+        pctc(50).alias("p50_days"),
+        pctc(90).alias("p90_days"),
+        pctc(99).alias("p99_days"),
+        (F.max("s").cast("double") / F.max("n").cast("double")).alias(
+            "mean_days"
+        ),
+    )

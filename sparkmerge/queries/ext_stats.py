@@ -1006,3 +1006,153 @@ def window_interval_stabbing(spark, sf_dir):
         "day_delta",
         F.sum("day_delta").over(w).alias("open_count"),
     )
+
+
+# --- timeseries_seasonal_mad_outliers (r8b2) ---------------------------------
+#
+# Seasonally-adjusted robust anomaly detection — the production-monitoring
+# refinement of events_anomaly_mad: remove the hour-of-week expectation
+# BEFORE flagging, so a quiet overnight hour is not "anomalous" merely for
+# being overnight and a spike during a busy hour is not hidden by it.
+# Residual = integer cents − integer cell mean (timeseries_seasonal_
+# strength's floor-div m̂_g recipe — non-negative cents, so DuckDB `//`
+# and Spark `div` agree), then per-type median/MAD over the residuals via
+# the explicit window-rank median (events_anomaly_mad's _MED_PICK
+# pattern: exact integer ranks, the final median is avg of ≤2 integers —
+# a dyadic rational, bit-identical in both engines), and the flag
+# compares |resid − med| > 3·MAD with dyadic values only.
+#
+# Scale: one (type, how) cell agg (map-side combined) + broadcast of the
+# ≤|types|×168 cell means back onto events, then the two value-ordered
+# rank windows per type that the MAD definition requires — the same
+# global-order-per-type posture as events_anomaly_mad (a sketch-quantile
+# lever would replace the exact median at 100 TB; the exact form is the
+# oracle surface).
+
+
+@register(
+    "timeseries_seasonal_mad_outliers",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 3600000000) % 168 AS BIGINT) AS how,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_g
+    FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, how, (2 * s_g + n_g) // (2 * n_g) AS mhat_g FROM c
+),
+r AS (
+  SELECT e.event_id, e.event_type,
+         CAST((epoch_us(e.ts) // 3600000000) % 168 AS BIGINT) AS how,
+         CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) - m.mhat_g AS resid
+    FROM events e
+    JOIN m ON m.event_type = e.event_type
+          AND m.how = CAST((epoch_us(e.ts) // 3600000000) % 168 AS BIGINT)
+),
+r1 AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type ORDER BY resid, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM r
+),
+med AS (
+  SELECT event_type,
+         avg(resid) FILTER (rn >= (cnt + 1) // 2 AND rn <= (cnt + 2) // 2) AS med
+    FROM r1 GROUP BY event_type
+),
+d AS (
+  SELECT r.event_id, r.event_type, r.how, r.resid, med.med,
+         abs(r.resid - med.med) AS dev
+    FROM r JOIN med USING (event_type)
+),
+r2 AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM d
+),
+mad AS (
+  SELECT event_type,
+         avg(dev) FILTER (rn >= (cnt + 1) // 2 AND rn <= (cnt + 2) // 2) AS mad
+    FROM r2 GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.how, d.resid, d.med, mad.mad,
+       (d.dev > (3.0 * mad.mad)) AS is_anomaly
+  FROM d JOIN mad USING (event_type)
+""",
+    description="seasonally-adjusted robust anomaly flags: residual = "
+    "integer cents − hour-of-week integer cell mean (floor-div — both "
+    "engines agree), per-type median/MAD of residuals via explicit "
+    "window-rank medians (dyadic-exact), flag |resid−med| > 3·MAD — the "
+    "monitoring op that neither hides busy-hour spikes nor flags quiet "
+    "overnight hours; one cell agg + broadcast means + the two "
+    "value-ordered rank windows the exact MAD requires (sketch quantiles "
+    "are the 100 TB lever; exact stays the oracle surface)",
+)
+def timeseries_seasonal_mad_outliers(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    how = (
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000") % 168
+    ).alias("how")
+    cells = e.groupBy("event_type", how).agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum(cents).alias("s_g")
+    )
+    m = cells.select(
+        "event_type",
+        "how",
+        F.expr("(2 * s_g + n_g) div (2 * n_g)").alias("mhat_g"),
+    )
+    r = (
+        e.select(
+            "event_id", "event_type", how, cents.alias("cents")
+        )
+        .join(F.broadcast(m), ["event_type", "how"])
+        .select(
+            "event_id",
+            "event_type",
+            "how",
+            (F.col("cents") - F.col("mhat_g")).alias("resid"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    w1 = wt.orderBy("resid", "event_id")
+    r1 = r.select(
+        "*",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("cnt"),
+    )
+    pick = (F.col("rn") >= F.expr("(cnt + 1) div 2")) & (
+        F.col("rn") <= F.expr("(cnt + 2) div 2")
+    )
+    med = r1.groupBy("event_type").agg(
+        F.avg(F.when(pick, F.col("resid"))).alias("med")
+    )
+    d = r.join(med, "event_type").select(
+        "event_id",
+        "event_type",
+        "how",
+        "resid",
+        "med",
+        F.abs(F.col("resid") - F.col("med")).alias("dev"),
+    )
+    w2 = wt.orderBy("dev", "event_id")
+    r2 = d.select(
+        "*",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("cnt"),
+    )
+    mad = r2.groupBy("event_type").agg(
+        F.avg(F.when(pick, F.col("dev"))).alias("mad")
+    )
+    return d.join(mad, "event_type").select(
+        "event_id",
+        "event_type",
+        "how",
+        "resid",
+        "med",
+        "mad",
+        (F.col("dev") > 3.0 * F.col("mad")).alias("is_anomaly"),
+    )

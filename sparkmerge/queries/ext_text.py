@@ -1094,3 +1094,91 @@ def pipeline_length_bucket_stats(spark, sf_dir):
         "source", "bucket", "n_docs", "total_tokens", "min_tokens",
         "max_tokens", share.alias("share_of_source"),
     )
+
+
+# --- text_shingle_novelty_curve (r8b2) ---------------------------------------
+#
+# Per-document novelty score: the fraction of a doc's DISTINCT 5-word
+# shingles first seen in THIS doc (corpus-min doc_id) — the curation
+# signal behind "is this document adding new content or re-treading the
+# corpus?" (low-novelty docs are boilerplate/near-dup candidates; the
+# doc-id order stands in for ingestion order).  Complements
+# text_vocab_growth (token-type novelty at corpus checkpoints) with a
+# doc-granular, shingle-level score, and dedup_containment (pairwise
+# overlap) with a corpus-global one-pass signal.
+#
+# Scale: explode distinct (doc, shingle) once, min(doc_id) per shingle
+# (map-side-combined shuffle on the shingle key), join back on the SAME
+# shingle key (Exchange reuse — no second data-shaped shuffle), then one
+# doc-keyed aggregation.  Novelty = ONE IEEE division of two exact
+# integers.  Short docs (< 5 tokens) carry zero shingles and are
+# excluded on both sides.
+
+
+@register(
+    "text_shingle_novelty_curve",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(t[i:i+4], ' ') AS h
+    FROM (SELECT doc_id, source, t,
+                 unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
+            FROM tok)
+),
+first_seen AS (
+  SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h
+)
+SELECT s.doc_id, s.source,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(*) FILTER (f.first_doc = s.doc_id) AS BIGINT) AS n_novel,
+       CAST(count(*) FILTER (f.first_doc = s.doc_id) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS novelty
+  FROM sh s JOIN first_seen f ON s.h = f.h
+ GROUP BY 1, 2
+""",
+    description="per-document novelty score: fraction of the doc's "
+    "distinct 5-word shingles whose corpus-min doc_id is this doc "
+    "(doc-granular contamination/boilerplate signal; complements the "
+    "checkpoint-level vocab-growth curve): distinct (doc, shingle) "
+    "explode, min-doc per shingle in ONE map-side-combined shingle-keyed "
+    "shuffle, join back reusing the SAME Exchange, one doc-keyed agg; "
+    "novelty = ONE IEEE division of exact integers",
+)
+def text_shingle_novelty_curve(spark, sf_dir):
+    from sparkmerge.ext.text import whitespace_tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = whitespace_tokens(F.lower(F.col("text")))
+    idx = F.when(
+        F.size(toks) >= 5, F.sequence(F.lit(1), F.size(toks) - 4)
+    ).otherwise(F.expr("array()"))
+    ex = d.select("doc_id", "source", toks.alias("t"), F.explode(idx).alias("i"))
+    sh = ex.select(
+        "doc_id",
+        "source",
+        F.array_join(F.expr("slice(t, i, 5)"), " ").alias("h"),
+    ).distinct()
+    first_seen = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).alias("n_novel")
+    return (
+        sh.join(first_seen, "h")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_shingles"), novel)
+        .select(
+            "doc_id",
+            "source",
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+    )

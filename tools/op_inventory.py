@@ -145,6 +145,10 @@ SECTIONS = [
         "orders_seasonal_naive_mase", "graph_link_predict_cn",
         "join_temporal_validity", "pipeline_length_bucket_stats",
     ]),
+    ("Tier migration, fulfillment latency, shingle novelty & seasonal MAD (r8 batch 2)", [
+        "orders_cust_migration_matrix", "orders_fulfillment_latency",
+        "text_shingle_novelty_curve", "timeseries_seasonal_mad_outliers",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",
