@@ -1366,9 +1366,17 @@ SELECT a.y, a.tier AS from_tier,
 )
 def orders_cust_migration_matrix(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
-    cy = o.groupBy(
-        "o_custkey", F.year("o_orderdate").cast("long").alias("y")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # explicit custkey repartition: HashPartitioning on the key subset
+    # satisfies the (custkey, year) aggregation AND both sides of the
+    # (custkey, y±1) self-join, and the identical Exchange subtree lets
+    # ReuseExchange collapse the three consumers' scans into one (the
+    # _edges discipline)
+    cy = (
+        o.select("o_custkey", F.year("o_orderdate").cast("long").alias("y"))
+        .repartition("o_custkey")
+        .groupBy("o_custkey", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     tier = (
         F.when(F.col("n") >= 6, "high")
         .when(F.col("n") >= 3, "mid")

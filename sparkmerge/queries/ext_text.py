@@ -1107,12 +1107,20 @@ def pipeline_length_bucket_stats(spark, sf_dir):
 # doc-granular, shingle-level score, and dedup_containment (pairwise
 # overlap) with a corpus-global one-pass signal.
 #
-# Scale: explode distinct (doc, shingle) once, min(doc_id) per shingle
-# (map-side-combined shuffle on the shingle key), join back on the SAME
-# shingle key (Exchange reuse — no second data-shaped shuffle), then one
-# doc-keyed aggregation.  Novelty = ONE IEEE division of two exact
-# integers.  Short docs (< 5 tokens) carry zero shingles and are
-# excluded on both sides.
+# Scale: the decomposition exploits that every novel shingle has exactly
+# ONE first_doc — so no (doc, shingle)-granularity join-back exists
+# anywhere.  Two map-side-combined aggregations over the exploded
+# shingle stream: (1) min(doc_id) per shingle — repeat-INSENSITIVE, so
+# within-doc duplicates need no dedup and the h-shuffle payload combines
+# to the distinct shingles per partition; (2) count_distinct(h) per doc —
+# each doc's shingles are generated on one partition, so the partial
+# dedup is complete map-side and the doc-shuffle carries only distinct
+# (doc, shingle) pairs.  n_novel per doc is a count over the first-seen
+# relation, and the final join runs on |docs|-sized relations.  Novelty =
+# ONE IEEE division of two exact integers.  Short docs (< 5 tokens) are
+# excluded on both sides.  (A/B at sf1: corpus-wide distinct + window-min
+# over h 13.7 s, per-doc transform() lambda 40 s — interpreted HOF, the
+# cross-source lesson — this two-agg codegen form 8.8–10.5 s warm.)
 
 
 @register(
@@ -1144,40 +1152,52 @@ SELECT s.doc_id, s.source,
     description="per-document novelty score: fraction of the doc's "
     "distinct 5-word shingles whose corpus-min doc_id is this doc "
     "(doc-granular contamination/boilerplate signal; complements the "
-    "checkpoint-level vocab-growth curve): distinct (doc, shingle) "
-    "explode, min-doc per shingle in ONE map-side-combined shingle-keyed "
-    "shuffle, join back reusing the SAME Exchange, one doc-keyed agg; "
-    "novelty = ONE IEEE division of exact integers",
+    "checkpoint-level vocab-growth curve): every novel shingle has "
+    "exactly one first_doc, so NO pair-granularity join-back exists — "
+    "two map-side-combined aggs over the exploded shingle stream "
+    "(repeat-insensitive min-doc per shingle; complete-map-dedup "
+    "count_distinct per doc) + |docs|-sized joins; novelty = ONE IEEE "
+    "division of exact integers",
 )
 def text_shingle_novelty_curve(spark, sf_dir):
     from sparkmerge.ext.text import whitespace_tokens
 
     d = load(spark, sf_dir, "documents")
     toks = whitespace_tokens(F.lower(F.col("text")))
+    # explode the index FIRST and build each shingle with plain slice/join
+    # expressions — codegen; a transform() lambda here runs interpreted
+    # and measured 40 s vs 4 s at sf1 (the dedup_cross_source_matrix
+    # lesson holds).  Within-doc duplicate shingles are NOT deduped here:
+    # min(doc_id) per shingle is repeat-insensitive, so first_seen needs
+    # no distinct at all.
     idx = F.when(
         F.size(toks) >= 5, F.sequence(F.lit(1), F.size(toks) - 4)
     ).otherwise(F.expr("array()"))
-    ex = d.select("doc_id", "source", toks.alias("t"), F.explode(idx).alias("i"))
-    sh = ex.select(
-        "doc_id",
-        "source",
-        F.array_join(F.expr("slice(t, i, 5)"), " ").alias("h"),
-    ).distinct()
-    first_seen = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    ).alias("n_novel")
+    pairs = d.select(
+        "doc_id", "source", toks.alias("t"), F.explode(idx).alias("i")
+    ).select(
+        "doc_id", "source", F.array_join(F.expr("slice(t, i, 5)"), " ").alias("h")
+    )
+    # each doc's shingles are generated on ONE partition (one input row),
+    # so the count_distinct's map-side partial dedup is complete per doc —
+    # the doc-keyed shuffle carries only distinct (doc, shingle) pairs
+    per_doc = pairs.groupBy("doc_id", "source").agg(
+        F.count_distinct("h").alias("n_shingles")
+    )
+    first_seen = pairs.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = (
+        first_seen.groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
     return (
-        sh.join(first_seen, "h")
-        .groupBy("doc_id", "source")
-        .agg(F.count(F.lit(1)).alias("n_shingles"), novel)
+        per_doc.join(novel, "doc_id", "left")
         .select(
             "doc_id",
             "source",
             "n_shingles",
-            "n_novel",
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
             (
-                F.col("n_novel").cast("double")
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
                 / F.col("n_shingles").cast("double")
             ).alias("novelty"),
         )

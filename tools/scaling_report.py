@@ -90,6 +90,20 @@ OPS = [
     "window_interval_stabbing",
     "events_user_cadence_cv",
     "dedup_cross_source_matrix",
+    # r8 additions: the calendar-join MASE rollup, the wedge-join link
+    # predictor (degree ≤ K by construction), the month-binned validity
+    # join, the bit-length histogram, the custkey-partitioned tier
+    # migration, the bounded-domain latency percentiles, the shingle-keyed
+    # novelty join (heaviest new r8 shape — same key family as the
+    # cross-source matrix), and the broadcast-mean + rank-window MAD
+    "orders_seasonal_naive_mase",
+    "graph_link_predict_cn",
+    "join_temporal_validity",
+    "pipeline_length_bucket_stats",
+    "orders_cust_migration_matrix",
+    "orders_fulfillment_latency",
+    "text_shingle_novelty_curve",
+    "timeseries_seasonal_mad_outliers",
 ]
 
 # (op, sf) pairs whose ORACLE formulation is intentionally not run: the
