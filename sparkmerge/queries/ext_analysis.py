@@ -1507,3 +1507,180 @@ def orders_fulfillment_latency(spark, sf_dir):
             "mean_days"
         ),
     )
+
+
+# --- events_type_lift_matrix (r8b3) ------------------------------------------
+#
+# Event-type co-occurrence lift — market-basket association for event
+# streams: how much more often do types a and b land in the same
+# (user, hour) activity bucket than independence predicts?  lift(a,b) =
+# P(a,b) / (P(a)·P(b)) over the bucket population = (n_ab·N) / (n_a·n_b)
+# — ONE IEEE division of cross-multiplied exact integers (the log-free
+# PMI surrogate; same bucket unit as the co-occurrence graph builder).
+#
+# Scale: dedup (bucket, type) presence in ONE map-side-combined shuffle;
+# each bucket's sorted ≤|types| set expands to i < j pairs MAP-SIDE
+# (posexplode+slice — the dedup_cross_source_matrix pattern, never a
+# bucket-level self-join); the pair aggregation's domain is |types|², the
+# marginals broadcast back onto it.  Overflow: n_ab·N ≤ N² ≈ 1e16 at
+# sf10's ~1e8 buckets — safe in int64.
+
+
+@register(
+    "events_type_lift_matrix",
+    oracle="""
+WITH pres AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS b, event_type
+    FROM events
+),
+n_total AS (
+  SELECT CAST(count(DISTINCT (user_id, b)) AS BIGINT) AS n FROM pres
+),
+marg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM pres GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS type_a, c.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+    FROM pres a JOIN pres c
+      ON a.user_id = c.user_id AND a.b = c.b
+     AND a.event_type < c.event_type
+   GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, ma.n_t AS n_a, mb.n_t AS n_b, p.n_ab,
+       CAST(p.n_ab * (SELECT n FROM n_total) AS DOUBLE)
+         / CAST(ma.n_t * mb.n_t AS DOUBLE) AS lift
+  FROM pairs p
+  JOIN marg ma ON ma.event_type = p.type_a
+  JOIN marg mb ON mb.event_type = p.type_b
+""",
+    description="event-type co-occurrence lift matrix (market-basket "
+    "association for streams): (user, hour) bucket presences dedup in ONE "
+    "map-side-combined shuffle, each bucket's sorted ≤|types| set expands "
+    "to i < j pairs MAP-SIDE (posexplode+slice — never a bucket self-"
+    "join), pair domain |types|², marginals broadcast back; lift = ONE "
+    "IEEE division of cross-multiplied exact integers (log-free PMI "
+    "surrogate; n_ab·N ≤ N² safe in int64 at sf10)",
+)
+def events_type_lift_matrix(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    pres = (
+        e.select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("b"),
+            "event_type",
+        )
+        .repartition("user_id", "b")
+        .distinct()
+    )
+    per_bucket = pres.groupBy("user_id", "b").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+    n_total = per_bucket.agg(F.count(F.lit(1)).alias("n"))
+    marg = pres.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    pairs = (
+        per_bucket.select(
+            F.posexplode("types").alias("i", "type_a"), "types"
+        )
+        .select(
+            "type_a",
+            F.explode(F.expr("slice(types, i + 2, size(types))")).alias(
+                "type_b"
+            ),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ma = marg.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    mb = marg.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            (
+                (F.col("n_ab") * F.col("n")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+# --- events_pattern_match_counts (r8b3) --------------------------------------
+#
+# Sequential pattern detection over per-user event streams — the
+# MATCH_RECOGNIZE-lite surface: each user's totally-ordered event-type
+# sequence renders as a compact initial-letter string ('v','c','p','s',
+# 'e' are unique initials on this corpus), and behavioral patterns count
+# as non-overlapping regex matches over it: 'vcp' (clean view→click→
+# purchase adjacency), 've' (view hitting an error — the friction
+# signal), 'ee' (repeated errors — the instability signal).  Left-to-
+# right non-overlapping match semantics agree between RE2 (DuckDB) and
+# the Java engine (Spark) for these backreference-free adjacency
+# patterns; the sequence string itself is deterministic under the total
+# (ts, event_id) order.
+#
+# Scale: ONE user-keyed aggregation builds the ordered sequence (per-user
+# event counts are bounded on any sane product stream — the
+# pipeline_sequence_pack precedent); every pattern count is then a
+# MAP-SIDE regexp over the per-user string, zero further shuffles.
+
+
+@register(
+    "events_pattern_match_counts",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS s
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(s) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(s, 'vcp')) AS BIGINT) AS n_vcp,
+       CAST(len(regexp_extract_all(s, 've')) AS BIGINT) AS n_view_error,
+       CAST(len(regexp_extract_all(s, 'ee')) AS BIGINT) AS n_error_runs
+  FROM seq
+""",
+    description="MATCH_RECOGNIZE-lite sequential pattern counts per user: "
+    "the totally-ordered (ts, event_id) event-type sequence renders as an "
+    "initial-letter string in ONE user-keyed agg, behavioral patterns "
+    "('vcp' clean conversion, 've' view→error friction, 'ee' error runs) "
+    "count as non-overlapping regexes MAP-SIDE — backreference-free "
+    "adjacency patterns where RE2 and Java agree; zero shuffles after the "
+    "sequence build",
+)
+def events_pattern_match_counts(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    seq = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("i"),
+            ).alias("st"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(sort_array(collect_list(st)), x -> x.i)"),
+                "",
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        F.regexp_count("s", F.lit("vcp")).cast("long").alias("n_vcp"),
+        F.regexp_count("s", F.lit("ve")).cast("long").alias("n_view_error"),
+        F.regexp_count("s", F.lit("ee")).cast("long").alias("n_error_runs"),
+    )

@@ -332,3 +332,112 @@ def spatial_dbscan_core(spark, sf_dir, cell_size=_RADIUS):
         .otherwise(F.lit("noise"))
         .alias("label"),
     )
+
+
+# --- spatial_density_smooth (r8b3) -------------------------------------------
+#
+# Kernel-smoothed grid density heatmap — the tile-rendering / hotspot-
+# detection op every geo dashboard runs: raw point counts per coarse cell,
+# then a 3×3 integer kernel (corner 1, edge 2, center 4 — the discrete
+# binomial approximation of a Gaussian) smooths each cell with its
+# neighborhood.  All-integer: counts and kernel weights are exact int64,
+# so both engines agree bit-for-bit with zero FP anywhere.
+#
+# Scale: ONE map-side-combined cell aggregation over the points (cell
+# domain ≤ 128² regardless of corpus size), then each CELL — not each
+# point — explodes its 9 weighted contributions map-side and a second
+# aggregation over the bounded cell domain sums them.  Out-of-grid
+# contributions drop at the edges (the standard truncated-kernel
+# convention); the reported kernel_mass is the POSITIONAL in-grid mass
+# (4|3 per axis — empty neighbors contribute 0 to the numerator but
+# their weight still divides), so smooth_num/kernel_mass is the proper
+# truncated-kernel density estimate, all in exact integers.
+
+_SM_CELL = 8  # coordinate div 8 → 128×128 cells
+
+
+@register(
+    "spatial_density_smooth",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST({_XC} AS BIGINT) // {_SM_CELL} AS cx,
+         CAST({_YC} AS BIGINT) // {_SM_CELL} AS cy
+    FROM events
+),
+cells AS (
+  SELECT cx, cy, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2
+),
+contrib AS (
+  SELECT c.cx + dx.i AS cx, c.cy + dy.i AS cy,
+         c.n * ((2 - abs(dx.i)) * (2 - abs(dy.i))) AS w_n
+    FROM cells c,
+         (SELECT unnest(generate_series(-1, 1)) AS i) dx,
+         (SELECT unnest(generate_series(-1, 1)) AS i) dy
+   WHERE c.cx + dx.i BETWEEN 0 AND {1024 // _SM_CELL - 1}
+     AND c.cy + dy.i BETWEEN 0 AND {1024 // _SM_CELL - 1}
+)
+SELECT co.cx, co.cy,
+       CAST(coalesce(ce.n, 0) AS BIGINT) AS n_raw,
+       CAST(sum(co.w_n) AS BIGINT) AS smooth_num,
+       CAST((CASE WHEN co.cx > 0 AND co.cx < {1024 // _SM_CELL - 1} THEN 4 ELSE 3 END)
+            * (CASE WHEN co.cy > 0 AND co.cy < {1024 // _SM_CELL - 1} THEN 4 ELSE 3 END)
+            AS BIGINT) AS kernel_mass
+  FROM contrib co
+  LEFT JOIN cells ce ON ce.cx = co.cx AND ce.cy = co.cy
+ GROUP BY co.cx, co.cy, ce.n
+""",
+    description="kernel-smoothed grid density heatmap (hotspot detection): "
+    "raw counts per 128×128 coarse cell in ONE map-side-combined shuffle, "
+    "then each CELL — never each point — explodes its 3×3 binomial-kernel "
+    "(1/2/4) contributions map-side and a second agg over the ≤128² "
+    "bounded cell domain sums them; truncated-kernel edges carry their "
+    "effective integer kernel mass; exact int64 end-to-end, zero FP",
+)
+def spatial_density_smooth(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    lim = 1024 // _SM_CELL - 1
+    pts = e.selectExpr(
+        f"CAST({_XC} AS BIGINT) div {_SM_CELL} AS cx",
+        f"CAST({_YC} AS BIGINT) div {_SM_CELL} AS cy",
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    dxy = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), "
+        "dx -> transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    # separable binomial weights (2-|dx|)·(2-|dy|): (0,0)→4, edges→2,
+    # corners→1 — branch-free integer arithmetic
+    w = (F.lit(2) - F.abs(F.col("d.dx"))) * (
+        F.lit(2) - F.abs(F.col("d.dy"))
+    )
+    contrib = (
+        cells.select("cx", "cy", "n", dxy.alias("d"))
+        .select(
+            (F.col("cx") + F.col("d.dx")).alias("tx"),
+            (F.col("cy") + F.col("d.dy")).alias("ty"),
+            (F.col("n") * w).alias("w_n"),
+        )
+        .filter(
+            (F.col("tx") >= 0) & (F.col("tx") <= lim)
+            & (F.col("ty") >= 0) & (F.col("ty") <= lim)
+        )
+    )
+    sm = contrib.groupBy(
+        F.col("tx").alias("cx"), F.col("ty").alias("cy")
+    ).agg(F.sum("w_n").alias("smooth_num"))
+    # the divisor is the POSITIONAL in-grid kernel mass (empty neighbors
+    # contribute 0 to the numerator but their weight still counts — the
+    # standard truncated-kernel density convention): per axis 1+2+1 = 4
+    # interior, 2+1 = 3 at a border, total = mx·my
+    mx = F.when((F.col("cx") > 0) & (F.col("cx") < lim), 4).otherwise(3)
+    my = F.when((F.col("cy") > 0) & (F.col("cy") < lim), 4).otherwise(3)
+    return (
+        sm.join(cells, ["cx", "cy"], "left")
+        .select(
+            "cx",
+            "cy",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_raw"),
+            "smooth_num",
+            (mx * my).cast("long").alias("kernel_mass"),
+        )
+    )

@@ -1202,3 +1202,126 @@ def text_shingle_novelty_curve(spark, sf_dir):
             ).alias("novelty"),
         )
     )
+
+
+# --- text_source_trigram_cosine (r8b3) ---------------------------------------
+#
+# Source-pair stylistic similarity matrix: cosine over character-trigram
+# frequency profiles — the corpus-cartography signal behind "which feeds
+# are near-duplicates of each other / which claimed-distinct sources share
+# a crawler".  Text normalizes to the [a-z ] alphabet, so the trigram
+# domain is bounded (≤ 27³ ≈ 2.0e4) at ANY corpus size.
+#
+# Portability: profiles are QUANTIZED to per-100k integer frequencies
+# (q = (c·100000) div total — floor-div on non-negative ints, identical in
+# both engines), so dot products and norms are EXACT int64 sums over the
+# bounded trigram domain (each term ≤ 1e10, ≤ 2e4 terms → ≤ 2e14 ≪ 2^63
+# regardless of corpus size — raw counts would overflow the product sum
+# at sf10), and the cosine is ONE fixed parenthesization
+# dot / (sqrt(na)·sqrt(nb)) of correctly-rounded IEEE ops.
+#
+# Scale: ONE map-side-combined (source, trigram) aggregation over the
+# exploded character stream; everything downstream (totals, quantization,
+# the trigram-keyed profile self-join, |sources|² cosines) runs on the
+# ≤ |sources|·27³ profile relation.
+
+
+@register(
+    "text_source_trigram_cosine",
+    oracle="""
+WITH norm AS (
+  SELECT source, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS s
+    FROM documents
+),
+tri AS (
+  SELECT source, substring(s, i, 3) AS t
+    FROM (SELECT source, s,
+                 unnest(generate_series(1, greatest(length(s) - 2, 0))) AS i
+            FROM norm)
+),
+cnt AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM tri GROUP BY 1, 2
+),
+q AS (
+  SELECT source, t,
+         (c * 100000) // (sum(c) OVER (PARTITION BY source)) AS qf
+    FROM cnt
+),
+nrm AS (
+  SELECT source, CAST(sum(qf * qf) AS BIGINT) AS n2 FROM q GROUP BY 1
+),
+dots AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(sum(a.qf * b.qf) AS BIGINT) AS dot
+    FROM q a JOIN q b ON a.t = b.t AND a.source < b.source
+   GROUP BY 1, 2
+)
+SELECT d.source_a, d.source_b, d.dot, na.n2 AS n2_a, nb.n2 AS n2_b,
+       CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         AS cosine
+  FROM dots d
+  JOIN nrm na ON na.source = d.source_a
+  JOIN nrm nb ON nb.source = d.source_b
+""",
+    description="source-pair stylistic similarity: cosine over char-"
+    "trigram frequency profiles on the bounded [a-z ] alphabet (≤27³ "
+    "trigrams at any corpus size); profiles quantized to per-100k integer "
+    "frequencies by floor-div so dot/norms are EXACT int64 sums (raw-"
+    "count products would overflow at sf10) and cosine is ONE fixed "
+    "parenthesization of IEEE ops; ONE map-side-combined (source, "
+    "trigram) agg, all downstream work on the |sources|·27³ profile "
+    "relation",
+)
+def text_source_trigram_cosine(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    s = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")
+    norm = d.select("source", s.alias("s"))
+    idx = F.when(
+        F.length("s") >= 3, F.sequence(F.lit(1), F.length("s") - 2)
+    ).otherwise(F.expr("array()"))
+    tri = norm.select("source", "s", F.explode(idx).alias("i")).select(
+        "source", F.expr("substring(s, i, 3)").alias("t")
+    )
+    cnt = tri.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c").over(Window.partitionBy("source"))
+    q = cnt.select(
+        "source", "t", F.expr("(c * 100000)").alias("cq"), total.alias("tot")
+    ).select("source", "t", F.expr("cq div tot").alias("qf"))
+    nrm = q.groupBy("source").agg(
+        F.sum(F.col("qf") * F.col("qf")).alias("n2")
+    )
+    a, b = q.alias("a"), q.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.sum(F.col("a.qf") * F.col("b.qf")).alias("dot"))
+    )
+    na = nrm.select(F.col("source").alias("source_a"), F.col("n2").alias("n2_a"))
+    nb = nrm.select(F.col("source").alias("source_b"), F.col("n2").alias("n2_b"))
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "dot",
+            "n2_a",
+            "n2_b",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("n2_a").cast("double"))
+                    * F.sqrt(F.col("n2_b").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )

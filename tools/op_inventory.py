@@ -149,6 +149,10 @@ SECTIONS = [
         "orders_cust_migration_matrix", "orders_fulfillment_latency",
         "text_shingle_novelty_curve", "timeseries_seasonal_mad_outliers",
     ]),
+    ("Density smoothing, type lift, trigram cosine & pattern match (r8 batch 3)", [
+        "spatial_density_smooth", "events_type_lift_matrix",
+        "text_source_trigram_cosine", "events_pattern_match_counts",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",

@@ -104,6 +104,10 @@ OPS = [
     "orders_fulfillment_latency",
     "text_shingle_novelty_curve",
     "timeseries_seasonal_mad_outliers",
+    "spatial_density_smooth",
+    "events_type_lift_matrix",
+    "text_source_trigram_cosine",
+    "events_pattern_match_counts",
 ]
 
 # (op, sf) pairs whose ORACLE formulation is intentionally not run: the
