@@ -1684,3 +1684,88 @@ def events_pattern_match_counts(spark, sf_dir):
         F.regexp_count("s", F.lit("ve")).cast("long").alias("n_view_error"),
         F.regexp_count("s", F.lit("ee")).cast("long").alias("n_error_runs"),
     )
+
+
+# --- orders_discount_elasticity (r8b4) ---------------------------------------
+#
+# Per-brand OLS of ordered quantity vs discount basis points — the
+# pricing-analytics table: does a deeper discount actually move volume
+# for this brand, and by how many units per bp?  The agg_linear_fit
+# recipe applied to the lineitem⋈part fact: x = discount in integer bps
+# (floor(l_discount·10000 + .5) ∈ {0,100,…,1000} on this corpus), y =
+# integer units, five EXACT int64 moment sums per brand (n, Σx, Σy, Σxy,
+# Σx²) combined in ONE fixed-association IEEE expression — no
+# order-dependent float sums, so both engines emit the identical slope
+# bit-for-bit.  The denominator is guarded (all-identical discounts
+# within a brand → NULL slope) with the same integer test on both sides.
+#
+# Overflow: Σx² ≤ n·10⁶ stays under 2^63 while a brand holds < 9.2e12
+# rows, and under 2^53 (exact in the final double expression) while it
+# holds < 9e9 rows — far beyond any per-brand share of a 100 TB corpus
+# split over 25+ brands.
+#
+# Scale: the partkey join is shuffle-on-key (both sides corpus-
+# proportional — part is NOT a broadcastable dim at scale; AQE may
+# still broadcast it at local SF), then ONE map-side-combined per-brand
+# aggregation; the output is |brands| rows.
+
+
+@register(
+    "orders_discount_elasticity",
+    oracle="""
+WITH m AS (
+  SELECT p.p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)
+                  * CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(sum(CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)
+                  * CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sxx
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+   GROUP BY p.p_brand
+)
+SELECT p_brand, n, sx, sy, sxy, sxx,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END
+         AS qty_per_bps
+  FROM m
+""",
+    description="per-brand discount elasticity: OLS slope of units vs "
+    "discount basis points from five EXACT int64 moment sums over "
+    "lineitem⋈part (the agg_linear_fit recipe on the pricing fact), "
+    "published as ONE fixed-association IEEE expression with an integer "
+    "zero-variance guard — bit-identical across engines; shuffle join on "
+    "partkey (part is corpus-proportional, not a broadcast dim at scale) "
+    "then ONE map-side-combined per-brand agg, |brands| output rows",
+)
+def orders_discount_elasticity(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_discount") * 10000 + 0.5).cast("long").alias("x"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("y"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")
+    den_i = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(den_i == 0, F.lit(None).cast("double")).otherwise(
+        (d("n") * d("sxy") - d("sx") * d("sy"))
+        / (d("n") * d("sxx") - d("sx") * d("sx"))
+    )
+    return m.select(
+        "p_brand", "n", "sx", "sy", "sxy", "sxx", slope.alias("qty_per_bps")
+    )

@@ -1074,3 +1074,93 @@ def graph_link_predict_cn(spark, sf_dir):
         .join(deg_v, "v")
         .select("u", "v", "common", "deg_u", "deg_v")
     )
+
+
+# --- graph_component_size_profile (r8b4) -------------------------------------
+#
+# Component-size histogram + largest-component share over the sparsified
+# CC labels — the dedup-graph fragmentation audit.  A healthy near-dup
+# graph is many SMALL components (clusters of genuine duplicates); one
+# giant component means the blocking threshold collapsed (over-merging —
+# transitive chains glue unrelated docs together), and all-singletons
+# means it is too strict.  This is the one-page summary a 100 TB dedup
+# run publishes before anyone trusts its survivor selection.
+#
+# One rollup past the existing fixed point: labels (node, component) →
+# per-component size → per-size histogram; node_share is ONE IEEE
+# division of exact integer counts against the 1-row total (broadcast
+# crossJoin — the scalar-bound recipe; a non-equi semi-join against a
+# 1-row aggregate plans BNLJ and reads poorly), and the is_largest flag
+# compares integers.  The histogram feeds two consumers (the totals agg
+# and the final projection) and is bounded by |distinct sizes| rows, so
+# it is checkpointed once rather than re-running the CC fixed point.
+#
+# Scale: labels are node-sized; the component-size agg is one shuffle on
+# the component label; everything past the second (size-keyed) shuffle
+# runs on a ≤|distinct sizes|-row relation — free at any corpus scale.
+
+
+@register(
+    "graph_component_size_profile",
+    oracle=f"""
+WITH RECURSIVE
+{_EDGES_SQL},
+{_SPARSE_EDGES_SQL},
+bi AS (SELECT u, v FROM sedges UNION SELECT v, u FROM sedges),
+reach AS (
+  SELECT u AS node, u AS r FROM bi
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN bi e ON e.u = reach.r
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+sz AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+         FROM comp GROUP BY component),
+hist AS (
+  SELECT size, CAST(count(*) AS BIGINT) AS n_components,
+         CAST(size * count(*) AS BIGINT) AS n_nodes
+    FROM sz GROUP BY size
+),
+tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS total_nodes,
+               CAST(max(size) AS BIGINT) AS max_size FROM hist)
+SELECT h.size, h.n_components, h.n_nodes,
+       CAST(h.n_nodes AS DOUBLE) / CAST(t.total_nodes AS DOUBLE) AS node_share,
+       CAST(CASE WHEN h.size = t.max_size THEN 1 ELSE 0 END AS BIGINT)
+         AS is_largest
+  FROM hist h CROSS JOIN tot t
+""",
+    description="dedup-graph fragmentation audit: component-size histogram "
+    "over the sparsified CC labels (n_components and n_nodes per size, "
+    "node_share as ONE IEEE division of exact counts, is_largest by integer "
+    "compare against the broadcast 1-row max) — many small components = "
+    "healthy clusters, one giant component = collapsed blocking threshold; "
+    "one size-keyed rollup past the min-label fixed point, the bounded "
+    "histogram checkpointed once for its two consumers; oracle recomputes "
+    "components via recursive-CTE reachability",
+)
+def graph_component_size_profile(spark, sf_dir):
+    from sparkmerge.ext.dedup import connected_components
+
+    labels = connected_components(_sparse_edges(spark, sf_dir), "u", "v", max_iters=12)
+    sz = labels.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    # bounded (≤ |distinct sizes| rows) and consumed by BOTH the totals agg
+    # and the final projection — checkpoint once instead of re-running the
+    # CC fixed point per consumer (the r8 MASE lesson).
+    hist = (
+        sz.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .select(
+            "size", "n_components",
+            (F.col("size") * F.col("n_components")).alias("n_nodes"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = hist.agg(
+        F.sum("n_nodes").alias("total_nodes"), F.max("size").alias("max_size")
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "size", "n_components", "n_nodes",
+        (F.col("n_nodes").cast("double") / F.col("total_nodes").cast("double"))
+        .alias("node_share"),
+        F.when(F.col("size") == F.col("max_size"), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("is_largest"),
+    )

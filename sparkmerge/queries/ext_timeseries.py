@@ -858,3 +858,85 @@ def orders_seasonal_naive_mase(spark, sf_dir):
             "sae_seasonal_cents", "sae_naive_cents", mase.alias("mase"),
         )
     )
+
+
+# --- events_dwell_bucket_profile (r8b4) --------------------------------------
+#
+# Dwell-time distribution per event type on power-of-two second buckets —
+# the engagement-depth table: after a user fires an event of type X, how
+# long until their NEXT action?  Short dwells after 'error' events mean
+# rage-retries; long dwells after 'view' mean reading.  The dwell is the
+# forward gap (lead over the per-user timeline), attributed to the type
+# of the event it FOLLOWS; each user's last event has no forward gap and
+# is excluded on both sides.
+#
+# Bucket = bit length of the dwell seconds, rendered portably as
+# length(bin(n)) — the binary-string trick from pipeline_length_bucket_
+# stats; no log2() (not bit-portable) anywhere.  share_of_type is ONE
+# IEEE division of two exact integer counts.
+#
+# Scale: ONE user-keyed window shuffle builds the gaps, then ONE
+# map-side-combined (type, bucket) aggregation; the share window runs on
+# the |types| × ≤64-bucket output relation — nothing downstream of the
+# second shuffle is corpus-sized.
+
+
+@register(
+    "events_dwell_bucket_profile",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         (lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          - epoch_us(ts)) // 1000000 AS dwell_s
+    FROM events
+),
+b AS (
+  SELECT event_type,
+         CAST(length(bin(dwell_s)) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(dwell_s) AS BIGINT) AS total_dwell_s,
+         CAST(min(dwell_s) AS BIGINT) AS min_dwell_s,
+         CAST(max(dwell_s) AS BIGINT) AS max_dwell_s
+    FROM g WHERE dwell_s IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, bucket, n_gaps, total_dwell_s, min_dwell_s, max_dwell_s,
+       CAST(n_gaps AS DOUBLE)
+         / CAST(sum(n_gaps) OVER (PARTITION BY event_type) AS DOUBLE)
+         AS share_of_type
+  FROM b
+""",
+    description="engagement-depth table: forward inter-event dwell seconds "
+    "(lead over the per-user (ts, event_id) timeline, attributed to the "
+    "event the gap follows) bucketed on powers of two via the portable "
+    "length(bin(n)) bit-length render — no log2 anywhere; count, total/"
+    "min/max dwell and share-of-type per bucket, the share ONE IEEE "
+    "division of exact counts; ONE user-keyed window shuffle + ONE "
+    "map-side-combined (type, bucket) agg, share window on the "
+    "|types|×≤64 output relation",
+)
+def events_dwell_bucket_profile(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    g = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("dwell_us", F.lead(us).over(w) - us)
+        .filter(F.col("dwell_us").isNotNull())
+        .select("event_type", F.expr("dwell_us div 1000000").alias("dwell_s"))
+    )
+    b = g.groupBy(
+        "event_type",
+        F.length(F.bin(F.col("dwell_s"))).cast("long").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("dwell_s").alias("total_dwell_s"),
+        F.min("dwell_s").alias("min_dwell_s"),
+        F.max("dwell_s").alias("max_dwell_s"),
+    )
+    share = F.col("n_gaps").cast("double") / F.sum("n_gaps").over(
+        Window.partitionBy("event_type")
+    ).cast("double")
+    return b.select(
+        "event_type", "bucket", "n_gaps", "total_dwell_s", "min_dwell_s",
+        "max_dwell_s", share.alias("share_of_type"),
+    )

@@ -657,3 +657,63 @@ def join_bloom_prefilter(spark, sf_dir):
         .cast("long")
         .alias("n_false_neg"),
     )
+
+
+# --- join_anti_null_aware (r8b4) ---------------------------------------------
+#
+# NOT IN over a NULLABLE key — the third NULL-join semantic the
+# relational surface pins down.  join_null_safe_eq covers <=> matching,
+# join_anti covers NOT EXISTS (a NULL left key never matches, so the row
+# is KEPT); ANSI NOT IN differs on exactly those rows: a NULL left key
+# makes every comparison UNKNOWN, so the row is DROPPED, and one NULL in
+# the subquery empties the whole result.  Here the left key is
+# nullif(c_nationkey, 4) — nation 4 sits OUTSIDE the excluded regions
+# at every SF, so its customers carry a NULL key and must vanish for the
+# NULL rule alone (a left-anti rewrite would keep them) — while the
+# subquery key
+# is nullable in SCHEMA but never NULL in data (nullif against a
+# sentinel no nation uses), so the result stays non-empty and the
+# optimizer still cannot assume non-nullability.
+#
+# Scale: Spark plans this as a single-column null-aware anti join —
+# BroadcastHashJoin … LeftAnti, BuildRight with the isNullAwareAntiJoin
+# flag set (rendered as the trailing `true` in the plan string; asserted
+# in tests): the nation⋈region subquery is dim-sized and broadcast, the
+# customer side streams map-side with NO shuffle.  The naive rewrite —
+# [NOT] EXISTS plus an OR-isNull disjunction — degenerates to a nested-
+# loop join; the dedicated operator is why NOT IN survives at 100 TB.
+
+
+@register(
+    "join_anti_null_aware",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey
+  FROM customer
+ WHERE nullif(c_nationkey, 4) NOT IN (
+   SELECT nullif(n.n_nationkey, -1)
+     FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE'))
+""",
+    description="ANSI NOT IN over a nullable key (null-aware anti join): "
+    "NULL left keys are DROPPED (vs kept under NOT EXISTS/left_anti) and a "
+    "NULL in the subquery would empty the result — the semantic pinned "
+    "with a nullif(c_nationkey, 4) left key (nation 4 is outside the "
+    "excluded regions, so its rows vanish for the NULL rule alone) and "
+    "a schema-nullable-but-never-NULL subquery key; Spark plans the "
+    "dedicated single-column NullAwareAntiJoin over the broadcast "
+    "nation⋈region dim — customer streams with NO shuffle",
+)
+def join_anti_null_aware(spark, sf_dir):
+    load(spark, sf_dir, "customer").createOrReplaceTempView("naaj_customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("naaj_nation")
+    load(spark, sf_dir, "region").createOrReplaceTempView("naaj_region")
+    return spark.sql(
+        """
+SELECT c_custkey, c_name, c_nationkey
+  FROM naaj_customer
+ WHERE nullif(c_nationkey, 4) NOT IN (
+   SELECT nullif(n.n_nationkey, -1)
+     FROM naaj_nation n JOIN naaj_region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE'))
+"""
+    )

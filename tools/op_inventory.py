@@ -153,6 +153,10 @@ SECTIONS = [
         "spatial_density_smooth", "events_type_lift_matrix",
         "text_source_trigram_cosine", "events_pattern_match_counts",
     ]),
+    ("Component profile, discount OLS, dwell buckets & null-aware anti join (r8 batch 4)", [
+        "graph_component_size_profile", "orders_discount_elasticity",
+        "events_dwell_bucket_profile", "join_anti_null_aware",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",
