@@ -88,6 +88,10 @@ HEADLINE = [
     # cross-source overlap (the heaviest new r7 shape — ~8 s at sf1)
     "merge_upsert_latest",
     "dedup_cross_source_matrix",
+    # r8 additions: the two heaviest new r8 shapes — the shingle-keyed
+    # novelty decomposition (~9 s at sf1) and the calendar-join MASE rollup
+    "text_shingle_novelty_curve",
+    "orders_seasonal_naive_mase",
 ]
 
 # sf1-leg exclusions with recorded reasons (the budget guards entry, not

@@ -1769,3 +1769,74 @@ def orders_discount_elasticity(spark, sf_dir):
     return m.select(
         "p_brand", "n", "sx", "sy", "sxy", "sxx", slope.alias("qty_per_bps")
     )
+
+
+# --- orders_order_size_distribution (r8b5) -----------------------------------
+#
+# Lines-per-order distribution per priority — the order-shape profiling
+# table: fulfillment capacity planning wants to know, per priority
+# class, how many orders arrive as 1-line singletons vs wide baskets,
+# and how much money rides each shape.  Exact integers end-to-end
+# (line counts, order-value cents); share_of_priority is ONE IEEE
+# division of two exact counts.
+#
+# Scale: lines-per-order is ONE map-side-combined orderkey aggregation
+# over lineitem; the orders join reuses the orderkey partitioning on
+# both sides (co-partitioned exchange, no extra shuffle under AQE);
+# the final agg lands on the bounded (priority × ≤|max lines|) domain
+# and the share window runs on that tiny relation.  Orders with zero
+# lineitems are excluded by the inner join on BOTH sides.
+
+
+@register(
+    "orders_order_size_distribution",
+    oracle="""
+WITH lc AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+),
+g AS (
+  SELECT o.o_orderpriority, lc.n_lines,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+    FROM orders o JOIN lc ON lc.l_orderkey = o.o_orderkey
+   GROUP BY 1, 2
+)
+SELECT o_orderpriority, n_lines, n_orders, total_cents,
+       CAST(n_orders AS DOUBLE)
+         / CAST(sum(n_orders) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+         AS share_of_priority
+  FROM g
+""",
+    description="order-shape profile: lines-per-order histogram per "
+    "priority with order-value cents — singleton vs wide-basket capacity "
+    "planning; ONE map-side-combined orderkey agg over lineitem, the "
+    "orders join reuses the orderkey partitioning, final agg + share "
+    "window on the bounded (priority × line-count) domain; exact integers "
+    "+ ONE IEEE division",
+)
+def orders_order_size_distribution(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    g = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority", "n_lines")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+    share = F.col("n_orders").cast("double") / F.sum("n_orders").over(
+        Window.partitionBy("o_orderpriority")
+    ).cast("double")
+    return g.select(
+        "o_orderpriority", "n_lines", "n_orders", "total_cents",
+        share.alias("share_of_priority"),
+    )

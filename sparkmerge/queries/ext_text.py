@@ -1325,3 +1325,69 @@ def text_source_trigram_cosine(spark, sf_dir):
             ).alias("cosine"),
         )
     )
+
+
+# --- text_stopword_profile (r8b5) --------------------------------------------
+#
+# Function-word fingerprint per source: hit counts and rates for the
+# fixed language-marker vocabulary (the union of LANG_MARKERS lists —
+# the same stopwords text_langid votes with) — the stylometry table
+# behind "which feeds write alike" and the calibration surface for the
+# langid gate (text_lid_confusion reads the outcome; this reads the
+# raw per-marker evidence).  hit_rate is ONE IEEE division of exact
+# integer counts (marker hits / total whitespace tokens of the source).
+#
+# Scale: marker hits explode the token stream but filter it MAP-SIDE to
+# the ≤|markers| vocabulary before the single (source, marker) shuffle;
+# per-source token totals ride a separate map-side agg over documents
+# (no explode — sizes only) and join broadcast on the |sources| relation.
+
+
+_MARKER_VOCAB = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+_MARKER_SQL = ", ".join(f"'{w}'" for w in _MARKER_VOCAB)
+
+
+@register(
+    "text_stopword_profile",
+    oracle=f"""
+WITH tot AS (
+  SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY 1
+),
+hits AS (
+  SELECT source, tok AS marker, CAST(count(*) AS BIGINT) AS n_hits
+    FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+   WHERE tok IN ({_MARKER_SQL})
+   GROUP BY 1, 2
+)
+SELECT h.source, h.marker, h.n_hits, t.total_tokens,
+       CAST(h.n_hits AS DOUBLE) / CAST(t.total_tokens AS DOUBLE) AS hit_rate
+  FROM hits h JOIN tot t ON t.source = h.source
+""",
+    description="per-source function-word fingerprint: hit counts + rates "
+    "over the fixed language-marker vocabulary (the stopwords text_langid "
+    "votes with) — stylometry and langid-gate calibration; the exploded "
+    "token stream filters MAP-SIDE to the ≤|markers| vocabulary before "
+    "the single (source, marker) shuffle, per-source totals ride a "
+    "separate no-explode agg joined broadcast on the |sources| relation; "
+    "hit_rate = ONE IEEE division of exact counts",
+)
+def text_stopword_profile(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    tot = d.select("source", F.size(toks).cast("long").alias("n")).groupBy(
+        "source"
+    ).agg(F.sum("n").alias("total_tokens"))
+    hits = (
+        d.select("source", F.explode(toks).alias("marker"))
+        .filter(F.col("marker").isin(_MARKER_VOCAB))
+        .groupBy("source", "marker")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.join(F.broadcast(tot), "source").select(
+        "source", "marker", "n_hits", "total_tokens",
+        (F.col("n_hits").cast("double") / F.col("total_tokens").cast("double"))
+        .alias("hit_rate"),
+    )

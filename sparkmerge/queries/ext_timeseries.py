@@ -940,3 +940,160 @@ def events_dwell_bucket_profile(spark, sf_dir):
         "event_type", "bucket", "n_gaps", "total_dwell_s", "min_dwell_s",
         "max_dwell_s", share.alias("share_of_type"),
     )
+
+
+# --- events_weekday_hour_heatmap (r8b5) --------------------------------------
+#
+# Activity heatmap cells (weekday × hour × type) with per-cell distinct
+# users and share-of-type — the bounded-domain (7·24·|types|) reporting
+# surface behind every ops dashboard.  Weekday is computed PORTABLY as
+# pure integer arithmetic on the epoch day ((days + 4) % 7: 1970-01-01
+# was a Thursday, so 0 = Sunday) — never the engines' dayofweek(),
+# whose 0/1-based and Sunday/Monday-start conventions differ.
+#
+# Scale: ONE map-side-combined (type, dow, hod) shuffle carrying the
+# distinct-user partial; the distinct pairs per cell are bounded by the
+# user population, and the share window runs on the ≤168·|types| output
+# relation.  No window over the raw events anywhere.
+
+
+@register(
+    "events_weekday_hour_heatmap",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         CAST(((epoch_us(ts) // 86400000000) + 4) % 7 AS BIGINT) AS dow,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+         user_id
+    FROM events
+),
+g AS (
+  SELECT event_type, dow, hod,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM c GROUP BY 1, 2, 3
+)
+SELECT event_type, dow, hod, n_events, n_users,
+       CAST(n_events AS DOUBLE)
+         / CAST(sum(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
+         AS share_of_type
+  FROM g
+""",
+    description="ops-dashboard heatmap: (weekday × hour × type) cells with "
+    "event counts, distinct users and share-of-type; weekday via portable "
+    "integer epoch-day arithmetic ((days+4)%7, 0=Sunday) — never the "
+    "engines' divergent dayofweek() conventions; ONE map-side-combined "
+    "cell agg with the distinct-user partial, share window on the "
+    "≤168·|types| output relation",
+)
+def events_weekday_hour_heatmap(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 + 4) % 7"
+        ).alias("dow"),
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000) % 24"
+        ).alias("hod"),
+        "user_id",
+    )
+    g = c.groupBy("event_type", "dow", "hod").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    share = F.col("n_events").cast("double") / F.sum("n_events").over(
+        Window.partitionBy("event_type")
+    ).cast("double")
+    return g.select(
+        "event_type", "dow", "hod", "n_events", "n_users",
+        share.alias("share_of_type"),
+    )
+
+
+# --- window_first_last_touch (r8b5) ------------------------------------------
+#
+# First- and last-touch extraction per user — the attribution table's
+# bookends: which event type opened the relationship, which one is the
+# latest state, and how long the span is.  Complements
+# events_attribution_lasttouch (per-purchase click credit inside a
+# window) with the per-user lifetime view.  Both extrema are selected
+# by the (ts, event_id) STRUCT key, so same-instant ties resolve by id
+# — a total order, deterministic on any engine/partitioning (the
+# fn_agg_argminmax discipline).  Timestamps publish as exact epoch
+# micros (BIGINT), span as integer seconds — no timestamp rendering
+# divergence.
+#
+# Scale: ONE map-side-combined user-keyed aggregation (min/max + the
+# struct-keyed min_by/max_by partials all combine associatively);
+# DuckDB 1.0's arg_min takes no struct ordering key, so the oracle
+# certifies via the two-pass extremum join (min ts per user, then
+# min id among ties).
+
+
+@register(
+    "window_first_last_touch",
+    oracle="""
+WITH b AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM events
+),
+s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(min(us) AS BIGINT) AS first_us,
+         CAST(max(us) AS BIGINT) AS last_us
+    FROM b GROUP BY 1
+),
+fid AS (
+  SELECT b.user_id, min(b.event_id) AS fi
+    FROM b JOIN s ON s.user_id = b.user_id AND b.us = s.first_us GROUP BY 1
+),
+lid AS (
+  SELECT b.user_id, max(b.event_id) AS li
+    FROM b JOIN s ON s.user_id = b.user_id AND b.us = s.last_us GROUP BY 1
+)
+SELECT s.user_id, s.n_events, s.first_us, s.last_us,
+       CAST((s.last_us - s.first_us) // 1000000 AS BIGINT) AS span_s,
+       fb.event_type AS first_type, fb.cents AS first_cents,
+       lb.event_type AS last_type, lb.cents AS last_cents
+  FROM s
+  JOIN fid ON fid.user_id = s.user_id
+  JOIN lid ON lid.user_id = s.user_id
+  JOIN b fb ON fb.user_id = s.user_id AND fb.event_id = fid.fi
+  JOIN b lb ON lb.user_id = s.user_id AND lb.event_id = lid.li
+""",
+    description="per-user first/last-touch bookends: opening and latest "
+    "event (type + value cents) with lifetime span, extrema selected by "
+    "the (ts, event_id) struct key so ties resolve deterministically "
+    "(fn_agg_argminmax discipline); ONE map-side-combined user agg via "
+    "struct-keyed min_by/max_by — the oracle certifies with the two-pass "
+    "extremum join DuckDB's struct-less arg_min requires; timestamps as "
+    "exact epoch-micro BIGINTs, span in integer seconds",
+)
+def window_first_last_touch(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    b = e.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    key = F.struct(F.col("us"), F.col("event_id"))
+    payload = F.struct(F.col("event_type"), F.col("cents"))
+    g = b.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+        F.min_by(payload, key).alias("fi"),
+        F.max_by(payload, key).alias("la"),
+    )
+    return g.select(
+        "user_id", "n_events", "first_us", "last_us",
+        F.expr("(last_us - first_us) div 1000000").alias("span_s"),
+        F.col("fi.event_type").alias("first_type"),
+        F.col("fi.cents").alias("first_cents"),
+        F.col("la.event_type").alias("last_type"),
+        F.col("la.cents").alias("last_cents"),
+    )

@@ -157,6 +157,10 @@ SECTIONS = [
         "graph_component_size_profile", "orders_discount_elasticity",
         "events_dwell_bucket_profile", "join_anti_null_aware",
     ]),
+    ("Order-size histogram, weekday heatmap, stopword profile & touch bookends (r8 batch 5)", [
+        "orders_order_size_distribution", "events_weekday_hour_heatmap",
+        "text_stopword_profile", "window_first_last_touch",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",

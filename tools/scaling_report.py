@@ -108,6 +108,15 @@ OPS = [
     "events_type_lift_matrix",
     "text_source_trigram_cosine",
     "events_pattern_match_counts",
+    # r8 batch 4: the size-histogram rollup past the CC fixed point (its
+    # cost is the fixed point itself — the delta vs
+    # graph_connected_components IS the measurement), the partkey-join OLS
+    # moments, the user-window dwell buckets, and the broadcast NAAJ
+    # (no-shuffle — its flat growth column is the point)
+    "graph_component_size_profile",
+    "orders_discount_elasticity",
+    "events_dwell_bucket_profile",
+    "join_anti_null_aware",
 ]
 
 # (op, sf) pairs whose ORACLE formulation is intentionally not run: the
