@@ -1840,3 +1840,71 @@ def orders_order_size_distribution(spark, sf_dir):
         "o_orderpriority", "n_lines", "n_orders", "total_cents",
         share.alias("share_of_priority"),
     )
+
+
+# --- orders_returnflag_priority_matrix (r8b6) --------------------------------
+#
+# Return-flag × order-priority revenue matrix with BOTH marginal shares —
+# the two-directional lattice rollup every ops review reads ("which
+# priority classes drive returns?").  The corpus carries no ship-mode
+# column (the TPC-H Q12 analogue here is priority-keyed), so the return
+# flag is the second axis.  Exact integer cents and line counts; each
+# share is ONE IEEE division against its marginal window.
+#
+# Scale: ONE shuffle join on orderkey (both sides corpus-proportional;
+# lineitem pre-aggregates are NOT possible here because the matrix needs
+# the joint (flag, priority) key, but the join output feeds ONE
+# map-side-combined agg on the bounded 3×5 lattice), then two marginal
+# windows over the ≤15-row relation.
+
+
+@register(
+    "orders_returnflag_priority_matrix",
+    oracle="""
+WITH g AS (
+  SELECT l.l_returnflag, o.o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+   GROUP BY 1, 2
+)
+SELECT l_returnflag, o_orderpriority, n_lines, revenue_cents,
+       CAST(n_lines AS DOUBLE)
+         / CAST(sum(n_lines) OVER (PARTITION BY l_returnflag) AS DOUBLE)
+         AS share_of_flag,
+       CAST(n_lines AS DOUBLE)
+         / CAST(sum(n_lines) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+         AS share_of_priority
+  FROM g
+""",
+    description="return-flag × priority revenue matrix with BOTH marginal "
+    "shares (two-directional lattice rollup; the corpus has no ship-mode "
+    "column, so the return flag is the second axis): exact cents + line "
+    "counts, each share ONE IEEE division against its marginal window; "
+    "one orderkey shuffle join feeding ONE map-side-combined agg on the "
+    "bounded 3×5 lattice, both windows over the ≤15-row relation",
+)
+def orders_returnflag_priority_matrix(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    n = F.col("n_lines").cast("double")
+    return g.select(
+        "l_returnflag", "o_orderpriority", "n_lines", "revenue_cents",
+        (n / F.sum("n_lines").over(Window.partitionBy("l_returnflag")).cast("double"))
+        .alias("share_of_flag"),
+        (n / F.sum("n_lines").over(Window.partitionBy("o_orderpriority")).cast("double"))
+        .alias("share_of_priority"),
+    )

@@ -1164,3 +1164,79 @@ def graph_component_size_profile(spark, sf_dir):
         F.when(F.col("size") == F.col("max_size"), F.lit(1))
         .otherwise(F.lit(0)).cast("long").alias("is_largest"),
     )
+
+
+# --- graph_edge_weight_histogram (r8b6) --------------------------------------
+#
+# Edge-weight histogram + descending cumulative share over the capped
+# co-occurrence builder — the sparsification-threshold calibration
+# table: before picking a weight floor (or the mutual top-K that
+# replaced it — see graph_jaccard_neighbors' 4.9e9-wedge lesson), read
+# how many edges and how much total weight survive each "w ≥ k" cut.
+# surviving_edges is a descending-cumulative count (edges at THIS
+# weight or heavier); both shares are single IEEE divisions of exact
+# integer sums against the broadcast 1-row totals.
+#
+# Scale: the edge builder is the family's capped one (pair cost ≤ cap²
+# per bucket); past it, ONE weight-keyed aggregation lands on the
+# ≤|distinct weights| domain and every window/join below runs on that
+# tiny relation.
+
+
+@register(
+    "graph_edge_weight_histogram",
+    oracle=f"""
+WITH
+{_EDGES_SQL},
+h AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(w) AS BIGINT) AS total_weight
+    FROM edges GROUP BY w
+),
+t AS (SELECT CAST(sum(n_edges) AS BIGINT) AS all_edges,
+             CAST(sum(total_weight) AS BIGINT) AS all_weight FROM h)
+SELECT h.w, h.n_edges, h.total_weight,
+       CAST(sum(h.n_edges) OVER (ORDER BY h.w DESC
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS surviving_edges,
+       CAST(h.n_edges AS DOUBLE) / CAST(t.all_edges AS DOUBLE) AS edge_share,
+       CAST(h.total_weight AS DOUBLE) / CAST(t.all_weight AS DOUBLE)
+         AS weight_share
+  FROM h CROSS JOIN t
+""",
+    description="sparsification-threshold calibration: edge-weight "
+    "histogram over the capped co-occurrence builder with descending-"
+    "cumulative surviving_edges (how many edges a 'w ≥ k' floor keeps) "
+    "and exact-integer edge/weight shares (ONE IEEE division each against "
+    "the broadcast 1-row totals); past the capped builder everything runs "
+    "on the ≤|distinct weights| domain",
+)
+def graph_edge_weight_histogram(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    h = (
+        _edges(spark, sf_dir)
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum("w").alias("total_weight"),
+        )
+        # bounded (≤|distinct weights| rows), consumed by the totals agg
+        # AND the final projection — checkpoint once instead of re-running
+        # the pair builder per consumer (the component-profile discipline)
+        .localCheckpoint(eager=True)
+    )
+    t = h.agg(
+        F.sum("n_edges").alias("all_edges"),
+        F.sum("total_weight").alias("all_weight"),
+    )
+    surv = F.sum("n_edges").over(
+        Window.orderBy(F.desc("w")).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return h.crossJoin(F.broadcast(t)).select(
+        "w", "n_edges", "total_weight",
+        surv.alias("surviving_edges"),
+        (F.col("n_edges").cast("double") / F.col("all_edges").cast("double"))
+        .alias("edge_share"),
+        (F.col("total_weight").cast("double") / F.col("all_weight").cast("double"))
+        .alias("weight_share"),
+    )

@@ -1391,3 +1391,103 @@ def text_stopword_profile(spark, sf_dir):
         (F.col("n_hits").cast("double") / F.col("total_tokens").cast("double"))
         .alias("hit_rate"),
     )
+
+
+# --- text_length_vs_quality_grid (r8b6) --------------------------------------
+#
+# Curation trade-off grid: document counts over (length bucket × quality
+# class) cells — the table that answers "if we tighten the quality gate,
+# how much long-document mass do we lose?" before anyone flips a filter
+# at 100 TB.  Length bucket = bit length of the whitespace token count
+# (the portable length(bin(n)) render).  Quality class is a 3-BIT
+# INTEGER code — len_ok·4 + punct_ok·2 + has_stopword·1 — where every
+# gate is decided by integer compare or integer CROSS-MULTIPLICATION
+# (punct_ratio ≤ 0.2 ⇔ 5·punct_chars ≤ greatest(len,1)): no FP
+# threshold anywhere, so both engines classify identically by
+# construction.  share_of_bucket is ONE IEEE division of exact counts.
+#
+# Scale: one map-side-combined (bucket, qclass) aggregation over the
+# corpus; the output domain is ≤64 buckets × 8 classes and the share
+# window runs on that tiny relation.
+
+
+_PUNCT_RE = r"""[^.,;:!?'"()\[\]{}-]"""
+
+
+@register(
+    "text_length_vs_quality_grid",
+    oracle=f"""
+WITH f AS (
+  SELECT CAST(len({_TOKS_RAW}) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS BIGINT)
+           AS n_punct,
+         CAST(greatest(length(text), 1) AS BIGINT) AS n_chars,
+         CAST(len(list_filter({_TOKS}, t -> t IN ('the','and','of','to','in')))
+           AS BIGINT) AS n_stop
+    FROM documents
+),
+c AS (
+  SELECT length(bin(n_tokens)) AS len_bucket,
+         CAST(CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 4 ELSE 0 END
+              + CASE WHEN 5 * n_punct <= n_chars THEN 2 ELSE 0 END
+              + CASE WHEN n_stop > 0 THEN 1 ELSE 0 END AS BIGINT) AS qclass,
+         n_tokens
+    FROM f
+),
+g AS (
+  SELECT CAST(len_bucket AS BIGINT) AS len_bucket, qclass,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM c GROUP BY 1, 2
+)
+SELECT len_bucket, qclass, n_docs, total_tokens,
+       CAST(n_docs AS DOUBLE)
+         / CAST(sum(n_docs) OVER (PARTITION BY len_bucket) AS DOUBLE)
+         AS share_of_bucket
+  FROM g
+""",
+    description="curation trade-off grid: doc counts over (bit-length "
+    "token bucket × 3-bit integer quality class) cells — len_ok·4 + "
+    "punct_ok·2 + has_stopword·1, every gate an integer compare or "
+    "cross-multiplication (5·punct ≤ chars ⇔ ratio ≤ 0.2; no FP "
+    "thresholds, engines classify identically by construction); ONE "
+    "map-side-combined cell agg, share window on the ≤64×8 output "
+    "relation — the gate-tightening impact table read before flipping a "
+    "filter at 100 TB",
+)
+def text_length_vs_quality_grid(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from sparkmerge.ext.text import LANG_MARKERS
+
+    d = load(spark, sf_dir, "documents")
+    toks_raw = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    toks_low = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    stops = LANG_MARKERS["en"]
+    f = d.select(
+        F.size(toks_raw).cast("long").alias("n_tokens"),
+        F.length(
+            F.regexp_replace(F.col("text"), _PUNCT_RE, "")
+        ).cast("long").alias("n_punct"),
+        F.greatest(F.length("text"), F.lit(1)).cast("long").alias("n_chars"),
+        F.size(F.filter(toks_low, lambda t: t.isin(stops))).cast("long").alias("n_stop"),
+    )
+    qclass = (
+        F.when(F.col("n_tokens").between(5, 100000), F.lit(4)).otherwise(F.lit(0))
+        + F.when(F.lit(5) * F.col("n_punct") <= F.col("n_chars"), F.lit(2)).otherwise(F.lit(0))
+        + F.when(F.col("n_stop") > 0, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    g = f.groupBy(
+        F.length(F.bin(F.col("n_tokens"))).cast("long").alias("len_bucket"),
+        qclass.alias("qclass"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    share = F.col("n_docs").cast("double") / F.sum("n_docs").over(
+        Window.partitionBy("len_bucket")
+    ).cast("double")
+    return g.select(
+        "len_bucket", "qclass", "n_docs", "total_tokens",
+        share.alias("share_of_bucket"),
+    )

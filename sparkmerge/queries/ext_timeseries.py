@@ -1097,3 +1097,98 @@ def window_first_last_touch(spark, sf_dir):
         F.col("la.event_type").alias("last_type"),
         F.col("la.cents").alias("last_cents"),
     )
+
+
+# --- events_session_duration_profile (r8b5/b6) -------------------------------
+#
+# Per-user session KPIs under a 30-minute inactivity cut — the
+# engagement summary every product dashboard leads with: how many
+# sessions, how long, how dense.  Sessionization is the gap-islands
+# recipe (events_gap_islands' discipline) promoted to a user KPI: a
+# session break is a NULL or >30-min lag gap, the session id is the
+# running count of breaks, and every per-session and per-user rollup
+# reuses the SAME user-keyed partitioning — the lag window, the
+# (user, session) agg, and the user agg plan ZERO additional exchanges
+# (hash(user_id) satisfies the clustered distribution of both
+# downstream groupings).  Durations ride exact epoch-micro integers;
+# mean duration is ONE IEEE division of exact integers.
+#
+# Scale: one user-keyed shuffle total, at any history length; the
+# per-session relation is bounded by the event count and collapses
+# map-side within partitions.
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "events_session_duration_profile",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   <= {_SESSION_GAP_US} THEN 0 ELSE 1 END AS brk
+    FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+    FROM g
+),
+per_session AS (
+  SELECT user_id, sid,
+         CAST(count(*) AS BIGINT) AS n_ev,
+         CAST(max(us) - min(us) AS BIGINT) AS dur_us
+    FROM s GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_ev) AS BIGINT) AS n_events,
+       CAST(sum(dur_us) // 1000000 AS BIGINT) AS total_duration_s,
+       CAST(max(dur_us) // 1000000 AS BIGINT) AS longest_session_s,
+       CAST(max(n_ev) AS BIGINT) AS max_session_events,
+       CAST(sum(dur_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0
+         AS mean_session_duration_s
+  FROM per_session GROUP BY user_id
+""",
+    description="per-user session KPIs under a 30-min inactivity cut: "
+    "session count, events, total/longest duration, densest session, mean "
+    "duration — the gap-islands recipe promoted to an engagement summary; "
+    "ONE user-keyed shuffle total (lag window, running break-count, "
+    "(user, session) agg and user rollup all reuse hash(user_id) — zero "
+    "additional exchanges), exact epoch-micro integers with ONE IEEE "
+    "division chain for the mean",
+)
+def events_session_duration_profile(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    g = e.select("user_id", "ts", "event_id", us.alias("us")).withColumn(
+        "brk",
+        F.when(
+            F.col("us") - F.lag("us").over(w) <= _SESSION_GAP_US, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = g.withColumn("sid", F.sum("brk").over(ws))
+    per_session = s.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.expr("sum(dur_us) div 1000000").alias("total_duration_s"),
+        F.expr("max(dur_us) div 1000000").alias("longest_session_s"),
+        F.max("n_ev").alias("max_session_events"),
+        (
+            F.sum("dur_us").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000.0)
+        ).alias("mean_session_duration_s"),
+    )

@@ -161,6 +161,10 @@ SECTIONS = [
         "orders_order_size_distribution", "events_weekday_hour_heatmap",
         "text_stopword_profile", "window_first_last_touch",
     ]),
+    ("Flag-priority matrix, session KPIs, quality grid & edge-weight histogram (r8 batch 6)", [
+        "orders_returnflag_priority_matrix", "events_session_duration_profile",
+        "text_length_vs_quality_grid", "graph_edge_weight_histogram",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",
