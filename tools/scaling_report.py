@@ -117,6 +117,14 @@ OPS = [
     "orders_discount_elasticity",
     "events_dwell_bucket_profile",
     "join_anti_null_aware",
+    # r8 batch 5/6: the orderkey co-partitioned histogram join, the
+    # one-shuffle session KPI chain (window + two aggs sharing
+    # hash(user_id)), the two-marginal lattice join, and the weight
+    # histogram riding the capped pair builder
+    "orders_order_size_distribution",
+    "events_session_duration_profile",
+    "orders_returnflag_priority_matrix",
+    "graph_edge_weight_histogram",
 ]
 
 # (op, sf) pairs whose ORACLE formulation is intentionally not run: the
