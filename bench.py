@@ -27,8 +27,10 @@ output line is never at risk.
 
 A third leg (r7 verdict ask #6) embeds the ~10 heaviest headline ops at
 sf10 (~1.7 GiB) under "sf10" — the committed per-round artifact for the
-amortization claim (sf0.1 readings are job-floor-dominated; at sf10 the
-aggregate sits near 1× DuckDB).  Same budget discipline
+heavy tail: job floors amortize, the set-similarity ops go superlinear
+as their blocking keys densify (their certifier oracles are infeasible
+at this SF — Spark completing them at all is the measurement), and the
+breadth story stays in SCALING.md's 34-op sweep.  Same budget discipline
 (SPARK_GRAFT_SF10_BUDGET sec, default 600; SPARK_GRAFT_SF10=0 disables),
 quadratic certifier oracles never run, and both heaps are collected
 between ops (the r7 sf10 OOM lesson).
@@ -343,22 +345,29 @@ SF10_OPS = [
 ]
 
 # quadratic all-pairs certifier oracles — NEVER run at sf10 (~hours); the
-# Spark side is the measurement, the algorithmic gap is the point
-SF10_ORACLE_SKIP = {"dedup_ngram_jaccard", "dedup_containment"}
+# Spark side is the measurement, the algorithmic gap is the point.
+# dedup_minhash joined the list by receipt: its banding SQL spills >40 GiB
+# of DuckDB temp at sf10 (447 s before hitting a 40 GiB cap; uncapped it
+# ENOSPC'd the host and killed the whole leg twice) — Spark's LSH plan
+# completes the same corpus in ~79 s under the scale profile, which IS
+# the measurement: the oracle cannot finish at all.
+SF10_ORACLE_SKIP = {"dedup_ngram_jaccard", "dedup_containment", "dedup_minhash"}
 
 
 def _sf10_leg(spark, reg) -> dict:
-    """Budgeted sf10 re-measure of the heaviest headline ops, same session.
+    """Budgeted sf10 re-measure of the heaviest headline ops, in a
+    SUBPROCESS scale-profile session (tools/bench_sf10_runner.py).
 
-    Same structure as :func:`_sf1_leg` (dynamic conf flip, budget guards
-    entry not duration, failure-isolated by the caller) at 100× the driver
-    corpus (~1.7 GiB).  Between ops, collect both heaps: accumulated
-    localCheckpoint blocks stay pinned until the Python refs die AND the
-    JVM ContextCleaner fires — ~30 ops of that OOMed the r7 sf10 sweep.
-    ``SPARK_GRAFT_SF10=0`` disables; budget ``SPARK_GRAFT_SF10_BUDGET``
-    sec (default 600).
+    bench's own session runs the LEAN profile for the sf0.1 corpus —
+    shuffle/broadcast compression OFF, a core conf fixed at session start
+    that the dynamic SQL-conf flip (the sf1 leg's trick) cannot reach.  At
+    sf10 the shuffle payload is GBs and the uncompressed leg measured
+    dedup_minhash at 214 s vs ~13 s under the scale profile, so the leg
+    shells out to a fresh scale-profile session and parses its one-line
+    JSON.  ``SPARK_GRAFT_SF10=0`` disables; budget
+    ``SPARK_GRAFT_SF10_BUDGET`` sec (default 600) enforced inside the
+    runner, with a hard wall-clock backstop here.
     """
-    import gc
     import subprocess
 
     sf1_dir = "/tmp/sparkmerge_sf1"
@@ -372,80 +381,21 @@ def _sf10_leg(spark, reg) -> dict:
                 capture_output=True,
             )
     budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET", "600"))
-    t_start = time.perf_counter()
-
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    saved = {
-        k: spark.conf.get(k)
-        for k in (
-            "spark.sql.shuffle.partitions",
-            "spark.sql.adaptive.enabled",
-            "spark.sql.files.maxPartitionBytes",
-            "spark.sql.autoBroadcastJoinThreshold",
-        )
-    }
-    spark.conf.set("spark.sql.shuffle.partitions", cpus)
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
-
-    con = duckdb.connect()
-    con.execute(f"PRAGMA threads={cpus}")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf10_dir}/{t}.parquet')")
-
-    from sparkmerge.queries import table_path
-
-    for t in TABLES:  # pre-warm read-optimized rewrites outside timings
-        table_path(sf10_dir, t)
-
-    def timed(run) -> float:
-        t0 = time.perf_counter()
-        run()
-        warm = time.perf_counter() - t0
-        n = 1 if warm >= 10 else 3 if warm >= 2 else 5
-        if n == 1:
-            return warm
-        times = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            run()
-            times.append(time.perf_counter() - t0)
-        return sorted(times)[n // 2]
-
-    spark_times: dict[str, float] = {}
-    duck_times: dict[str, float] = {}
-    skipped: list[str] = []
-    oracle_skipped: list[str] = []
-    try:
-        for op_id in SF10_OPS:
-            if time.perf_counter() - t_start > budget:
-                skipped.append(op_id)
-                continue
-            spec = reg[op_id]
-            spark_times[op_id] = round(
-                timed(lambda: spec.fn(spark, sf10_dir).write.format("noop").mode("overwrite").save()), 4
-            )
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            if op_id in SF10_ORACLE_SKIP:
-                oracle_skipped.append(op_id)
-            elif spec.oracle is not None and time.perf_counter() - t_start <= budget:
-                duck_times[op_id] = round(timed(lambda: con.sql(spec.oracle).arrow()), 4)
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
-
-    comparable = sum(spark_times[k] for k in duck_times)
-    duck_total = sum(duck_times.values())
-    return {
-        "sf": 10,
-        "queries": spark_times,
-        "duckdb": duck_times,
-        "ratio_vs_duckdb": round(comparable / duck_total, 3) if duck_total else None,
-        "skipped": skipped,
-        "oracle_skipped": oracle_skipped,
-    }
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(tools, "bench_sf10_runner.py"), sf10_dir],
+        capture_output=True,
+        text=True,
+        env=env,
+        # generous backstop: budget guards ENTRY inside the runner, so the
+        # last-admitted op may still run to completion past it
+        timeout=budget * 3 + 300,
+    )
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
+        raise RuntimeError(f"sf10 runner exit {proc.returncode}: {' | '.join(tail)}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 if __name__ == "__main__":

@@ -1,0 +1,120 @@
+"""Scale-profile runner for bench.py's sf10 leg (one JSON line on stdout).
+
+bench.py's own session is built with the LEAN profile (its sf0.1 input
+hint): shuffle/broadcast compression OFF — core confs, fixed at session
+start, that the leg's dynamic SQL-conf flip cannot reach.  At sf10 the
+shuffle payload is GBs, and uncompressed shuffle I/O degraded
+dedup_minhash 13 s → 214 s in the in-process leg.  This runner builds a
+fresh SCALE-profile session (no input hint: AQE on, compression on,
+32 shuffle partitions) and runs the same budgeted protocol, so the
+committed artifact measures the posture a real sf10 job would run.
+
+Usage: PYTHONPATH=/root/repo python tools/bench_sf10_runner.py [sf10_dir]
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench  # SF10_OPS / SF10_ORACLE_SKIP / TABLES are the contract
+
+    from sparkmerge.queries import registry, table_path
+    from sparkmerge.session import get_spark
+
+    sf10_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sparkmerge_sf10"
+    budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET", "600"))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    spark = get_spark("bench-sf10")  # scale profile: AQE on, compression on
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={cpus}")
+    # cap DuckDB spill so a runaway oracle errors fast (caught per-op)
+    # instead of ENOSPC-ing the host — the pre-r8-fix failure mode
+    con.execute("SET temp_directory='/tmp/duckdb_sf10_tmp'")
+    con.execute("SET max_temp_directory_size='40GiB'")
+    for t in bench.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf10_dir}/{t}.parquet')"
+        )
+    for t in bench.TABLES:  # pre-warm read-optimized rewrites outside timings
+        table_path(sf10_dir, t)
+
+    def timed(run) -> float:
+        t0 = time.perf_counter()
+        run()
+        warm = time.perf_counter() - t0
+        n = 1 if warm >= 10 else 3 if warm >= 2 else 5
+        if n == 1:
+            return warm
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        return sorted(times)[n // 2]
+
+    reg = registry()
+    t_start = time.perf_counter()
+    spark_times: dict[str, float] = {}
+    duck_times: dict[str, float] = {}
+    skipped: list[str] = []
+    oracle_skipped: list[str] = []
+    errors: dict[str, str] = {}
+    for op_id in bench.SF10_OPS:
+        if time.perf_counter() - t_start > budget:
+            skipped.append(op_id)
+            continue
+        spec = reg[op_id]
+        # failure-isolated per op AND per side: one runaway query costs its
+        # own row, never the whole leg
+        try:
+            spark_times[op_id] = round(
+                timed(
+                    lambda: spec.fn(spark, sf10_dir)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                ),
+                4,
+            )
+        except Exception as e:  # noqa: BLE001 — recorded, not hidden
+            errors[op_id] = f"spark: {type(e).__name__}: {e}"[:200]
+            continue
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if op_id in bench.SF10_ORACLE_SKIP:
+            oracle_skipped.append(op_id)
+        elif spec.oracle is not None and time.perf_counter() - t_start <= budget:
+            try:
+                duck_times[op_id] = round(timed(lambda: con.sql(spec.oracle).arrow()), 4)
+            except Exception as e:  # noqa: BLE001
+                errors[op_id] = f"duckdb: {type(e).__name__}: {e}"[:200]
+
+    comparable = sum(spark_times[k] for k in duck_times)
+    duck_total = sum(duck_times.values())
+    out = {
+        "sf": 10,
+        "queries": spark_times,
+        "duckdb": duck_times,
+        "ratio_vs_duckdb": round(comparable / duck_total, 3) if duck_total else None,
+        "skipped": skipped,
+        "oracle_skipped": oracle_skipped,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
