@@ -1908,3 +1908,226 @@ def orders_returnflag_priority_matrix(spark, sf_dir):
         (n / F.sum("n_lines").over(Window.partitionBy("o_orderpriority")).cast("double"))
         .alias("share_of_priority"),
     )
+
+
+# --- supplier_part_coverage_profile (r8b7) ------------------------------------
+#
+# Assortment-coverage histograms off the supplier/part dimensions: how many
+# distinct parts does each supplier ship, and how many distinct suppliers
+# does each part have — then the DISTRIBUTION of those coverages (the
+# assortment-planning table).  Each direction is ONE map-side-combined
+# count_distinct aggregate keyed on its own dim (partial dedup happens in
+# the combiner, so the shuffle carries (key, partial-set) not raw lines),
+# followed by a histogram rollup over the bounded dim frame.  The two
+# directions are INDEPENDENT single-shuffle aggregates over a 2-column
+# pruned scan — deliberately NOT a shared distinct-pairs intermediate,
+# which would either recompute (two downstream partitionings) or need an
+# unbounded checkpoint at 100 TB.
+
+
+@register(
+    "supplier_part_coverage_profile",
+    oracle="""
+WITH ps AS (
+  SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS coverage
+    FROM lineitem GROUP BY 1
+),
+sp AS (
+  SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS coverage
+    FROM lineitem GROUP BY 1
+)
+SELECT 'parts_per_supplier' AS side, coverage,
+       CAST(count(*) AS BIGINT) AS n_keys
+  FROM ps GROUP BY 2
+UNION ALL
+SELECT 'suppliers_per_part' AS side, coverage,
+       CAST(count(*) AS BIGINT) AS n_keys
+  FROM sp GROUP BY 2
+""",
+    description="assortment coverage histograms: distinct parts per "
+    "supplier and distinct suppliers per part, rolled up to coverage "
+    "histograms; two independent single-shuffle count_distinct aggregates "
+    "over a 2-column pruned scan (no shared distinct-pairs intermediate — "
+    "that shape either recomputes or needs an unbounded checkpoint at "
+    "100 TB), histogram rollups run on the bounded dim frames",
+)
+def supplier_part_coverage_profile(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    ps = (
+        li.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_partkey").alias("coverage"))
+        .groupBy("coverage")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .select(F.lit("parts_per_supplier").alias("side"), "coverage", "n_keys")
+    )
+    sp = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_suppkey").alias("coverage"))
+        .groupBy("coverage")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .select(F.lit("suppliers_per_part").alias("side"), "coverage", "n_keys")
+    )
+    return ps.unionByName(sp)
+
+
+# --- events_value_percentile_bands (r8b7) -------------------------------------
+#
+# Per-event-type value percentile bands (p25/p50/p75/p95) — the pricing /
+# payload-size SLA table for the event stream.  Same bounded-domain
+# cumulative-count recipe as orders_fulfillment_latency: values quantize
+# to exact integer cents, the (type, cents) aggregation is map-side
+# combined (the cents domain is bounded by the value RANGE — ~56k distinct
+# cells here — not by row count, so the post-shuffle relation stays tiny
+# at any SF), nearest-rank index is the house integer ceil
+# (p·n + 99) DIV 100, and the mean is ONE IEEE division of two exact
+# integers.  Never a per-group sorted array.
+
+
+@register(
+    "events_value_percentile_bands",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, cents, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n,
+         sum(cents * c) OVER (PARTITION BY event_type) AS s
+    FROM g
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents,
+       CAST(min(CASE WHEN cum >= (25 * n + 99) // 100 THEN cents END) AS BIGINT)
+         AS p25_cents,
+       CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN cents END) AS BIGINT)
+         AS p50_cents,
+       CAST(min(CASE WHEN cum >= (75 * n + 99) // 100 THEN cents END) AS BIGINT)
+         AS p75_cents,
+       CAST(min(CASE WHEN cum >= (95 * n + 99) // 100 THEN cents END) AS BIGINT)
+         AS p95_cents,
+       CAST(max(s) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS mean_cents
+  FROM w GROUP BY event_type
+""",
+    description="per-type value percentile bands (p25/50/75/95): exact "
+    "integer cents aggregate to the bounded (type, cents) domain in ONE "
+    "map-side-combined shuffle (domain bounded by value range, not rows); "
+    "nearest-rank percentiles from cumulative counts over that tiny "
+    "relation; mean = ONE IEEE division of exact integer sum/count",
+)
+def events_value_percentile_bands(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    g = e.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("c"))
+    wp = Window.partitionBy("event_type")
+    wcum = wp.orderBy("cents")
+    w = g.select(
+        "event_type",
+        "cents",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wp).alias("n"),
+        F.sum(F.col("cents") * F.col("c")).over(wp).alias("s"),
+    )
+
+    def pctc(p: int):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({p} * n + 99) div 100"),
+                F.col("cents"),
+            )
+        )
+
+    return w.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        pctc(25).alias("p25_cents"),
+        pctc(50).alias("p50_cents"),
+        pctc(75).alias("p75_cents"),
+        pctc(95).alias("p95_cents"),
+        (F.max("s").cast("double") / F.max("n").cast("double")).alias("mean_cents"),
+    )
+
+
+# --- supplier_workload_skew (r8b7) --------------------------------------------
+#
+# Workload Pareto off the bounded supplier dimension: shipped-line counts
+# and exact revenue cents per supplier, with rank, cumulative per-mille
+# revenue share, and decile — the load-balancing / vendor-concentration
+# table.  (The reference corpus has no clerk column on orders; suppliers
+# are this corpus's bounded "worker" dimension, so the staged
+# clerk-workload shape lands here.)  ONE map-side-combined key shuffle
+# aggregates lineitem to |suppliers| rows; rank/cumsum/decile all run as
+# one global-order window over that bounded frame (a range-partitioned
+# sort at cluster scale — the standard Pareto shape).  The deterministic
+# tiebreak (rev desc, suppkey) makes the running sum unique, and the
+# cumulative share is an exact-integer per-mille ((1000·cum) DIV total —
+# safe below ~9.2e15 total cents, i.e. through sf10 on this corpus), so
+# every column is engine-portable without FP ordering concerns.
+
+
+@register(
+    "supplier_workload_skew",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+    FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT l_suppkey, n_lines, rev_cents,
+         CAST(row_number() OVER (ORDER BY rev_cents DESC, l_suppkey) AS BIGINT) AS rnk,
+         CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_suppkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+         CAST(sum(rev_cents) OVER () AS BIGINT) AS total_cents,
+         CAST(count(*) OVER () AS BIGINT) AS n_sup
+    FROM rev
+)
+SELECT l_suppkey, n_lines, rev_cents, rnk,
+       CAST((1000 * cum_cents) // total_cents AS BIGINT) AS cum_share_pm,
+       CAST(((rnk - 1) * 10) // n_sup + 1 AS BIGINT) AS decile
+  FROM ranked
+""",
+    description="supplier workload Pareto: exact line counts + revenue "
+    "cents per supplier (one map-side-combined key shuffle to the bounded "
+    "|suppliers| frame), then rank / cumulative per-mille share / decile "
+    "in one global-order window with a deterministic tiebreak — the "
+    "integer per-mille share ((1000*cum) DIV total) sidesteps FP entirely",
+)
+def supplier_workload_skew(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    rev = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(cents).alias("rev_cents"),
+    )
+    w_ord = Window.orderBy(F.desc("rev_cents"), F.asc("l_suppkey"))
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "l_suppkey",
+        "n_lines",
+        "rev_cents",
+        F.row_number().over(w_ord).cast("long").alias("rnk"),
+        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
+        F.sum("rev_cents").over(w_all).alias("total_cents"),
+        F.count(F.lit(1)).over(w_all).alias("n_sup"),
+    )
+    return ranked.select(
+        "l_suppkey",
+        "n_lines",
+        "rev_cents",
+        "rnk",
+        F.expr("(1000 * cum_cents) div total_cents").alias("cum_share_pm"),
+        F.expr("((rnk - 1) * 10) div n_sup + 1").alias("decile"),
+    )

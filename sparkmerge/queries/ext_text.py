@@ -1491,3 +1491,98 @@ def text_length_vs_quality_grid(spark, sf_dir):
         "len_bucket", "qclass", "n_docs", "total_tokens",
         share.alias("share_of_bucket"),
     )
+
+
+# --- text_char_class_profile (r8b7) -------------------------------------------
+#
+# Per-source character-class composition — the encoding-anomaly detector:
+# a source whose digit or punctuation share jumps is emitting tables,
+# markup, or mojibake, not prose.  Class counts are computed per document
+# map-side as length(text) − length(regexp_replace(text, class, '')) over
+# explicit ASCII classes (locale-free, identical in Java regex and RE2),
+# summed in ONE map-side-combined aggregate to the bounded |sources|
+# frame.  Shares are exact integer per-mille ((1000·cnt) DIV chars) — no
+# FP anywhere, so every column is bit-portable.  One shuffle total; the
+# scan is pruned to (source, text).
+
+
+@register(
+    "text_char_class_profile",
+    oracle="""
+WITH d AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS chars,
+         CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+              AS BIGINT) AS letters,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS digits,
+         CAST(length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+              AS BIGINT) AS spaces
+    FROM documents
+),
+s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(chars) AS BIGINT) AS chars,
+         CAST(sum(letters) AS BIGINT) AS letters,
+         CAST(sum(digits) AS BIGINT) AS digits,
+         CAST(sum(spaces) AS BIGINT) AS spaces
+    FROM d GROUP BY source
+)
+SELECT source, n_docs, chars, letters, digits, spaces,
+       CAST(chars - letters - digits - spaces AS BIGINT) AS other,
+       CAST(CASE WHEN chars > 0 THEN (1000 * letters) // chars END AS BIGINT)
+         AS letters_pm,
+       CAST(CASE WHEN chars > 0 THEN (1000 * digits) // chars END AS BIGINT)
+         AS digits_pm,
+       CAST(CASE WHEN chars > 0 THEN (1000 * spaces) // chars END AS BIGINT)
+         AS spaces_pm
+  FROM s
+""",
+    description="per-source character-class composition (letters/digits/"
+    "spaces/other counts + exact per-mille shares) over explicit ASCII "
+    "classes — locale-free and identical in Java regex and RE2; per-doc "
+    "class counts are map-side length-diff expressions, ONE map-side-"
+    "combined shuffle to the bounded source frame, integer per-mille "
+    "shares ((1000*cnt) DIV chars) keep the whole surface FP-free",
+)
+def text_char_class_profile(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    chars = F.length("text").cast("long")
+
+    def cls(pattern: str):
+        return (chars - F.length(F.regexp_replace(F.col("text"), pattern, ""))).cast(
+            "long"
+        )
+
+    per_doc = d.select(
+        "source",
+        chars.alias("chars"),
+        cls("[A-Za-z]").alias("letters"),
+        cls("[0-9]").alias("digits"),
+        cls("[ \t\n\r]").alias("spaces"),
+    )
+    s = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("chars").alias("chars"),
+        F.sum("letters").alias("letters"),
+        F.sum("digits").alias("digits"),
+        F.sum("spaces").alias("spaces"),
+    )
+    pm = lambda c: F.expr(f"CASE WHEN chars > 0 THEN (1000 * {c}) div chars END").cast(
+        "long"
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "chars",
+        "letters",
+        "digits",
+        "spaces",
+        (F.col("chars") - F.col("letters") - F.col("digits") - F.col("spaces")).alias(
+            "other"
+        ),
+        pm("letters").alias("letters_pm"),
+        pm("digits").alias("digits_pm"),
+        pm("spaces").alias("spaces_pm"),
+    )

@@ -165,6 +165,10 @@ SECTIONS = [
         "orders_returnflag_priority_matrix", "events_session_duration_profile",
         "text_length_vs_quality_grid", "graph_edge_weight_histogram",
     ]),
+    ("Coverage histograms, value bands, workload Pareto & char classes (r8 batch 7)", [
+        "supplier_part_coverage_profile", "events_value_percentile_bands",
+        "supplier_workload_skew", "text_char_class_profile",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",
