@@ -2131,3 +2131,189 @@ def supplier_workload_skew(spark, sf_dir):
         F.expr("(1000 * cum_cents) div total_cents").alias("cum_share_pm"),
         F.expr("((rnk - 1) * 10) div n_sup + 1").alias("decile"),
     )
+
+
+# --- orders_nation_trade_matrix (r8b8) ----------------------------------------
+#
+# Bilateral trade-flow matrix: revenue between every (supplier nation,
+# customer nation) pair — the full 25×25 lattice behind tpch_q7's
+# filtered two-nation slice and tpch_q5's single-region diagonal.  The
+# fact-side joins (lineitem⋈orders on orderkey, ⋈customer on custkey,
+# ⋈supplier on suppkey) are shuffle joins by design — customer, supplier
+# and part are corpus-proportional dims that must never be
+# assumed-broadcast at scale (AQE converts them at test SFs on its own);
+# only the FIXED 25-row nation dim is explicitly broadcast, twice.  The
+# final aggregate lands on the bounded |nations|² frame; revenue is the
+# house exact-decimal per-row cast summed then widened to double (the
+# tpch_q1 idiom — no order-dependent FP accumulation).
+
+
+@register(
+    "orders_nation_trade_matrix",
+    oracle="""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey  = c_custkey
+  JOIN supplier ON l_suppkey  = s_suppkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+ GROUP BY 1, 2
+""",
+    description="bilateral trade-flow matrix (supplier nation × customer "
+    "nation revenue — the full lattice behind q7's filtered slice): "
+    "shuffle joins on the corpus-proportional dims (customer/supplier are "
+    "never assumed-broadcast; AQE may convert at small SFs), the fixed "
+    "25-row nation dim explicitly broadcast twice, final agg on the "
+    "bounded |nations|² frame; exact-decimal revenue sums (tpch_q1 idiom)",
+)
+def orders_nation_trade_matrix(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .alias("rev"),
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n.alias("cn")), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(n.alias("sn")), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .groupBy(
+            F.col("sn.n_name").alias("supp_nation"),
+            F.col("cn.n_name").alias("cust_nation"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+# --- lineitem_discount_tax_grid (r8b8) ----------------------------------------
+#
+# Pricing-policy lattice: line counts, gross revenue and final charge over
+# every (discount per-mille, tax per-mille) cell — the table a pricing
+# analyst reads before moving either knob.  Both axes quantize exactly
+# (the corpus discounts/taxes are hundredths: 11×9 cells; the cell domain
+# is bounded by the POLICY, not by row count), so the whole grid is ONE
+# map-side-combined aggregate.  Money columns are per-row exact-decimal
+# casts summed then widened (tpch_q1 idiom); the charge expression keeps
+# ONE fixed association (price · (1−d) · (1+t)) so both engines compute
+# bit-identical products before the exact decimal sum.
+
+
+@register(
+    "lineitem_discount_tax_grid",
+    oracle="""
+SELECT CAST(floor(l_discount * 1000.0 + 0.5) AS BIGINT) AS discount_pm,
+       CAST(floor(l_tax * 1000.0 + 0.5) AS BIGINT) AS tax_pm,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS charge
+  FROM lineitem
+ GROUP BY 1, 2
+""",
+    description="pricing-policy lattice: line counts + exact-decimal gross "
+    "and final-charge sums per (discount per-mille × tax per-mille) cell — "
+    "the cell domain is bounded by the policy (11×9 here), not rows, so "
+    "the grid is ONE map-side-combined aggregate; fixed-association "
+    "charge product keeps the engines bit-identical pre-sum",
+)
+def lineitem_discount_tax_grid(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    return (
+        li.select(
+            F.floor(F.col("l_discount") * 1000.0 + 0.5).cast("long").alias("discount_pm"),
+            F.floor(F.col("l_tax") * 1000.0 + 0.5).cast("long").alias("tax_pm"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("gross_raw"),
+            charge.cast("decimal(18,6)").alias("charge_raw"),
+        )
+        .groupBy("discount_pm", "tax_pm")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("gross_raw").cast("double").alias("gross"),
+            F.sum("charge_raw").cast("double").alias("charge"),
+        )
+    )
+
+
+# --- events_benford_digit_profile (r8b8) --------------------------------------
+#
+# Benford leading-digit profile over the numeric literals embedded in the
+# event payload (props) — the fraud / synthetic-data screen: organically
+# generated magnitudes lean toward low leading digits, while fabricated or
+# uniform payloads flatten the curve.  Numerals are extracted map-side
+# (regexp_extract_all + explode), reduced to their first SIGNIFICANT digit
+# (leading zeros stripped; all-zero numerals dropped), and counted in ONE
+# map-side-combined (type, digit) shuffle; shares are exact integer
+# per-mille over the |types|×9 frame — FP-free end to end.
+
+
+@register(
+    "events_benford_digit_profile",
+    oracle="""
+WITH nums AS (
+  SELECT event_type,
+         unnest(regexp_extract_all(props, '[0-9]+')) AS num
+    FROM events
+),
+dd AS (
+  SELECT event_type,
+         substr(regexp_replace(num, '^0+', ''), 1, 1) AS digit
+    FROM nums
+   WHERE regexp_replace(num, '^0+', '') <> ''
+),
+g AS (
+  SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+    FROM dd GROUP BY 1, 2
+)
+SELECT event_type, digit, n,
+       CAST((1000 * n) // CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+            AS BIGINT) AS share_pm
+  FROM g
+""",
+    description="Benford leading-digit screen over numeric literals in the "
+    "event payload: map-side regexp extraction + explode, first "
+    "SIGNIFICANT digit (leading zeros stripped, all-zero numerals "
+    "dropped), ONE map-side-combined (type, digit) shuffle, exact integer "
+    "per-mille shares over the bounded |types|×9 frame",
+)
+def events_benford_digit_profile(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select("event_type", "props")
+    nums = e.select(
+        "event_type",
+        F.explode(F.expr("regexp_extract_all(props, '[0-9]+', 0)")).alias("num"),
+    )
+    sig = F.regexp_replace(F.col("num"), "^0+", "")
+    dd = nums.select(
+        "event_type", F.substring(sig, 1, 1).alias("digit")
+    ).filter(F.col("digit") != "")
+    g = dd.groupBy("event_type", "digit").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    return g.select(
+        "event_type",
+        "digit",
+        "n",
+        F.expr("(1000 * n)").cast("long").alias("_num"),
+        F.sum("n").over(w).alias("_tot"),
+    ).select(
+        "event_type",
+        "digit",
+        "n",
+        F.expr("_num div _tot").alias("share_pm"),
+    )

@@ -1192,3 +1192,86 @@ def events_session_duration_profile(spark, sf_dir):
             / F.lit(1000000.0)
         ).alias("mean_session_duration_s"),
     )
+
+
+# --- events_burstiness_fano (r8b8) --------------------------------------------
+#
+# Per-type traffic burstiness via the Fano factor (variance-to-mean ratio
+# of hourly arrival counts over the FULL observed span, empty hours
+# included): ~1 means Poisson-like arrivals, >1 means bursty, <1 means
+# pacemaker-regular — the load-model selector read before capacity
+# planning.  Two bounded shuffles: (type, hour) counts (map-side
+# combined), then per-type exact moments (Σc, Σc², active hours, min/max
+# hour).  Empty hours never materialize: with Z empty hours contributing
+# 0 to both Σc and Σc², the population variance over H = span hours is
+# algebraically (H·Σc² − (Σc)²)/H², so Fano = (H·Σc² − (Σc)²)/(H·Σc) —
+# three exact int64 terms (H·Σc² ≲ 8e13 at sf10 — exact in int64 AND
+# double) in ONE fixed IEEE division.  The global span comes from a
+# window max/min over the |types|-row frame — no second scan, no
+# checkpoint.
+
+
+@register(
+    "events_burstiness_fano",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(sum(c * c) AS BIGINT) AS sum_sq,
+         CAST(count(*) AS BIGINT) AS active_hours,
+         CAST(min(h) AS BIGINT) AS mn,
+         CAST(max(h) AS BIGINT) AS mx
+    FROM hourly GROUP BY 1
+),
+s AS (
+  SELECT event_type, n_events, sum_sq, active_hours,
+         CAST(max(mx) OVER () - min(mn) OVER () + 1 AS BIGINT) AS span_hours
+    FROM t
+)
+SELECT event_type, n_events, active_hours, span_hours, sum_sq,
+       CAST(span_hours * sum_sq - n_events * n_events AS DOUBLE)
+       / CAST(span_hours * n_events AS DOUBLE) AS fano
+  FROM s
+""",
+    description="per-type Fano factor (variance/mean of hourly counts over "
+    "the full span, empty hours included algebraically — they never "
+    "materialize): (type, hour) counts + per-type exact int64 moments in "
+    "two bounded map-side-combined shuffles, global span via a window "
+    "max/min over the |types| frame (no second scan), Fano = ONE fixed "
+    "IEEE division of exact integers",
+)
+def events_burstiness_fano(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("h"),
+    )
+    hourly = e.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+    t = hourly.groupBy("event_type").agg(
+        F.sum("c").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+        F.count(F.lit(1)).alias("active_hours"),
+        F.min("h").alias("mn"),
+        F.max("h").alias("mx"),
+    )
+    w = Window.partitionBy()
+    s = t.select(
+        "event_type",
+        "n_events",
+        "sum_sq",
+        "active_hours",
+        (F.max("mx").over(w) - F.min("mn").over(w) + 1).alias("span_hours"),
+    )
+    fano = (
+        F.col("span_hours") * F.col("sum_sq")
+        - F.col("n_events") * F.col("n_events")
+    ).cast("double") / (F.col("span_hours") * F.col("n_events")).cast("double")
+    return s.select(
+        "event_type", "n_events", "active_hours", "span_hours", "sum_sq",
+        fano.alias("fano"),
+    )

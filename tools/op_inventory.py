@@ -169,6 +169,10 @@ SECTIONS = [
         "supplier_part_coverage_profile", "events_value_percentile_bands",
         "supplier_workload_skew", "text_char_class_profile",
     ]),
+    ("Trade matrix, pricing grid, Benford screen & Fano burstiness (r8 batch 8)", [
+        "orders_nation_trade_matrix", "lineitem_discount_tax_grid",
+        "events_benford_digit_profile", "events_burstiness_fano",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",
