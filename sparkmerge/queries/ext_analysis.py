@@ -2317,3 +2317,175 @@ def events_benford_digit_profile(spark, sf_dir):
         "n",
         F.expr("_num div _tot").alias("share_pm"),
     )
+
+
+# --- orders_brand_audience_jaccard (r8b9) -------------------------------------
+#
+# Brand audience overlap at the CUSTOMER grain: for every brand pair, the
+# Jaccard of their buyer sets (|both| / |either|) — the assortment-
+# cannibalization / cross-sell table (orders_basket_lift is the same
+# question at the order grain with a lift measure).  Pair generation is
+# the posexplode+slice idiom over the per-customer sorted brand set
+# (≤|brands| = 25, so fan-out ≤ 325 per customer — bounded by the
+# CATALOG, not the data), with per-brand audience totals emitted in the
+# SAME exploded stream as '' -sentinel tokens so the expensive upstream
+# (two shuffle joins + the customer-set agg) runs EXACTLY once.  The
+# aggregated (a, b) relation is bounded (≤ |brands|² rows) and feeds
+# three consumers, so it is eagerly checkpointed per the bounded-
+# intermediate rule; the totals re-attach as broadcast joins.  Jaccard =
+# ONE IEEE division of exact integers via inclusion-exclusion.
+
+
+@register(
+    "orders_brand_audience_jaccard",
+    oracle="""
+WITH cb AS (
+  SELECT DISTINCT o_custkey AS c, p_brand AS b
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part   ON l_partkey  = p_partkey
+),
+pairs AS (
+  SELECT x.b AS brand_a, y.b AS brand_b, CAST(count(*) AS BIGINT) AS n_both
+    FROM cb x JOIN cb y ON x.c = y.c AND x.b < y.b
+   GROUP BY 1, 2
+),
+tot AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM cb GROUP BY 1)
+SELECT brand_a, brand_b, n_both,
+       ta.n AS n_a, tb.n AS n_b,
+       CAST(n_both AS DOUBLE) / CAST(ta.n + tb.n - n_both AS DOUBLE) AS jaccard
+  FROM pairs
+  JOIN tot ta ON brand_a = ta.b
+  JOIN tot tb ON brand_b = tb.b
+""",
+    description="brand-pair audience Jaccard at the customer grain "
+    "(cross-sell / cannibalization table): per-customer sorted brand sets "
+    "(≤|catalog brands|), posexplode+slice pair fan-out bounded by the "
+    "catalog, audience totals emitted in the SAME exploded stream via a "
+    "sentinel token so the two-join upstream runs exactly once; the "
+    "bounded (≤|brands|²) aggregate is checkpointed for its three "
+    "consumers, totals re-attach broadcast; Jaccard = ONE IEEE division "
+    "of exact integers (inclusion-exclusion)",
+)
+def orders_brand_audience_jaccard(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select("o_custkey", "p_brand")
+        .distinct()
+    )
+    sets = cb.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("brands")
+    )
+    # one exploded stream carries BOTH the (a, tail) pairs and a
+    # ''-sentinel single per element — the upstream runs exactly once
+    tok = sets.select(
+        F.posexplode("brands").alias("i", "a"), "brands"
+    ).select(
+        "a",
+        F.explode(
+            F.concat(
+                F.array(F.lit("")),
+                F.expr("slice(brands, i + 2, size(brands))"),
+            )
+        ).alias("b"),
+    )
+    g = tok.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    g = g.localCheckpoint(eager=True)  # bounded: ≤ |brands|² rows
+    singles = g.filter(F.col("b") == "").select(
+        F.col("a").alias("brand"), F.col("n").alias("n_single")
+    )
+    pairs = g.filter(F.col("b") != "").select(
+        F.col("a").alias("brand_a"), F.col("b").alias("brand_b"),
+        F.col("n").alias("n_both"),
+    )
+    ta = singles.select(
+        F.col("brand").alias("brand_a"), F.col("n_single").alias("n_a")
+    )
+    tb = singles.select(
+        F.col("brand").alias("brand_b"), F.col("n_single").alias("n_b")
+    )
+    out = (
+        pairs.join(F.broadcast(ta), "brand_a")
+        .join(F.broadcast(tb), "brand_b")
+    )
+    jac = F.col("n_both").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_both")
+    ).cast("double")
+    return out.select(
+        "brand_a", "brand_b", "n_both", "n_a", "n_b", jac.alias("jaccard")
+    )
+
+
+# --- customer_balance_activity_grid (r8b9) ------------------------------------
+#
+# Customer-base health grid: account-balance band × order-activity bucket
+# with customer and order counts — the dormant-rich vs active-poor
+# segmentation read.  Balance bands are exact $1000 steps over SHIFTED
+# cents ((cents + 100000) DIV 100000) so the negative-balance rows never
+# hit the div-semantics split (Spark `div` truncates toward zero, DuckDB
+# `//` floors — they disagree BELOW zero, agree above); activity buckets
+# are bit-length (length(bin(n)), 0 for no orders — the zero-order
+# customers come from the LEFT join, not a lost inner row).  One orders
+# key shuffle + one customer join + ONE bounded-grid aggregate.
+
+
+@register(
+    "customer_balance_activity_grid",
+    oracle="""
+WITH oc AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+),
+j AS (
+  SELECT (CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) + 100000) // 100000
+           AS bal_band,
+         CASE WHEN coalesce(oc.n_orders, 0) = 0 THEN 0
+              ELSE length(bin(coalesce(oc.n_orders, 0))) END AS act_bucket,
+         coalesce(oc.n_orders, 0) AS n_orders
+    FROM customer LEFT JOIN oc ON c_custkey = oc.o_custkey
+)
+SELECT CAST(bal_band AS BIGINT) AS bal_band,
+       CAST(act_bucket AS BIGINT) AS act_bucket,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders
+  FROM j GROUP BY 1, 2
+""",
+    description="customer-base health grid (balance band × activity "
+    "bucket): $1000 bands over SHIFTED cents so negative balances never "
+    "hit the div-vs-floor semantics split; bit-length activity buckets "
+    "with an explicit 0 class fed by the LEFT join's no-order customers; "
+    "one orders key shuffle + one customer join + ONE bounded-grid agg",
+)
+def customer_balance_activity_grid(spark, sf_dir):
+    oc = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    j = c.join(oc, c.c_custkey == oc.o_custkey, "left")
+    n = F.coalesce("n_orders", F.lit(0))
+    bal_band = F.expr(
+        "(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) + 100000) div 100000"
+    )
+    act_bucket = (
+        F.when(n == 0, F.lit(0))
+        .otherwise(F.length(F.bin(n)))
+        .cast("long")
+    )
+    return (
+        j.select(
+            bal_band.alias("bal_band"),
+            act_bucket.alias("act_bucket"),
+            n.alias("n_orders"),
+        )
+        .groupBy("bal_band", "act_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+    )

@@ -1586,3 +1586,61 @@ def text_char_class_profile(spark, sf_dir):
         pm("digits").alias("digits_pm"),
         pm("spaces").alias("spaces_pm"),
     )
+
+
+# --- text_word_length_profile (r8b9) ------------------------------------------
+#
+# Per-language word-length distribution (the house `\s+` tokenizer) —
+# the orthography fingerprint: languages separate cleanly on token-length
+# mass (zh tokens run short, de long), and a corpus whose profile drifts
+# from its language's signature is mis-tagged or polluted.  Tokens
+# explode map-side; the (lang, len) aggregation is ONE map-side-combined
+# shuffle onto a domain bounded by the LONGEST TOKEN (~dozens of cells
+# per language), never by corpus size; shares are exact integer per-mille
+# over the per-language window on that tiny frame.
+
+
+@register(
+    "text_word_length_profile",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang, unnest({_TOKS_RAW}) AS tok FROM documents
+),
+g AS (
+  SELECT lang, CAST(length(tok) AS BIGINT) AS word_len,
+         CAST(count(*) AS BIGINT) AS n
+    FROM toks GROUP BY 1, 2
+)
+SELECT lang, word_len, n,
+       CAST((1000 * n) // CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT)
+            AS BIGINT) AS share_pm
+  FROM g
+""",
+    description="per-language word-length distribution over the house "
+    "whitespace tokenizer — the orthography fingerprint for language-tag "
+    "audits: map-side token explode, ONE map-side-combined (lang, len) "
+    "shuffle onto a domain bounded by the longest token (not corpus "
+    "size), exact integer per-mille shares on the tiny frame",
+)
+def text_word_length_profile(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents").select("lang", "text")
+    toks = F.filter(F.split(F.col("text"), _WS), lambda x: x != "")
+    g = (
+        d.select("lang", F.explode(toks).alias("tok"))
+        .groupBy("lang", F.length("tok").cast("long").alias("word_len"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return g.select(
+        "lang",
+        "word_len",
+        "n",
+        F.sum("n").over(w).alias("_tot"),
+    ).select(
+        "lang",
+        "word_len",
+        "n",
+        F.expr("(1000 * n) div _tot").alias("share_pm"),
+    )

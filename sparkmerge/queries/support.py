@@ -717,3 +717,64 @@ SELECT c_custkey, c_name, c_nationkey
     WHERE r.r_name IN ('ASIA', 'EUROPE'))
 """
     )
+
+
+# --- audit_fk_orphans (r8b9) --------------------------------------------------
+#
+# Referential-integrity audit between the fact (lineitem) and its parent
+# (orders) — the FK health check run before any merge that assumes the
+# join key resolves: per class (matched / order_without_lines /
+# line_without_order), how many keys and how many fact rows.  The fact
+# side aggregates to per-key line counts FIRST (one map-side-combined
+# shuffle — the full outer join then runs on |orderkeys|, not raw lines,
+# and reuses the orderkey partitioning), so at 100 TB the audit costs one
+# fact shuffle + one co-partitioned join, never a raw-row full outer.
+
+
+@register(
+    "audit_fk_orphans",
+    oracle="""
+WITH lk AS (
+  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY 1
+),
+ok AS (SELECT o_orderkey AS k FROM orders),
+j AS (
+  SELECT CASE WHEN ok.k IS NULL THEN 'line_without_order'
+              WHEN lk.k IS NULL THEN 'order_without_lines'
+              ELSE 'matched' END AS fk_class,
+         coalesce(lk.n_lines, 0) AS n_lines
+    FROM ok FULL OUTER JOIN lk ON ok.k = lk.k
+)
+SELECT fk_class,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines
+  FROM j GROUP BY fk_class
+""",
+    description="referential-integrity audit (fact ⟂ parent): per FK class "
+    "(matched / order_without_lines / line_without_order) the key and "
+    "fact-row counts; the fact aggregates to per-key counts FIRST so the "
+    "full outer join runs on |keys| and reuses the key partitioning — one "
+    "fact shuffle + one co-partitioned join, never a raw-row full outer",
+)
+def audit_fk_orphans(spark, sf_dir):
+    lk = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    ok = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    j = ok.alias("o").join(lk.alias("l"), F.col("o.k") == F.col("l.k"), "full_outer")
+    fk_class = (
+        F.when(F.col("o.k").isNull(), "line_without_order")
+        .when(F.col("l.k").isNull(), "order_without_lines")
+        .otherwise("matched")
+    )
+    return (
+        j.select(fk_class.alias("fk_class"), F.coalesce("n_lines", F.lit(0)).alias("n_lines"))
+        .groupBy("fk_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_lines").alias("n_lines"),
+        )
+    )

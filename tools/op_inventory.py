@@ -173,6 +173,10 @@ SECTIONS = [
         "orders_nation_trade_matrix", "lineitem_discount_tax_grid",
         "events_benford_digit_profile", "events_burstiness_fano",
     ]),
+    ("FK audit, brand-audience Jaccard, balance grid & word lengths (r8 batch 9)", [
+        "audit_fk_orphans", "orders_brand_audience_jaccard",
+        "customer_balance_activity_grid", "text_word_length_profile",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",
