@@ -125,6 +125,24 @@ OPS = [
     "events_session_duration_profile",
     "orders_returnflag_priority_matrix",
     "graph_edge_weight_histogram",
+    # r8 batch 7-9: the two-direction count_distinct coverage (no shared
+    # pairs intermediate — the recompute-vs-checkpoint trade is the scale
+    # story), the bounded-domain value bands, the global-order supplier
+    # Pareto, the 4-join trade lattice, the props-explode Benford screen,
+    # the per-key-aggregated-first FK audit, and the sentinel-token brand
+    # Jaccard (pair fan-out bounded by the catalog)
+    "supplier_part_coverage_profile",
+    "events_value_percentile_bands",
+    "supplier_workload_skew",
+    "text_char_class_profile",
+    "orders_nation_trade_matrix",
+    "lineitem_discount_tax_grid",
+    "events_benford_digit_profile",
+    "events_burstiness_fano",
+    "audit_fk_orphans",
+    "orders_brand_audience_jaccard",
+    "customer_balance_activity_grid",
+    "text_word_length_profile",
 ]
 
 # (op, sf) pairs whose ORACLE formulation is intentionally not run: the
@@ -156,6 +174,28 @@ def main() -> None:
     from sparkmerge.queries import registry
     from sparkmerge.session import get_spark
 
+    # Incremental mode: `python tools/scaling_report.py op1 op2 ...`
+    # measures ONLY the named ops and seeds everything else from the last
+    # full sweep's per-SF checkpoint (/tmp/scaling_partial.json, written by
+    # every run).  The regenerated table still covers all of OPS; rows not
+    # re-measured carry the cached same-host numbers.  No-arg runs remain
+    # the full from-scratch sweep.
+    only = set(sys.argv[1:])
+    seeded: dict[str, dict[str, tuple[float, float]]] = {}
+    if only:
+        import json as _json
+
+        with open("/tmp/scaling_partial.json") as fh:
+            seeded = {
+                o: {k: tuple(v) for k, v in m.items()}
+                for o, m in _json.load(fh).items()
+            }
+        missing = [o for o in OPS if o not in only and o not in seeded]
+        if missing:
+            raise SystemExit(
+                f"incremental run: no cached rows for {missing}; run the full sweep"
+            )
+
     # One session across all SFs: build with the lean profile (sf≤0.1
     # inputs) and flip the dynamic SQL confs to the scale posture for the
     # sf1 pass, mirroring how bench.py / session.py pick profiles per size.
@@ -172,7 +212,7 @@ def main() -> None:
 
     spark.read.parquet(_tp(SF_DIRS["0.001"], "orders")).count()
 
-    results: dict[str, dict[str, tuple[float, float]]] = {}
+    results: dict[str, dict[str, tuple[float, float]]] = dict(seeded)
     for sf in SFS:
         sf_dir = SF_DIRS[sf]
         if not os.path.isdir(sf_dir):
@@ -198,6 +238,8 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
         for op in OPS:
+            if only and op not in only:
+                continue
             spec = reg[op]
 
             def srun():
