@@ -94,6 +94,11 @@ HEADLINE = [
     # novelty decomposition (~9 s at sf1) and the calendar-join MASE rollup
     "text_shingle_novelty_curve",
     "orders_seasonal_naive_mase",
+    # r8 batch 7-9: the two heaviest late-round shapes — the sentinel-token
+    # brand-audience Jaccard (two shuffle joins + customer-grain distinct +
+    # bounded pair fan-out) and the 4-join bilateral trade lattice
+    "orders_brand_audience_jaccard",
+    "orders_nation_trade_matrix",
 ]
 
 # sf1-leg exclusions with recorded reasons (the budget guards entry, not
