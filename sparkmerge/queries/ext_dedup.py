@@ -768,16 +768,24 @@ def dedup_cross_source_matrix(spark, sf_dir, shingle_key="raw"):
     from sparkmerge.ext.text import whitespace_tokens
 
     d = load(spark, sf_dir, "documents")
-    toks = whitespace_tokens(F.lower(F.col("text")))
+    # Tokenize in its OWN projection BELOW the Generate: a computed alias
+    # sharing a select with explode() lands ABOVE the generator and
+    # re-evaluates per OUTPUT row — the inline form re-tokenized the doc
+    # once per shingle (the text_shingle_novelty_curve finding, ~8× on
+    # the exploded stream at sf0.1).
+    tokd = d.select(
+        "source", whitespace_tokens(F.lower(F.col("text"))).alias("t")
+    )
+    tc = F.col("t")
     # sequence(1, 0) is DESCENDING in Spark, not empty — guard short docs
     idx = F.when(
-        F.size(toks) >= 5, F.sequence(F.lit(1), F.size(toks) - 4)
+        F.size(tc) >= 5, F.sequence(F.lit(1), F.size(tc) - 4)
     ).otherwise(F.expr("array()"))
     # explode the index FIRST, build each shingle with plain slice/join
     # expressions (codegen) — a transform() lambda here runs interpreted
     # over every shingle and measured ~15 % slower at sf1; collect_set
     # dedups (h, source) in-agg, so no separate distinct pass
-    ex = d.select("source", toks.alias("t"), F.explode(idx).alias("i"))
+    ex = tokd.select("source", "t", F.explode(idx).alias("i"))
     h = F.array_join(F.expr("slice(t, i, 5)"), " ")
     if shingle_key == "hash":
         # the 100 TB shuffle-compaction lever: xxhash64 the shingle text

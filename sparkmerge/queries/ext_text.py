@@ -1163,18 +1163,26 @@ def text_shingle_novelty_curve(spark, sf_dir):
     from sparkmerge.ext.text import whitespace_tokens
 
     d = load(spark, sf_dir, "documents")
-    toks = whitespace_tokens(F.lower(F.col("text")))
+    # Tokenize in its OWN projection BELOW the Generate: computed aliases
+    # that share a select with explode() land in the Project ABOVE the
+    # generator and re-evaluate once per OUTPUT row — the inline form
+    # re-tokenized the doc once per shingle (measured 3.3 s vs 0.4 s for
+    # the exploded stream at sf0.1; the text_decontaminate barrier note).
+    tokd = d.select(
+        "doc_id", "source", whitespace_tokens(F.lower(F.col("text"))).alias("t")
+    )
     # explode the index FIRST and build each shingle with plain slice/join
     # expressions — codegen; a transform() lambda here runs interpreted
     # and measured 40 s vs 4 s at sf1 (the dedup_cross_source_matrix
     # lesson holds).  Within-doc duplicate shingles are NOT deduped here:
     # min(doc_id) per shingle is repeat-insensitive, so first_seen needs
     # no distinct at all.
+    tc = F.col("t")
     idx = F.when(
-        F.size(toks) >= 5, F.sequence(F.lit(1), F.size(toks) - 4)
+        F.size(tc) >= 5, F.sequence(F.lit(1), F.size(tc) - 4)
     ).otherwise(F.expr("array()"))
-    pairs = d.select(
-        "doc_id", "source", toks.alias("t"), F.explode(idx).alias("i")
+    pairs = tokd.select(
+        "doc_id", "source", "t", F.explode(idx).alias("i")
     ).select(
         "doc_id", "source", F.array_join(F.expr("slice(t, i, 5)"), " ").alias("h")
     )
