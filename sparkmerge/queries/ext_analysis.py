@@ -2489,3 +2489,117 @@ def customer_balance_activity_grid(spark, sf_dir):
             F.sum("n_orders").alias("n_orders"),
         )
     )
+
+
+# --- orders_weekday_value_profile (r8b10) -------------------------------------
+#
+# Order-intake staffing table: order counts and exact revenue cents over
+# (weekday × priority), with each cell's per-mille share of its weekday.
+# Weekday is the portable integer recipe ((epoch-days + 4) % 7, 0=Sunday
+# — never the engines' divergent dayofweek() conventions).  ONE
+# map-side-combined aggregate onto the 7×|priorities| lattice; the share
+# window runs on that ≤35-row frame; all columns exact integers except
+# none — fully FP-free.
+
+
+@register(
+    "orders_weekday_value_profile",
+    oracle="""
+WITH g AS (
+  SELECT ((epoch_us(o_orderdate) // 86400000000) + 4) % 7 AS weekday,
+         o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+    FROM orders GROUP BY 1, 2
+)
+SELECT CAST(weekday AS BIGINT) AS weekday, priority, n_orders, cents,
+       CAST((1000 * n_orders)
+            // CAST(sum(n_orders) OVER (PARTITION BY weekday) AS BIGINT)
+            AS BIGINT) AS share_of_weekday_pm
+  FROM g
+""",
+    description="order-intake staffing table: counts + exact cents on the "
+    "(portable integer weekday × priority) lattice, per-mille share of "
+    "each weekday; ONE map-side-combined agg onto the ≤35-row frame, "
+    "share window on that frame — FP-free end to end",
+)
+def orders_weekday_value_profile(spark, sf_dir):
+    from pyspark.sql import Window as _W
+
+    o = load(spark, sf_dir, "orders")
+    g = (
+        o.select(
+            F.expr(
+                "((unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000) + 4) % 7"
+            ).alias("weekday"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents_raw"),
+        )
+        .groupBy("weekday", "priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents_raw").alias("cents"),
+        )
+    )
+    w = _W.partitionBy("weekday")
+    return g.select(
+        "weekday", "priority", "n_orders", "cents",
+        F.sum("n_orders").over(w).alias("_wd_tot"),
+    ).select(
+        "weekday", "priority", "n_orders", "cents",
+        F.expr("(1000 * n_orders) div _wd_tot").alias("share_of_weekday_pm"),
+    )
+
+
+# --- supplier_nation_acctbal_profile (r8b10) ----------------------------------
+#
+# Supplier financial health by nation: supplier counts, exact balance-cent
+# sums/extrema, negative-balance share (per-mille) and mean balance — the
+# vendor-risk dashboard row.  One broadcast join against the FIXED 25-row
+# nation dim, ONE map-side-combined aggregate to the |nations| frame;
+# mean is the only IEEE op (one division of exact integers).
+
+
+@register(
+    "supplier_nation_acctbal_profile",
+    oracle="""
+SELECT n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS bal_cents,
+       CAST(min(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(max(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS max_cents,
+       CAST((1000 * count(*) FILTER (WHERE s_acctbal < 0)) // count(*)
+            AS BIGINT) AS neg_share_pm,
+       CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_cents
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+ GROUP BY 1
+""",
+    description="vendor-risk dashboard: per-nation supplier counts, exact "
+    "balance-cent sums/extrema, per-mille negative-balance share, mean "
+    "balance (ONE IEEE division); one broadcast join against the fixed "
+    "25-row nation dim + ONE map-side-combined agg to the |nations| frame",
+)
+def supplier_nation_acctbal_profile(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.floor(F.col("s_acctbal") * 100.0 + 0.5).cast("long")
+    j = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        cents.alias("cents"),
+        F.when(F.col("s_acctbal") < 0, 1).otherwise(0).alias("is_neg"),
+    )
+    return j.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("cents").alias("bal_cents"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.expr("(1000 * sum(is_neg)) div count(1)").alias("neg_share_pm"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_cents"
+        ),
+    )

@@ -1652,3 +1652,99 @@ def text_word_length_profile(spark, sf_dir):
         "n",
         F.expr("(1000 * n) div _tot").alias("share_pm"),
     )
+
+
+# --- text_source_length_drift (r8b10) -----------------------------------------
+#
+# Ingestion-drift early warning: per-source doc-length percentile bands
+# (nearest-rank p25/p50/p90 over the BOUNDED n_chars domain — counts +
+# cumulative window, never per-group sorted arrays) against the
+# corpus-wide median, with the drift delta as an exact integer.  Both the
+# per-source and the corpus cumulative pass run on the tiny (source,
+# n_chars) count relation (domain bounded by the longest document, not
+# corpus size); the corpus median re-attaches as a broadcast 1-row
+# crossJoin.
+
+
+@register(
+    "text_source_length_drift",
+    oracle="""
+WITH g AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1, 2
+),
+w AS (
+  SELECT source, n_chars, c,
+         sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+         sum(c) OVER (PARTITION BY source) AS n
+    FROM g
+),
+per_source AS (
+  SELECT source,
+         CAST(max(n) AS BIGINT) AS n_docs,
+         CAST(min(CASE WHEN cum >= (25 * n + 99) // 100 THEN n_chars END) AS BIGINT)
+           AS p25_chars,
+         CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN n_chars END) AS BIGINT)
+           AS p50_chars,
+         CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN n_chars END) AS BIGINT)
+           AS p90_chars
+    FROM w GROUP BY source
+),
+corpus AS (
+  SELECT CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN n_chars END) AS BIGINT)
+           AS corpus_p50_chars
+    FROM (
+      SELECT n_chars, cum, n FROM (
+        SELECT n_chars,
+               sum(c) OVER (ORDER BY n_chars) AS cum,
+               sum(c) OVER () AS n
+          FROM (SELECT n_chars, CAST(sum(c) AS BIGINT) AS c FROM g GROUP BY 1)
+      )
+    )
+)
+SELECT source, n_docs, p25_chars, p50_chars, p90_chars,
+       corpus_p50_chars,
+       CAST(p50_chars - corpus_p50_chars AS BIGINT) AS drift_chars
+  FROM per_source CROSS JOIN corpus
+""",
+    description="ingestion-drift early warning: per-source nearest-rank "
+    "p25/p50/p90 doc-length bands from cumulative counts over the BOUNDED "
+    "(source, n_chars) domain (never per-group sorted arrays), corpus "
+    "median re-attached as a broadcast 1-row crossJoin, drift delta an "
+    "exact integer",
+)
+def text_source_length_drift(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents").select("source", "n_chars")
+    g = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+
+    def bands(df, part_cols):
+        wp = Window.partitionBy(*part_cols) if part_cols else Window.partitionBy()
+        wcum = wp.orderBy("n_chars")
+        return df.select(
+            *part_cols, "n_chars", "c",
+            F.sum("c").over(wcum).alias("cum"),
+            F.sum("c").over(wp).alias("n"),
+        )
+
+    def pctc(p):
+        return F.min(
+            F.when(F.col("cum") >= F.expr(f"({p} * n + 99) div 100"), F.col("n_chars"))
+        )
+
+    per_source = bands(g, ["source"]).groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        pctc(25).alias("p25_chars"),
+        pctc(50).alias("p50_chars"),
+        pctc(90).alias("p90_chars"),
+    )
+    corpus = (
+        bands(g.groupBy("n_chars").agg(F.sum("c").alias("c")), [])
+        .agg(pctc(50).alias("corpus_p50_chars"))
+    )
+    return per_source.crossJoin(F.broadcast(corpus)).select(
+        "source", "n_docs", "p25_chars", "p50_chars", "p90_chars",
+        "corpus_p50_chars",
+        (F.col("p50_chars") - F.col("corpus_p50_chars")).alias("drift_chars"),
+    )

@@ -1275,3 +1275,71 @@ def events_burstiness_fano(spark, sf_dir):
         "event_type", "n_events", "active_hours", "span_hours", "sum_sq",
         fano.alias("fano"),
     )
+
+
+# --- events_peak_concentration (r8b10) ----------------------------------------
+#
+# Per-type peak-hour concentration — the capacity-planning complement of
+# the Fano factor off the SAME bounded (type, hour) relation: which hour
+# carries the most traffic, what share of the type's events it holds
+# (exact per-mille), and the peak-to-mean ratio over active hours.  The
+# arg-max hour uses the two-pass extremum discipline (min hour among the
+# max-count ties — DuckDB's arg_max takes no struct ordering key), here
+# as ONE window max + conditional min so no join-back is needed.  Two
+# bounded map-side-combined shuffles; ratios are single IEEE divisions
+# of exact int64 terms.
+
+
+@register(
+    "events_peak_concentration",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, h, c,
+         max(c) OVER (PARTITION BY event_type) AS maxc
+    FROM hourly
+)
+SELECT event_type,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS active_hours,
+       CAST(min(CASE WHEN c = maxc THEN h END) AS BIGINT) AS peak_hour,
+       CAST(max(c) AS BIGINT) AS peak_count,
+       CAST((1000 * max(c)) // sum(c) AS BIGINT) AS peak_share_pm,
+       CAST(max(c) * count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+         AS peak_to_mean
+  FROM w GROUP BY event_type
+""",
+    description="per-type peak-hour concentration off the bounded "
+    "(type, hour) relation: peak hour via the two-pass extremum "
+    "discipline (window max + conditional min — deterministic under "
+    "count ties), exact per-mille peak share, peak-to-mean over active "
+    "hours as ONE IEEE division; two bounded map-side-combined shuffles",
+)
+def events_peak_concentration(spark, sf_dir):
+    from pyspark.sql import Window as _W
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("h"),
+    )
+    hourly = e.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+    w = hourly.select(
+        "event_type", "h", "c",
+        F.max("c").over(_W.partitionBy("event_type")).alias("maxc"),
+    )
+    return w.groupBy("event_type").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("active_hours"),
+        F.min(F.when(F.col("c") == F.col("maxc"), F.col("h"))).alias("peak_hour"),
+        F.max("c").alias("peak_count"),
+        F.expr("(1000 * max(c)) div sum(c)").alias("peak_share_pm"),
+        (
+            (F.max("c") * F.count(F.lit(1))).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("peak_to_mean"),
+    )

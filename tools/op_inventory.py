@@ -177,6 +177,10 @@ SECTIONS = [
         "audit_fk_orphans", "orders_brand_audience_jaccard",
         "customer_balance_activity_grid", "text_word_length_profile",
     ]),
+    ("Peak concentration, weekday intake, length drift & vendor risk (r8 batch 10)", [
+        "events_peak_concentration", "orders_weekday_value_profile",
+        "text_source_length_drift", "supplier_nation_acctbal_profile",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",

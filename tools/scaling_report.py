@@ -143,6 +143,13 @@ OPS = [
     "orders_brand_audience_jaccard",
     "customer_balance_activity_grid",
     "text_word_length_profile",
+    # r8 batch 10: the windowed arg-max peak table, the weekday lattice,
+    # the bounded-domain drift percentiles, and the broadcast vendor-risk
+    # rollup
+    "events_peak_concentration",
+    "orders_weekday_value_profile",
+    "text_source_length_drift",
+    "supplier_nation_acctbal_profile",
 ]
 
 # (op, sf) pairs whose ORACLE formulation is intentionally not run: the
