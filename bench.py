@@ -21,9 +21,12 @@ set at sf1 (~170 MiB, derived from sf0.1 by tools/gen_scale.py — key-offset
 replication, see its docstring) and embeds it under "sf1" in the same JSON
 line.  The job floor that dominates sub-100 ms queries at sf0.1 amortizes
 at sf1, which is the point of recording both (BASELINE.md round-4 section).
-The leg is wall-clock-budgeted (SPARK_GRAFT_SF1_BUDGET sec, default 360;
+The leg is wall-clock-budgeted (SPARK_GRAFT_SF1_BUDGET sec, default 420;
 SPARK_GRAFT_SF1=0 disables) and failure-isolated, so the primary sf0.1
-output line is never at risk.
+output line is never at risk.  (Default raised 360 -> 420 late round 8:
+the explode-alias fix freed ~12 s of leg time and HEADLINE grew by two
+entries — the old budget expired exactly before the three newest ops,
+which were the only per-round bench blind spot.)
 
 A third leg (r7 verdict ask #6) embeds the ~10 heaviest headline ops at
 sf10 (~1.7 GiB) under "sf10" — the committed per-round artifact for the
@@ -243,7 +246,7 @@ def _sf1_leg(spark, reg) -> dict:
             check=True,
             capture_output=True,
         )
-    budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "360"))
+    budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "420"))
     t_start = time.perf_counter()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
