@@ -79,14 +79,9 @@ def register(op_id: str, *, oracle: str | None = None, description: str = ""):
 # asof ×2) landed green r6 rows and are cleared per the contract above.
 # NOTE (r8): all 4 r7 entries (basket rewrite + 3 spatial param surfaces)
 # landed green r7 rows and are cleared.
-_FORCE_REVERIFY = {
-    # r8: 100 TB levers registered as parameters (r7 verdict asks #2/#5) —
-    # the DEFAULT paths are unchanged by construction (the lever is an
-    # if-branch off the default), re-confirm the registered surface anyway,
-    # same precedent as the r7 spatial cell_size parameter exposure.
-    "dedup_cross_source_matrix",
-    "window_rolling_distinct",
-}
+# NOTE (r9): both r8 entries (the shingle_key / rolling-distinct lever
+# surfaces) landed green r8 rows and are cleared.
+_FORCE_REVERIFY: set[str] = set()
 
 
 def _last_verified_round() -> dict[str, int]:

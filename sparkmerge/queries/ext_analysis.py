@@ -2603,3 +2603,278 @@ def supplier_nation_acctbal_profile(spark, sf_dir):
             "mean_cents"
         ),
     )
+
+
+# --- orders_monthly_mix_shift (r9b1) -------------------------------------------
+#
+# Month-over-month order-priority mix drift — the demand-mix monitoring
+# table behind capacity planning: each (month, priority) cell carries its
+# order count, its per-mille share of the month, and the delta versus the
+# SAME priority's share one month earlier.  The fact table reduces to the
+# bounded |months|×|priorities| lattice in ONE map-side-combined shuffle;
+# both window passes (month-total share, per-priority lag) run on that
+# lattice, never on orders rows.  Shares are exact integer per-mille
+# ((1000·n) DIV month_total — non-negative operands, so Spark `div` and
+# DuckDB `//` agree) and the delta is a subtraction of two exact integers
+# (NULL for each priority's first month, the lag identity both engines
+# share) — FP-free end to end.
+
+
+@register(
+    "orders_monthly_mix_shift",
+    oracle="""
+WITH mp AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1, 2
+),
+s AS (
+  SELECT month, priority, n_orders,
+         CAST((1000 * n_orders) // sum(n_orders) OVER (PARTITION BY month)
+              AS BIGINT) AS share_pm
+    FROM mp
+)
+SELECT strftime(month, '%Y-%m-%d') AS month, priority, n_orders, share_pm,
+       CAST(share_pm - lag(share_pm)
+              OVER (PARTITION BY priority ORDER BY month) AS BIGINT) AS delta_pm
+  FROM s
+""",
+    description="month-over-month priority-mix drift: orders reduce to the "
+    "bounded |months|×|priorities| lattice in ONE map-side-combined "
+    "shuffle; per-mille month share ((1000·n) DIV month_total, exact "
+    "integers) and the lag-window delta vs the same priority a month "
+    "earlier both run on the lattice only — the demand-mix drift table, "
+    "FP-free end to end (delta NULL on each priority's first month); "
+    "month rendered as VARCHAR on both sides (DATE canon forms differ "
+    "across engines)",
+)
+def orders_monthly_mix_shift(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    mp = (
+        o.select(
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .groupBy("month", "priority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    s = mp.select(
+        "month",
+        "priority",
+        "n_orders",
+        F.sum("n_orders").over(Window.partitionBy("month")).alias("_mtot"),
+    ).select(
+        "month",
+        "priority",
+        "n_orders",
+        F.expr("(1000 * n_orders) div _mtot").alias("share_pm"),
+    )
+    lag = F.lag("share_pm").over(Window.partitionBy("priority").orderBy("month"))
+    return s.select(
+        F.date_format("month", "yyyy-MM-dd").alias("month"),
+        "priority",
+        "n_orders",
+        "share_pm",
+        (F.col("share_pm") - lag).alias("delta_pm"),
+    )
+
+
+# --- events_type_cooccurrence_daily (r9b1) -------------------------------------
+#
+# Daily-grain companion of events_type_lift_matrix: (type_a, type_b)
+# same-DAY user co-presence counts with each pair's per-mille reach into
+# the RARER type's audience ((1000·n_ab) DIV min(n_a, n_b) — the
+# confidence-style association read; exact integers, non-negative, so DIV
+# is engine-portable).  Same scale shape as the hourly matrix: (user, day)
+# presences dedup in ONE map-side-combined shuffle, each bucket's sorted
+# ≤|types| set expands to i < j pairs MAP-SIDE (posexplode+slice — never a
+# bucket self-join), the pair aggregation domain is |types|², and
+# marginals re-attach broadcast.
+
+
+@register(
+    "events_type_cooccurrence_daily",
+    oracle="""
+WITH pres AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+    FROM events
+),
+marg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM pres GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+    FROM pres a JOIN pres b
+      ON a.user_id = b.user_id AND a.d = b.d
+     AND a.event_type < b.event_type
+   GROUP BY 1, 2
+)
+SELECT type_a, type_b, ma.n_t AS n_a, mb.n_t AS n_b, n_ab,
+       CAST((1000 * n_ab) // least(ma.n_t, mb.n_t) AS BIGINT) AS pm_of_rarer
+  FROM pairs
+  JOIN marg ma ON ma.event_type = type_a
+  JOIN marg mb ON mb.event_type = type_b
+""",
+    description="daily event-type co-occurrence: (user, day) presences "
+    "dedup in ONE map-side-combined shuffle, sorted ≤|types| sets expand "
+    "to i < j pairs MAP-SIDE (posexplode+slice), pair domain |types|², "
+    "marginals broadcast back; per-mille reach into the rarer type's "
+    "audience ((1000·n_ab) DIV min(n_a,n_b), exact non-negative integers) "
+    "— the daily-grain companion of the hour-bucket lift matrix",
+)
+def events_type_cooccurrence_daily(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    pres = (
+        e.select(
+            "user_id",
+            F.col("ts").cast("date").alias("d"),
+            "event_type",
+        )
+        .repartition("user_id", "d")
+        .distinct()
+    )
+    per_bucket = pres.groupBy("user_id", "d").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+    marg = pres.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    pairs = (
+        per_bucket.select(F.posexplode("types").alias("i", "type_a"), "types")
+        .select(
+            "type_a",
+            F.explode(F.expr("slice(types, i + 2, size(types))")).alias("type_b"),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ma = marg.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    mb = marg.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            F.expr("(1000 * n_ab) div least(n_a, n_b)").alias("pm_of_rarer"),
+        )
+    )
+
+
+# --- customer_nation_ltv_profile (r9b1) ----------------------------------------
+#
+# Per-nation customer lifetime-value distribution — the market-sizing
+# table: every customer's exact order-cents total (zero-order customers
+# INCLUDED via the left join — the base, not just the buyers), banded
+# into $1000 steps, with nearest-rank p25/p50/p75/p90 bands computed from
+# CUMULATIVE COUNTS over the bounded (nation, band) domain (the
+# orders_fulfillment_latency recipe — never per-group sorted arrays: the
+# band domain is bounded by max customer LTV / $1000, a business bound,
+# not corpus size).  Cents are non-negative (sum of positive prices,
+# coalesce 0), so band DIV is engine-portable; mean is the single IEEE
+# division of two exact integers.
+
+
+@register(
+    "customer_nation_ltv_profile",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+    FROM orders GROUP BY 1
+),
+c AS (
+  SELECT n_name AS nation,
+         coalesce(rev.cents, 0) AS cents,
+         coalesce(rev.cents, 0) // 100000 AS band
+    FROM customer
+    LEFT JOIN rev ON c_custkey = o_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+),
+g AS (
+  SELECT nation, band,
+         CAST(count(*) AS BIGINT) AS nc,
+         CAST(sum(cents) AS BIGINT) AS cents
+    FROM c GROUP BY 1, 2
+),
+w AS (
+  SELECT nation, band, nc,
+         sum(nc) OVER (PARTITION BY nation ORDER BY band) AS cum,
+         sum(nc) OVER (PARTITION BY nation) AS n,
+         sum(cents) OVER (PARTITION BY nation) AS s
+    FROM g
+)
+SELECT nation,
+       CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(min(CASE WHEN cum >= (25 * n + 99) // 100 THEN band END) AS BIGINT)
+         AS p25_band,
+       CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN band END) AS BIGINT)
+         AS p50_band,
+       CAST(min(CASE WHEN cum >= (75 * n + 99) // 100 THEN band END) AS BIGINT)
+         AS p75_band,
+       CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN band END) AS BIGINT)
+         AS p90_band,
+       CAST(max(band) AS BIGINT) AS max_band,
+       CAST(max(s) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS mean_cents
+  FROM w GROUP BY nation
+""",
+    description="per-nation customer LTV distribution: exact order-cents "
+    "totals per customer (zero-order customers included via the left "
+    "join), $1000 revenue bands, nearest-rank p25/p50/p75/p90 from "
+    "cumulative counts over the BOUNDED (nation, band) domain — the "
+    "fulfillment-latency percentile recipe, never per-group sorted "
+    "arrays; one custkey agg + one custkey join + broadcast nation dim + "
+    "ONE bounded-grid aggregate; mean is the single IEEE division",
+)
+def customer_nation_ltv_profile(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("_c"),
+    )
+    rev = o.groupBy("o_custkey").agg(F.sum("_c").alias("cents"))
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = (
+        cust.join(rev, cust.c_custkey == rev.o_custkey, "left")
+        .join(F.broadcast(n), cust.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce(F.col("cents"), F.lit(0)).alias("cents"),
+            F.expr("coalesce(cents, 0) div 100000").alias("band"),
+        )
+    )
+    g = c.groupBy("nation", "band").agg(
+        F.count(F.lit(1)).alias("nc"), F.sum("cents").alias("cents")
+    )
+    wp = Window.partitionBy("nation")
+    w = g.select(
+        "nation",
+        "band",
+        "nc",
+        F.sum("nc").over(wp.orderBy("band")).alias("cum"),
+        F.sum("nc").over(wp).alias("n"),
+        F.sum("cents").over(wp).alias("s"),
+    )
+
+    def pct(p):
+        return F.min(
+            F.when(F.col("cum") >= F.expr(f"({p} * n + 99) div 100"), F.col("band"))
+        )
+
+    return w.groupBy("nation").agg(
+        F.max("n").alias("n_customers"),
+        pct(25).alias("p25_band"),
+        pct(50).alias("p50_band"),
+        pct(75).alias("p75_band"),
+        pct(90).alias("p90_band"),
+        F.max("band").alias("max_band"),
+        (F.max("s").cast("double") / F.max("n").cast("double")).alias("mean_cents"),
+    )

@@ -1748,3 +1748,95 @@ def text_source_length_drift(spark, sf_dir):
         "corpus_p50_chars",
         (F.col("p50_chars") - F.col("corpus_p50_chars")).alias("drift_chars"),
     )
+
+
+# --- text_source_vocab_overlap (r9b1) -------------------------------------------
+#
+# Source-pair shared-vocabulary Jaccard — the crawler-dedup complement of
+# text_source_trigram_cosine: how much of two sources' distinct WORD
+# vocabulary is common?  Same dataflow as dedup_cross_source_matrix (one
+# content-keyed shuffle aggregating each token's distinct source set)
+# fused with the orders_brand_audience_jaccard sentinel trick: the
+# ≤|sources| sorted set expands MAP-SIDE into i < j pairs PLUS a
+# ''-sentinel single per member, so per-source vocabulary totals come out
+# of the SAME exploded stream and the token-keyed upstream runs exactly
+# once.  The pair/single aggregate is bounded by |sources|²+|sources| at
+# any corpus size; Jaccard is ONE IEEE division of exact integers
+# (inclusion-exclusion).
+
+
+@register(
+    "text_source_vocab_overlap",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS tok
+      FROM documents)
+),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+    FROM tok a JOIN tok b ON a.tok = b.tok AND a.source < b.source
+   GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+       CAST(n_shared AS DOUBLE) / CAST(ta.n + tb.n - n_shared AS DOUBLE)
+         AS jaccard
+  FROM pairs
+  JOIN tot ta ON source_a = ta.source
+  JOIN tot tb ON source_b = tb.source
+""",
+    description="source-pair shared-vocabulary Jaccard (crawler-overlap "
+    "audit): each distinct word token aggregates its distinct source set "
+    "in ONE content-keyed map-side-combined shuffle (collect_set dedups "
+    "in-agg), the sorted ≤|sources| set expands MAP-SIDE to i < j pairs "
+    "plus a ''-sentinel single per member so vocabulary totals ride the "
+    "SAME stream (the brand-audience recipe on tokens — upstream runs "
+    "exactly once), pair domain |sources|²; Jaccard = ONE IEEE division "
+    "of exact integers via inclusion-exclusion",
+)
+def text_source_vocab_overlap(spark, sf_dir):
+    from sparkmerge.ext.text import whitespace_tokens
+
+    d = load(spark, sf_dir, "documents")
+    # tokenize in its OWN projection below the Generate (explode-alias
+    # barrier — a computed alias sharing a select with explode() lands
+    # above the generator and re-evaluates once per OUTPUT row)
+    tokd = d.select("source", whitespace_tokens(F.lower(F.col("text"))).alias("t"))
+    per_tok = (
+        tokd.select("source", F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.sort_array(F.collect_set("source")).alias("sources"))
+    )
+    stream = per_tok.select(
+        F.posexplode("sources").alias("i", "a"), "sources"
+    ).select(
+        "a",
+        F.explode(
+            F.concat(
+                F.array(F.lit("")),
+                F.expr("slice(sources, i + 2, size(sources))"),
+            )
+        ).alias("b"),
+    )
+    g = stream.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    g = g.localCheckpoint(eager=True)  # bounded: ≤ |sources|² + |sources| rows
+    singles = g.filter(F.col("b") == "")
+    pairs = g.filter(F.col("b") != "").select(
+        F.col("a").alias("source_a"),
+        F.col("b").alias("source_b"),
+        F.col("n").alias("n_shared"),
+    )
+    ta = singles.select(F.col("a").alias("source_a"), F.col("n").alias("n_a"))
+    tb = singles.select(F.col("a").alias("source_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    ).cast("double")
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select("source_a", "source_b", "n_shared", "n_a", "n_b", jac.alias("jaccard"))
+    )
