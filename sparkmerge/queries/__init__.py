@@ -81,7 +81,16 @@ def register(op_id: str, *, oracle: str | None = None, description: str = ""):
 # landed green r7 rows and are cleared.
 # NOTE (r9): both r8 entries (the shingle_key / rolling-distinct lever
 # surfaces) landed green r8 rows and are cleared.
-_FORCE_REVERIFY: set[str] = set()
+_FORCE_REVERIFY = {
+    # r9: 100 TB levers registered as parameters (r8 verdict asks #2/#5/#7)
+    # — the DEFAULT paths are unchanged by construction (each lever is a
+    # parameter branch off the default), re-confirm the registered surface
+    # anyway, same precedent as the r8 shingle_key/mode exposures.
+    "dedup_ngram_jaccard",  # blocking='lsh' class-grain router
+    "dedup_containment",  # blocking='lsh' class-grain router
+    "bitext_margin_mine",  # tables= budget lever
+    "events_user_cadence_cv",  # gap_unit_s= pre-scaled-DIV overflow hatch
+}
 
 
 def _last_verified_round() -> dict[str, int]:
@@ -188,6 +197,17 @@ def table_path(sf_dir: str, table: str) -> str:
         tmp = f"{dst}.{os.getpid()}.tmp"
         pq.write_table(t2, tmp, row_group_size=rows_per_group)
         os.replace(tmp, dst)  # atomic; safe under concurrent callers
+    else:
+        # Reader lease (ADVICE r8): on relatime/noatime mounts a read-only
+        # Spark scan refreshes NEITHER atime nor mtime, so an old-but-active
+        # generation could age past the prune grace window mid-scan.  Bump
+        # the dir mtime on every open instead of trusting the filesystem —
+        # the prune's aged_out() then sees any generation opened within the
+        # grace window as live, closing the r7 race rather than narrowing it.
+        try:
+            os.utime(dst_dir)
+        except OSError:
+            pass  # another session may prune/replace concurrently — harmless
     return dst_dir
 
 

@@ -277,11 +277,16 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
    AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
          / CAST(len(list_distinct(a.t || b.t)) AS DOUBLE) >= 0.6
 """,
-    description="exact n-gram/token-set Jaccard near-dups for sampled query docs, blocked by lang",
+    description="exact n-gram/token-set Jaccard near-dups for sampled query "
+    "docs, blocked by lang; blocking='lsh' is the REGISTERED 100 TB lever "
+    "(token-set MinHash banding routes candidates, the SAME exact verify "
+    "surfaces true-Jaccard pairs — output ⊆ exact by construction, recall "
+    "corpus-measured in tests/test_r9_levers.py; the exact prefix path "
+    "stays the oracle surface)",
 )
-def dedup_ngram_jaccard(spark, sf_dir):
+def dedup_ngram_jaccard(spark, sf_dir, blocking="prefix"):
     d = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", "lang", threshold=0.6)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", "lang", threshold=0.6, blocking=blocking)
     return pairs.filter(F.col("a_id") % 20 == 0)
 
 
@@ -344,11 +349,15 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
     description="asymmetric containment near-dups (|A∩B|/|A| ≥ 0.95) for "
     "sampled probe docs: catches a document quoted inside a larger one, "
     "which Jaccard structurally misses; exact recall via asymmetric prefix "
-    "filtering (probe prefixes × full index), never Θ(block²)",
+    "filtering (probe prefixes × full index), never Θ(block²); "
+    "blocking='lsh' is the REGISTERED 100 TB lever (token-set MinHash "
+    "banding + inclusion-exclusion containment estimate + the SAME exact "
+    "verify — output ⊆ exact, recall corpus-measured; small-in-big caveat "
+    "documented in containment_pairs)",
 )
-def dedup_containment(spark, sf_dir):
+def dedup_containment(spark, sf_dir, blocking="prefix"):
     d = load(spark, sf_dir, "documents")
-    pairs = containment_pairs(d, "doc_id", "text", "lang", threshold=0.95)
+    pairs = containment_pairs(d, "doc_id", "text", "lang", threshold=0.95, blocking=blocking)
     return pairs.filter(F.col("a_id") % 20 == 0)
 
 

@@ -9,6 +9,18 @@ fresh SCALE-profile session (no input hint: AQE on, compression on,
 32 shuffle partitions) and runs the same budgeted protocol, so the
 committed artifact measures the posture a real sf10 job would run.
 
+Three sub-blocks (r8 verdict ask #4 made breadth a committed BENCH
+artifact, not a SCALING.md-only story), ordered cheap-first so budget
+exhaustion only ever costs the heavy tail's later rows:
+
+- ``breadth``: ~8 scale-safe ops spanning merge/agg/window/graph/text —
+  the ~1× amortization story;
+- ``levers``: the registered 100 TB parameter surfaces (the two
+  ``blocking='lsh'`` set-similarity routes) — Spark-only rows (the lever
+  paths are xxhash64-based; their DEFAULT paths remain the oracle
+  surface, measured in the tail);
+- ``tail``: the heavy exact shapes (SF10_OPS), budget-guarded entry.
+
 Usage: PYTHONPATH=/root/repo python tools/bench_sf10_runner.py [sf10_dir]
 """
 
@@ -25,13 +37,13 @@ import duckdb
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    import bench  # SF10_OPS / SF10_ORACLE_SKIP / TABLES are the contract
+    import bench  # SF10_OPS / SF10_BREADTH / SF10_ORACLE_SKIP / TABLES are the contract
 
     from sparkmerge.queries import registry, table_path
     from sparkmerge.session import get_spark
 
     sf10_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sparkmerge_sf10"
-    budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET", "600"))
+    budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET", "900"))
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     spark = get_spark("bench-sf10")  # scale profile: AQE on, compression on
@@ -66,53 +78,77 @@ def main() -> None:
 
     reg = registry()
     t_start = time.perf_counter()
-    spark_times: dict[str, float] = {}
-    duck_times: dict[str, float] = {}
-    skipped: list[str] = []
-    oracle_skipped: list[str] = []
-    errors: dict[str, str] = {}
-    for op_id in bench.SF10_OPS:
-        if time.perf_counter() - t_start > budget:
-            skipped.append(op_id)
-            continue
-        spec = reg[op_id]
-        # failure-isolated per op AND per side: one runaway query costs its
-        # own row, never the whole leg
-        try:
-            spark_times[op_id] = round(
-                timed(
-                    lambda: spec.fn(spark, sf10_dir)
-                    .write.format("noop")
-                    .mode("overwrite")
-                    .save()
-                ),
-                4,
-            )
-        except Exception as e:  # noqa: BLE001 — recorded, not hidden
-            errors[op_id] = f"spark: {type(e).__name__}: {e}"[:200]
-            continue
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        if op_id in bench.SF10_ORACLE_SKIP:
-            oracle_skipped.append(op_id)
-        elif spec.oracle is not None and time.perf_counter() - t_start <= budget:
-            try:
-                duck_times[op_id] = round(timed(lambda: con.sql(spec.oracle).arrow()), 4)
-            except Exception as e:  # noqa: BLE001
-                errors[op_id] = f"duckdb: {type(e).__name__}: {e}"[:200]
 
-    comparable = sum(spark_times[k] for k in duck_times)
-    duck_total = sum(duck_times.values())
+    def over_budget() -> bool:
+        return time.perf_counter() - t_start > budget
+
+    def measure(entries) -> dict:
+        """One leg block.  ``entries``: list of (label, op_id, fn_kwargs);
+        oracle runs for kwargs-free entries only (a kwargs variant is a
+        Spark-side lever whose default path carries the oracle)."""
+        spark_times: dict[str, float] = {}
+        duck_times: dict[str, float] = {}
+        skipped: list[str] = []
+        oracle_skipped: list[str] = []
+        errors: dict[str, str] = {}
+        for label, op_id, kwargs in entries:
+            if over_budget():
+                skipped.append(label)
+                continue
+            spec = reg[op_id]
+            # failure-isolated per op AND per side: one runaway query costs
+            # its own row, never the whole leg
+            try:
+                spark_times[label] = round(
+                    timed(
+                        lambda: spec.fn(spark, sf10_dir, **kwargs)
+                        .write.format("noop")
+                        .mode("overwrite")
+                        .save()
+                    ),
+                    4,
+                )
+            except Exception as e:  # noqa: BLE001 — recorded, not hidden
+                errors[label] = f"spark: {type(e).__name__}: {e}"[:200]
+                continue
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            if kwargs or op_id in bench.SF10_ORACLE_SKIP:
+                oracle_skipped.append(label)
+            elif spec.oracle is not None and not over_budget():
+                try:
+                    duck_times[label] = round(
+                        timed(lambda: con.sql(spec.oracle).arrow()), 4
+                    )
+                except Exception as e:  # noqa: BLE001
+                    errors[label] = f"duckdb: {type(e).__name__}: {e}"[:200]
+        comparable = sum(spark_times[k] for k in duck_times)
+        duck_total = sum(duck_times.values())
+        block = {
+            "queries": spark_times,
+            "duckdb": duck_times,
+            "ratio_vs_duckdb": round(comparable / duck_total, 3) if duck_total else None,
+            "skipped": skipped,
+            "oracle_skipped": oracle_skipped,
+        }
+        if errors:
+            block["errors"] = errors
+        return block
+
     out = {
         "sf": 10,
-        "queries": spark_times,
-        "duckdb": duck_times,
-        "ratio_vs_duckdb": round(comparable / duck_total, 3) if duck_total else None,
-        "skipped": skipped,
-        "oracle_skipped": oracle_skipped,
+        "budget_sec": budget,
+        # cheap-first ordering: breadth (~1× story) and the lever surfaces
+        # always land; the heavy exact tail skips gracefully on budget
+        "breadth": measure([(op, op, {}) for op in bench.SF10_BREADTH]),
+        "levers": measure(
+            [
+                (f"{op}[lsh]", op, {"blocking": "lsh"})
+                for op in ("dedup_ngram_jaccard", "dedup_containment")
+            ]
+        ),
+        "tail": measure([(op, op, {}) for op in bench.SF10_OPS]),
     }
-    if errors:
-        out["errors"] = errors
     print(json.dumps(out))
 
 

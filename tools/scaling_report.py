@@ -192,6 +192,16 @@ def main() -> None:
     if only:
         import json as _json
 
+        # a typo'd op name would otherwise be silently ignored — every row
+        # would come from the checkpoint while looking freshly measured
+        # (ADVICE r8); fail loudly instead
+        unknown = sorted(only - set(OPS))
+        if unknown:
+            raise SystemExit(
+                f"incremental run: unknown op name(s) {unknown}; "
+                f"valid names are the {len(OPS)} entries in OPS"
+            )
+
         with open("/tmp/scaling_partial.json") as fh:
             seeded = {
                 o: {k: tuple(v) for k, v in m.items()}
