@@ -1,16 +1,24 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so the DECODE step is a stub
-(deterministic fake features behind ``decode_stub``, clearly marked) — but
-the Spark-side plumbing is real and tested: binary columns flow through
-parquet scans, merges (null-safe change detection works on binary/array
-natively), and an Arrow-batched ``mapInPandas`` feature-extraction stage
-with an explicit output schema, which is exactly the shape a real decoder
-(PIL/ffmpeg on the executors) plugs into.
+Since r9 the image/audio DECODE is REAL for the two uncompressed
+containers a dependency-free executor can handle: BI_RGB BMP (24-bit) and
+PCM WAV (16-bit mono) are encoded/decoded by pure-Python ``struct``
+header construction/parsing inside the existing Arrow-batched
+``mapInPandas`` stages — actual magic bytes, actual DIB/RIFF chunk walks,
+actual pixel/sample payloads.  The synthetic FIXTURE content is
+deliberately trivial (flat-color pixels, constant-amplitude samples,
+dimensions derived from the document's byte length) so the DuckDB oracle
+can recompute every decoded column in closed form — the check is then a
+genuine encoder→bytes→decoder round trip, not a stub echoing its input.
+Compressed codecs (PNG/JPEG/MP3/video keyframes) remain out of scope in
+this container: ``frame_sample``'s keyframe extraction is still a
+clearly-marked stub, and a real deployment swaps PIL/ffmpeg into the same
+mapInPandas shape.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,6 +34,85 @@ from pyspark.sql.types import (
     StructType,
 )
 
+WAV_RATE = 8000  # fixture sample rate (Hz), 16-bit mono PCM
+
+
+def bmp_dims(n_bytes: int) -> tuple[int, int]:
+    """Fixture image dimensions derived from the document's utf-8 byte
+    length (mirrored in closed form by the DuckDB oracles)."""
+    return 4 + n_bytes % 16, 4 + (n_bytes // 16) % 8
+
+
+def wav_samples(n_bytes: int) -> int:
+    """Fixture sample count derived from the document's utf-8 byte length."""
+    return 100 + n_bytes % 900
+
+
+def encode_bmp(width: int, height: int, pixel_value: int) -> bytes:
+    """A REAL 24-bit BI_RGB .bmp file: BITMAPFILEHEADER (14 bytes) +
+    BITMAPINFOHEADER (40 bytes) + bottom-up pixel rows padded to 4-byte
+    stride.  The fixture fills every pixel/pad byte with ``pixel_value``
+    (a flat-color image) so decoded statistics are closed-form."""
+    stride = (3 * width + 3) // 4 * 4
+    data = bytes([pixel_value % 256]) * (stride * height)
+    file_size = 14 + 40 + len(data)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, float]:
+    """Parse a BI_RGB .bmp: returns (width, height, mean_luma in [0, 1]).
+    Real header parsing — magic check, pixel-offset indirection, signed
+    height (top-down bitmaps), uncompressed-only guard."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    _, width, height, _, bpp, compression = struct.unpack_from("<IiiHHI", payload, 14)
+    if compression != 0 or bpp != 24:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    height = abs(height)
+    stride = (3 * width + 3) // 4 * 4
+    data = payload[offset : offset + stride * height]
+    return width, height, (sum(data) / len(data)) / 255.0 if data else 0.0
+
+
+def encode_wav(n_samples: int, amplitude: int, rate: int = WAV_RATE) -> bytes:
+    """A REAL PCM .wav file: RIFF header + fmt chunk (16-bit mono) + data
+    chunk of ``n_samples`` constant-amplitude little-endian samples."""
+    data = struct.pack("<h", amplitude) * n_samples
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16)
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, float]:
+    """Parse a PCM .wav: returns (sample_rate, duration_s).  Real RIFF
+    chunk walk — finds 'fmt ' and 'data' wherever they sit, guards
+    non-PCM encodings."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, bits, channels, data_size = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", payload, pos + 8)
+            if audio_fmt != 1:
+                raise ValueError(f"unsupported WAV encoding {audio_fmt}")
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size % 2)
+    if rate is None or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    n_samples = data_size // (channels * bits // 8)
+    return rate, n_samples / float(rate)
+
+
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -33,47 +120,76 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("duration_s", DoubleType()),
         StructField("mean_luma", DoubleType()),
     ]
 )
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Derive an opaque binary payload + metadata from text (stands in for
-    image/audio bytes in the synthetic corpus)."""
-    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
-        "media_type", F.when(F.col("doc_id") % 2 == 0, "image/png").otherwise("audio/wav")
+    """Derive a REAL container payload per document (stands in for stored
+    media in the synthetic corpus): even doc_id → flat-color 24-bit BMP,
+    odd → constant-amplitude 16-bit PCM WAV, dimensions/duration keyed off
+    the text's utf-8 byte length and colors off doc_id — every decoded
+    column is closed-form recomputable by the oracle.  Arrow-batched
+    construction (mapInPandas); real media would arrive from
+    ``scan_binary_files`` instead."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("text", StringType()),
+            StructField("payload", BinaryType()),
+        ]
     )
 
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, types = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                nb = len(text.encode("utf-8"))
+                if doc_id % 2 == 0:
+                    w, h = bmp_dims(nb)
+                    payloads.append(encode_bmp(w, h, (doc_id * 37) % 256))
+                    types.append("image/bmp")
+                else:
+                    payloads.append(encode_wav(wav_samples(nb), (doc_id * 11) % 32768))
+                    types.append("audio/wav")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": types,
+                    "text": pdf["text"],
+                    "payload": payloads,
+                }
+            )
 
-def decode_stub(payload: bytes) -> tuple[int, int, float]:
-    """STUB — deterministic fake decode. A real deployment replaces this with
-    PIL.Image.open / soundfile.read on the executor; the surrounding Spark
-    plumbing (schema, batching, partitioning) is unchanged."""
-    n = len(payload)
-    width = 16 + n % 64
-    height = 16 + (n // 64) % 64
-    mean_luma = (sum(payload[:32]) % 256) / 255.0 if n else 0.0
-    return width, height, mean_luma
+    return df.select("doc_id", "text").mapInPandas(run, schema)
 
 
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via mapInPandas
     (the scale-correct shape: executors stream record batches, nothing is
-    collected; partitioning is preserved)."""
+    collected; partitioning is preserved).  The decode is REAL header
+    parsing (decode_bmp / decode_wav): width/height/mean_luma for images,
+    duration for audio, NULL for the other modality's columns."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_stub(p) for p in pdf["payload"]]
+            rows = []
+            for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                if mtype == "image/bmp":
+                    w, h, luma = decode_bmp(payload)
+                    rows.append((doc_id, mtype, len(payload), w, h, None, luma))
+                else:
+                    _, duration = decode_wav(payload)
+                    rows.append((doc_id, mtype, len(payload), None, None, duration, None))
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "width": [f[0] for f in feats],
-                    "height": [f[1] for f in feats],
-                    "mean_luma": [f[2] for f in feats],
-                }
+                rows,
+                columns=[
+                    "doc_id", "media_type", "n_bytes",
+                    "width", "height", "duration_s", "mean_luma",
+                ],
             )
 
     return df.select("doc_id", "media_type", "payload").mapInPandas(run, FEATURE_SCHEMA)
@@ -85,34 +201,86 @@ RESIZE_SCHEMA = StructType(
         StructField("media_type", StringType()),
         StructField("payload", BinaryType()),
         StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_s", DoubleType()),
     ]
 )
 
 
-def resize_stub(payload: bytes, target_bytes: int) -> bytes:
-    """STUB — deterministic fake resize (truncate/cycle-pad to target size).
-    A real deployment decodes, resamples (PIL ``Image.resize`` / librosa
-    ``resample``) and re-encodes; the Spark plumbing is unchanged."""
-    if not payload:
-        return b"\x00" * target_bytes
-    reps = (target_bytes // len(payload)) + 1
-    return (payload * reps)[:target_bytes]
+def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resample of a decoded BMP to width×height,
+    re-encoded as BI_RGB.  Generic over any 24-bit input (row-major
+    nearest-neighbor source-index math), not just the flat fixtures."""
+    src_w, src_h, _ = decode_bmp(payload)
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    src_stride = (3 * src_w + 3) // 4 * 4
+    dst_stride = (3 * width + 3) // 4 * 4
+    out = bytearray(dst_stride * height)
+    for y in range(height):
+        sy = y * src_h // height
+        row = offset + sy * src_stride
+        for x in range(width):
+            sx = x * src_w // width
+            out[y * dst_stride + 3 * x : y * dst_stride + 3 * x + 3] = payload[
+                row + 3 * sx : row + 3 * sx + 3
+            ]
+    file_size = 54 + len(out)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(out), 2835, 2835, 0, 0)
+    return header + dib + bytes(out)
 
 
-def resize_media(df: DataFrame, *, target_bytes: int = 256) -> DataFrame:
-    """Arrow-batched payload transform (resize/transcode shape): binary in →
-    binary out, schema explicit, executed streaming per record batch."""
+def resample_wav(payload: bytes, factor: int = 2) -> bytes:
+    """REAL decimation resample of a PCM WAV: keep every ``factor``-th
+    sample, halve the declared sample rate accordingly — duration is
+    preserved (±one sample) while the payload shrinks ``factor``×."""
+    rate, _ = decode_wav(payload)
+    # locate the data chunk and slice samples
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size % 2)
+    samples = [data[i : i + 2] for i in range(0, len(data) - 1, 2)]
+    kept = b"".join(samples[::factor])
+    new_rate = rate // factor
+    fmt = struct.pack("<HHIIHH", 1, 1, new_rate, new_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(kept), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16)
+        + fmt
+        + struct.pack("<4sI", b"data", len(kept))
+        + kept
+    )
+
+
+def resize_media(df: DataFrame, *, target_w: int = 8, target_h: int = 8) -> DataFrame:
+    """Arrow-batched media transform (resize/transcode shape): binary in →
+    binary out with REAL per-container processing — BMPs nearest-neighbor
+    resampled to target_w×target_h, WAVs decimated 2× — re-decoded after
+    the transform so the output columns certify the round trip."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [resize_stub(p, target_bytes) for p in pdf["payload"]]
+            rows = []
+            for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                if mtype == "image/bmp":
+                    out = resize_bmp(payload, target_w, target_h)
+                    w, h, _ = decode_bmp(out)
+                    rows.append((doc_id, mtype, out, len(out), w, h, None))
+                else:
+                    out = resample_wav(payload, factor=2)
+                    _, duration = decode_wav(out)
+                    rows.append((doc_id, mtype, out, len(out), None, None, duration))
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "payload": out,
-                    "n_bytes": [len(p) for p in out],
-                }
+                rows,
+                columns=[
+                    "doc_id", "media_type", "payload", "n_bytes",
+                    "width", "height", "duration_s",
+                ],
             )
 
     return df.select("doc_id", "media_type", "payload").mapInPandas(run, RESIZE_SCHEMA)
@@ -133,8 +301,9 @@ def frame_sample(df: DataFrame, *, n_frames: int = 4) -> DataFrame:
     ``n_frames`` output rows — the flat-map shape ``mapInPandas`` supports
     natively (output row count is independent of input row count).  The
     frame extraction is a STUB (fixed-stride byte slices standing in for
-    ffmpeg keyframe decode); partitioning and the 1→n row contract are the
-    real, tested plumbing."""
+    ffmpeg keyframe decode — video codecs are genuinely absent in this
+    container); partitioning and the 1→n row contract are the real,
+    tested plumbing."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -161,11 +330,18 @@ __all__ = [
     "FEATURE_SCHEMA",
     "FRAME_SCHEMA",
     "RESIZE_SCHEMA",
+    "WAV_RATE",
     "attach_binary_payload",
-    "decode_stub",
+    "bmp_dims",
+    "decode_bmp",
+    "decode_wav",
+    "encode_bmp",
+    "encode_wav",
     "extract_features",
     "frame_sample",
+    "resample_wav",
+    "resize_bmp",
     "resize_media",
-    "resize_stub",
+    "wav_samples",
     "BinaryType",
 ]

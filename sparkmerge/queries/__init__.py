@@ -90,6 +90,11 @@ _FORCE_REVERIFY = {
     "dedup_containment",  # blocking='lsh' class-grain router
     "bitext_margin_mine",  # tables= budget lever
     "events_user_cadence_cv",  # gap_unit_s= pre-scaled-DIV overflow hatch
+    # r9: the multimodal decode went REAL (BMP/WAV containers, struct
+    # codecs) — these three rewrote their payloads, decode, and oracles
+    "multimodal_binary",
+    "multimodal_resize",
+    "multimodal_frame_sample",
 }
 
 

@@ -262,7 +262,18 @@ def test_multimodal_binary_roundtrip_and_merge(spark):
     feats = extract_features(d)
     rows = feats.collect()
     assert len(rows) == 50
-    assert all(r.n_bytes > 0 and 16 <= r.width < 80 for r in rows)
+    # real container decode (r9): BMPs carry parsed dimensions + flat-color
+    # luma, WAVs carry sample-count duration; the other modality's columns
+    # are NULL
+    for r in rows:
+        assert r.n_bytes > 44  # smallest real container header
+        if r.media_type == "image/bmp":
+            assert 4 <= r.width < 20 and 4 <= r.height < 12
+            assert 0.0 <= r.mean_luma <= 1.0 and r.duration_s is None
+        else:
+            assert r.media_type == "audio/wav"
+            assert r.width is None and r.height is None
+            assert 100 / 8000.0 <= r.duration_s < 1000 / 8000.0
     # binary columns survive a merge untouched and change-detect correctly
     src = d.withColumn(
         "payload",

@@ -181,6 +181,10 @@ SECTIONS = [
         "events_peak_concentration", "orders_weekday_value_profile",
         "text_source_length_drift", "supplier_nation_acctbal_profile",
     ]),
+    ("Mix shift, daily co-occurrence, LTV bands & vocab overlap (r9 batch 1)", [
+        "orders_monthly_mix_shift", "events_type_cooccurrence_daily",
+        "customer_nation_ltv_profile", "text_source_vocab_overlap",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",

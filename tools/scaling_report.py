@@ -150,6 +150,13 @@ OPS = [
     "orders_weekday_value_profile",
     "text_source_length_drift",
     "supplier_nation_acctbal_profile",
+    # r9 batch 1: the month×priority lag lattice, the day-grain co-presence
+    # matrix, the bounded-band LTV percentiles, and the sentinel-stream
+    # vocabulary overlap (token grain of the brand-Jaccard recipe)
+    "orders_monthly_mix_shift",
+    "events_type_cooccurrence_daily",
+    "customer_nation_ltv_profile",
+    "text_source_vocab_overlap",
 ]
 
 # (op, sf) pairs whose ORACLE formulation is intentionally not run: the
