@@ -43,7 +43,7 @@ def main() -> None:
     from sparkmerge.session import get_spark
 
     sf10_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sparkmerge_sf10"
-    budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET", "900"))
+    budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET", "1080"))
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     spark = get_spark("bench-sf10")  # scale profile: AQE on, compression on
