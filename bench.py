@@ -37,11 +37,12 @@ committed BENCH artifact instead of a SCALING.md-only table), "levers"
 "tail" (the heaviest exact shapes: job floors amortize, the
 set-similarity ops go superlinear as their blocking keys densify — their
 certifier oracles are infeasible at this SF, so Spark completing them at
-all is the measurement).  Same budget discipline (SPARK_GRAFT_SF10_BUDGET
-sec, default 1080 — raised from 600 when breadth+levers joined the leg;
-SPARK_GRAFT_SF10=0 disables), cheap blocks run first so budget exhaustion
-only costs the tail's later rows, quadratic certifier oracles never run,
-and both heaps are collected between ops (the r7 sf10 OOM lesson).
+all is the measurement).  Each block has its OWN protected budget window
+(SPARK_GRAFT_SF10_{BREADTH,LEVERS,TAIL}_BUDGET sec, defaults 360/300/1800
+— r9's single shared budget let throttled breadth+levers runs silently
+drop 8 tail ops including merge_full; SPARK_GRAFT_SF10=0 disables), cheap
+blocks run first, quadratic certifier oracles never run, and both heaps
+are collected between ops (the r7 sf10 OOM lesson).
 
 The FIRST stdout line is a compact one-line JSON summary (per-leg totals
 + ratios + skip lists) so the driver's bounded output capture always
@@ -318,7 +319,8 @@ def _sf1_leg(spark, reg) -> dict:
     confs that matter for the 10× leg — shuffle parallelism, AQE, split
     size — are dynamic SQL confs, so flip them to the scale profile for the
     leg and restore after.  Budgeted: once SPARK_GRAFT_SF1_BUDGET seconds
-    (default 360) have elapsed, remaining queries are recorded as skipped.
+    (default 540 — see the module header) have elapsed, remaining queries
+    are recorded as skipped.
     """
     import subprocess
 
@@ -408,6 +410,7 @@ def _sf1_leg(spark, reg) -> dict:
         # protocol — their own budget extension so they never starve the
         # main loop and the main loop never starves them
         receipts: dict[str, float] = {}
+        receipts_duckdb: dict[str, float] = {}
         receipt_budget = float(os.environ.get("SPARK_GRAFT_SF1_RECEIPT_BUDGET", "200"))
         r_start = time.perf_counter()
         for op_id in SF1_RECEIPTS:
@@ -416,6 +419,21 @@ def _sf1_leg(spark, reg) -> dict:
             t0 = time.perf_counter()
             reg[op_id].fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
             receipts[op_id] = round(time.perf_counter() - t0, 4)
+        # DuckDB comparator for the receipts (r9 verdict ask #8: the
+        # heaviest headline op reported a wall clock but no ratio).  The
+        # bitext oracle is LSH-shaped, not all-pairs — ~260 s at sf1
+        # (SCALING.md) — so ONE warm run is affordable under its own
+        # budget slice and the committed artifact gains a ratio.
+        oracle_budget = float(os.environ.get("SPARK_GRAFT_SF1_RECEIPT_ORACLE_BUDGET", "420"))
+        o_start = time.perf_counter()
+        for op_id in receipts:
+            if time.perf_counter() - o_start > oracle_budget:
+                break
+            if reg[op_id].oracle is None:
+                continue
+            t0 = time.perf_counter()
+            con.sql(reg[op_id].oracle).arrow()
+            receipts_duckdb[op_id] = round(time.perf_counter() - t0, 4)
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
@@ -431,6 +449,7 @@ def _sf1_leg(spark, reg) -> dict:
         "oracle_skipped": oracle_skipped,
         "skipped_expensive": SF1_SKIP,
         "receipts": receipts,
+        "receipts_duckdb": receipts_duckdb,
     }
 
 
@@ -487,9 +506,10 @@ def _sf10_leg(spark, reg) -> dict:
     sf10 the shuffle payload is GBs and the uncompressed leg measured
     dedup_minhash at 214 s vs ~13 s under the scale profile, so the leg
     shells out to a fresh scale-profile session and parses its one-line
-    JSON.  ``SPARK_GRAFT_SF10=0`` disables; budget
-    ``SPARK_GRAFT_SF10_BUDGET`` sec (default 600) enforced inside the
-    runner, with a hard wall-clock backstop here.
+    JSON.  ``SPARK_GRAFT_SF10=0`` disables; per-block budgets
+    ``SPARK_GRAFT_SF10_{BREADTH,LEVERS,TAIL}_BUDGET`` sec (defaults
+    360/300/1800) enforced inside the runner, with a hard wall-clock
+    backstop here.
     """
     import subprocess
 
@@ -508,7 +528,17 @@ def _sf10_leg(spark, reg) -> dict:
                 # sf10 gen measures ~2 min, so 900 s is headroom
                 timeout=900,
             )
-    budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET", "1080"))
+    # the runner budgets each of its three blocks separately (r9 verdict
+    # ask #2 — protected tail slice); the backstop here covers their sum
+    # plus last-admitted-op overruns
+    budget = sum(
+        float(os.environ.get(k, d))
+        for k, d in (
+            ("SPARK_GRAFT_SF10_BREADTH_BUDGET", "360"),
+            ("SPARK_GRAFT_SF10_LEVERS_BUDGET", "300"),
+            ("SPARK_GRAFT_SF10_TAIL_BUDGET", "1800"),
+        )
+    )
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
     proc = subprocess.run(
@@ -516,9 +546,9 @@ def _sf10_leg(spark, reg) -> dict:
         capture_output=True,
         text=True,
         env=env,
-        # generous backstop: budget guards ENTRY inside the runner, so the
-        # last-admitted op may still run to completion past it
-        timeout=budget * 3 + 300,
+        # generous backstop: budgets guard ENTRY inside the runner, so the
+        # last-admitted op of each block may still run to completion past it
+        timeout=budget * 2 + 600,
     )
     if proc.returncode != 0:
         tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]

@@ -570,7 +570,12 @@ def ngram_jaccard_pairs(
         token_set(F.col(text_col)).alias("_toks"),
     )
     if blocking == "lsh":
-        classes = _token_classes(base)
+        # blank/whitespace-only docs have EMPTY token sets: the exact
+        # prefix path never pairs them (no tokens → no candidates), and
+        # 0/0 Jaccard is undefined — drop them before the class collapse
+        # or they'd all fuse into one within-class 1.0 clique per group,
+        # breaking "lever output ⊆ exact output" (ADVICE r9)
+        classes = _token_classes(base.filter(F.size("_toks") > 0))
         cbase = classes.select(F.col("_ids")[0].alias("_id"), "_grp", "_toks")
         verified = _verify_jaccard(cbase, _token_lsh_candidates(cbase), threshold)
         amem = classes.select(F.col("_ids")[0].alias("a_id"), F.col("_ids").alias("_a_ids"))
@@ -710,7 +715,10 @@ def containment_pairs(
         token_set(F.col(text_col)).alias("_toks"),
     )
     if blocking == "lsh":
-        classes = _token_classes(base)
+        # same empty-token-set guard as ngram_jaccard_pairs (ADVICE r9):
+        # token-less docs pair with nothing on the exact path, so the
+        # lever must never class-collapse them into a 1.0 clique
+        classes = _token_classes(base.filter(F.size("_toks") > 0))
         cbase = classes.select(F.col("_ids")[0].alias("_id"), "_grp", "_toks")
         # band UNDIRECTED and verify BOTH orientations in one pass: band
         # collision is symmetric and C(A,B)/C(B,A) share the intersection

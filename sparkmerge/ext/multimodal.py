@@ -51,10 +51,14 @@ def wav_samples(n_bytes: int) -> int:
 def encode_bmp(width: int, height: int, pixel_value: int) -> bytes:
     """A REAL 24-bit BI_RGB .bmp file: BITMAPFILEHEADER (14 bytes) +
     BITMAPINFOHEADER (40 bytes) + bottom-up pixel rows padded to 4-byte
-    stride.  The fixture fills every pixel/pad byte with ``pixel_value``
-    (a flat-color image) so decoded statistics are closed-form."""
+    stride.  The fixture fills every PIXEL byte with ``pixel_value`` (a
+    flat-color image, so decoded statistics are closed-form); row padding
+    is ZERO-filled — the standard layout every real encoder emits (the r9
+    version filled padding with the pixel value, which masked a decoder
+    bias; ADVICE r9)."""
     stride = (3 * width + 3) // 4 * 4
-    data = bytes([pixel_value % 256]) * (stride * height)
+    row = bytes([pixel_value % 256]) * (3 * width) + b"\x00" * (stride - 3 * width)
+    data = row * height
     file_size = 14 + 40 + len(data)
     header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
     dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
@@ -73,8 +77,15 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float]:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
     height = abs(height)
     stride = (3 * width + 3) // 4 * 4
-    data = payload[offset : offset + stride * height]
-    return width, height, (sum(data) / len(data)) / 255.0 if data else 0.0
+    # average ONLY the 3·width pixel bytes of each row — the 4-byte-align
+    # pad tail is zero-filled by standard encoders and averaging it in
+    # biased mean_luma toward 0 whenever 3·width % 4 != 0 (ADVICE r9)
+    n_px = 3 * width * height
+    total = 0
+    for y in range(height):
+        row = payload[offset + y * stride : offset + y * stride + 3 * width]
+        total += sum(row)
+    return width, height, (total / n_px) / 255.0 if n_px else 0.0
 
 
 def encode_wav(n_samples: int, amplitude: int, rate: int = WAV_RATE) -> bytes:

@@ -81,17 +81,17 @@ def register(op_id: str, *, oracle: str | None = None, description: str = ""):
 # landed green r7 rows and are cleared.
 # NOTE (r9): both r8 entries (the shingle_key / rolling-distinct lever
 # surfaces) landed green r8 rows and are cleared.
+# NOTE (r10): all 7 r9 entries (lsh/tables/gap_unit levers ×4, multimodal
+# real-codec trio) landed green r9 rows and are cleared.
 _FORCE_REVERIFY = {
-    # r9: 100 TB levers registered as parameters (r8 verdict asks #2/#5/#7)
-    # — the DEFAULT paths are unchanged by construction (each lever is a
-    # parameter branch off the default), re-confirm the registered surface
-    # anyway, same precedent as the r8 shingle_key/mode exposures.
-    "dedup_ngram_jaccard",  # blocking='lsh' class-grain router
-    "dedup_containment",  # blocking='lsh' class-grain router
-    "bitext_margin_mine",  # tables= budget lever
-    "events_user_cadence_cv",  # gap_unit_s= pre-scaled-DIV overflow hatch
-    # r9: the multimodal decode went REAL (BMP/WAV containers, struct
-    # codecs) — these three rewrote their payloads, decode, and oracles
+    # r10 ADVICE fixes (ADVICE r9): the lsh lever branch gained the
+    # empty-token-set guard (default/oracle paths untouched — blank docs
+    # never reach the prefix candidates anyway) and the BMP codec went
+    # standard-layout (zero pad, pad-excluded luma; fixture closed forms
+    # unchanged).  Re-confirm the registered surfaces post-edit, same
+    # precedent as every prior round's rewrite entries.
+    "dedup_ngram_jaccard",
+    "dedup_containment",
     "multimodal_binary",
     "multimodal_resize",
     "multimodal_frame_sample",
@@ -202,15 +202,27 @@ def table_path(sf_dir: str, table: str) -> str:
         tmp = f"{dst}.{os.getpid()}.tmp"
         pq.write_table(t2, tmp, row_group_size=rows_per_group)
         os.replace(tmp, dst)  # atomic; safe under concurrent callers
+        # the writer is also this generation's first reader — lease it
+        # (same contract as the open branch below)
+        try:
+            with open(os.path.join(dst_dir, f".lease.{os.getpid()}"), "w"):
+                pass
+        except OSError:
+            pass
     else:
-        # Reader lease (ADVICE r8): on relatime/noatime mounts a read-only
-        # Spark scan refreshes NEITHER atime nor mtime, so an old-but-active
-        # generation could age past the prune grace window mid-scan.  Bump
-        # the dir mtime on every open instead of trusting the filesystem —
-        # the prune's aged_out() then sees any generation opened within the
-        # grace window as live, closing the r7 race rather than narrowing it.
+        # Reader lease (ADVICE r8, hardened r10): on relatime/noatime
+        # mounts a read-only Spark scan refreshes NEITHER atime nor mtime,
+        # so an old-but-active generation could age past the prune grace
+        # window mid-scan.  Bump the dir mtime on every open AND drop a
+        # pid-named lease sentinel: the prune keeps any generation holding
+        # a lease whose pid is still alive, so even a scan LONGER than the
+        # grace window (sf10 set-similarity ops run minutes) can't have
+        # its files deleted from under it (r9 verdict: mtime alone only
+        # narrowed the race to scans shorter than the window).
         try:
             os.utime(dst_dir)
+            with open(os.path.join(dst_dir, f".lease.{os.getpid()}"), "w"):
+                pass
         except OSError:
             pass  # another session may prune/replace concurrently — harmless
     return dst_dir
@@ -278,12 +290,27 @@ def prune_stale_siblings(base_dir: str, key: str) -> None:
 
     cutoff = time.time() - _PRUNE_GRACE_S
 
+    def leased_by_live_pid(d: str) -> bool:
+        # pid-named sentinels written by table_path on every open; a lease
+        # whose pid is still running marks the generation as in-use no
+        # matter how old the dir's timestamps are (a >grace-window Spark
+        # scan).  Dead pids fall through to the age rule — pid reuse at
+        # worst keeps a dir one extra generation, never deletes a live one.
+        for lease in glob.glob(os.path.join(d, ".lease.*")):
+            try:
+                pid = int(os.path.basename(lease).rsplit(".", 1)[1])
+            except ValueError:
+                continue
+            if os.path.exists(f"/proc/{pid}"):
+                return True
+        return False
+
     def aged_out(d: str) -> bool:
         try:
             st = os.stat(d)
         except OSError:
             return False
-        return max(st.st_mtime, st.st_atime) < cutoff
+        return max(st.st_mtime, st.st_atime) < cutoff and not leased_by_live_pid(d)
 
     prefix = key.split("-", 1)[0]
     for d in glob.glob(os.path.join(base_dir, f"{prefix}-*")):

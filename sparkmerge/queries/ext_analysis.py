@@ -2878,3 +2878,280 @@ def customer_nation_ltv_profile(spark, sf_dir):
         F.max("band").alias("max_band"),
         (F.max("s").cast("double") / F.max("n").cast("double")).alias("mean_cents"),
     )
+
+
+# --- orders_priority_sla_breach (r10b1) --------------------------------------
+#
+# Priority × lateness-band SLA breach matrix — the fulfillment follow-up
+# to orders_fulfillment_latency's percentile table: how much volume (line
+# and order grain) lands in each SLA band per priority.  Bands are fixed
+# integer day thresholds (30/60/90), so band assignment is exact; the
+# per-mille share uses integer DIV against the priority total (the house
+# per-mille recipe — no FP until nothing is left to compute).  Shuffle
+# shape: ONE orderkey join, one map-side-combined agg to the bounded
+# (priority × band × orderkey) grain for the distinct-order count, then
+# window math on |priorities|×|bands| ≤ 20 rows.
+
+
+@register(
+    "orders_priority_sla_breach",
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority AS priority, l_orderkey,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS gap_d
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+b AS (
+  SELECT priority,
+         CASE WHEN gap_d <= 30 THEN 'd000_030'
+              WHEN gap_d <= 60 THEN 'd031_060'
+              WHEN gap_d <= 90 THEN 'd061_090'
+              ELSE 'd091_plus' END AS band,
+         l_orderkey
+    FROM g
+),
+c AS (
+  SELECT priority, band,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM b GROUP BY 1, 2
+)
+SELECT priority, band, n_lines, n_orders,
+       CAST(1000 * n_lines // sum(n_lines) OVER (PARTITION BY priority) AS BIGINT) AS share_pm
+  FROM c
+""",
+    description="priority × lateness-band SLA matrix (order→ship gap in "
+    "fixed 30/60/90-day bands): line and distinct-order volume per cell "
+    "plus integer-DIV per-mille share of the priority's lines; one "
+    "orderkey join + one agg to the bounded band lattice — window math "
+    "runs on ≤ |priorities|×4 rows",
+)
+def orders_priority_sla_breach(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    gap = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("long")
+    band = (
+        F.when(gap <= 30, "d000_030")
+        .when(gap <= 60, "d031_060")
+        .when(gap <= 90, "d061_090")
+        .otherwise("d091_plus")
+    )
+    c = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            band.alias("band"),
+            "l_orderkey",
+        )
+        .groupBy("priority", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("priority")
+    return c.select(
+        "priority",
+        "band",
+        "n_lines",
+        "n_orders",
+        F.expr("1000 * n_lines").alias("_k"),
+        F.sum("n_lines").over(w).alias("_tot"),
+    ).select(
+        "priority",
+        "band",
+        "n_lines",
+        "n_orders",
+        F.expr("_k div _tot").alias("share_pm"),
+    )
+
+
+# --- events_user_type_entropy (r10b1) ----------------------------------------
+#
+# Per-user event-type Shannon entropy over the FIXED 5-type domain
+# (click/error/purchase/signup/view — a bounded enum on this corpus), on
+# the PER-MILLE-QUANTIZED share vector.  The quantization is the whole
+# FP-portability design: ln() is a transcendental and the round-10 probe
+# measured Spark's java.lang.Math.log disagreeing with DuckDB's libm in
+# the last ulp on ~1 % of integer inputs (18,532 of 2,000,000 —
+# BASELINE.md round-10), so no formulation that EVALUATES ln cross-engine
+# can hash-match.  Instead: shares quantize to exact integers
+# s_i = (1000·c_i) DIV n (integer arithmetic, bit-equal by construction),
+# and the −p·ln(p) term for each of the 1001 possible share values comes
+# from _ENTROPY_LUT — a literal table generated ONCE in Python (shortest
+# round-trip reprs) and embedded in BOTH the Spark expression and the
+# oracle SQL, so both engines index the SAME 1001 double constants and
+# never call ln() at query time.  H_q = Σ term(s_i) in fixed type order
+# is then a deterministic diagnostic of its DEFINED quantized metric
+# (quantization error ≤ ~5·ln(1000)/1000 ≈ 0.035 nats vs true H — fine
+# for a diversity screen; a consumer needing exact H has the exact
+# integer counts in this op's n/c columns upstream).  Shuffle shape: ONE
+# map-side-combined groupBy; the LUT is a constant, not data.
+
+import math as _math
+
+_ENTROPY_LUT = (
+    [0.0]
+    + [-(s / 1000.0) * _math.log(s / 1000.0) for s in range(1, 1000)]
+    + [0.0]
+)
+# e-notation forces DuckDB to type each literal DOUBLE — a bare decimal
+# literal parses as DECIMAL and the 5-term sum would run in decimal
+# arithmetic, off the double sum by an ulp (measured r10)
+_LUT_SQL = ", ".join(
+    r if "e" in (r := repr(v)) else f"{r}e0" for v in _ENTROPY_LUT
+)
+
+
+@register(
+    "events_user_type_entropy",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c5
+    FROM events GROUP BY user_id
+),
+lut AS (SELECT [{_LUT_SQL}] AS v)
+SELECT user_id, n,
+       CAST((CASE WHEN c1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c2 > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN c3 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c4 > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN c5 > 0 THEN 1 ELSE 0 END) AS INT) AS n_types,
+       ((((v[CAST(1000 * c1 // n AS INT) + 1]
+         + v[CAST(1000 * c2 // n AS INT) + 1])
+         + v[CAST(1000 * c3 // n AS INT) + 1])
+         + v[CAST(1000 * c4 // n AS INT) + 1])
+         + v[CAST(1000 * c5 // n AS INT) + 1]) AS entropy_q_nats
+  FROM c, lut
+""",
+    description="per-user event-type Shannon entropy (nats) of the "
+    "per-mille-quantized share vector over the fixed 5-type domain: "
+    "integer shares s=(1000*c) DIV n index a 1001-entry -p*ln(p) literal "
+    "table generated once and embedded identically in both engines — "
+    "ln() is never evaluated at query time (the round-10 probe measured "
+    "JVM/libm ln disagreeing in the last ulp on ~1% of integers, so any "
+    "formulation that computes ln cross-engine cannot hash-match); ONE "
+    "map-side-combined groupBy, fixed-association 5-term sum",
+)
+def events_user_type_entropy(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+
+    def cnt(t):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long")
+
+    c = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        cnt("click").alias("c1"),
+        cnt("error").alias("c2"),
+        cnt("purchase").alias("c3"),
+        cnt("signup").alias("c4"),
+        cnt("view").alias("c5"),
+    )
+    lut = F.lit(_ENTROPY_LUT)
+
+    def term(col):
+        s = F.expr(f"cast((1000 * {col}) div n as int)")
+        return F.element_at(lut, s + F.lit(1))
+
+    def present(col):
+        return F.when(F.col(col) > 0, 1).otherwise(0)
+
+    h = ((((term("c1") + term("c2")) + term("c3")) + term("c4")) + term("c5"))
+    n_types = (
+        (((present("c1") + present("c2")) + present("c3")) + present("c4"))
+        + present("c5")
+    ).cast("int")
+    return c.select(
+        "user_id",
+        "n",
+        n_types.alias("n_types"),
+        h.alias("entropy_q_nats"),
+    )
+
+
+# --- supplier_lead_time_trend (r10b1) ----------------------------------------
+#
+# Monthly mean order→ship lead time per SUPPLIER NATION, with the
+# month-over-month delta — the supply-chain drift monitor.  Mean is ONE
+# IEEE division of exact integer gap-sum/count per (nation, month) cell;
+# the MoM delta subtracts two such exact-division doubles (deterministic:
+# both operands are bit-identical cross-engine, subtraction is a single
+# IEEE op).  Shuffle shape: lineitem⋈orders on orderkey (the only big
+# shuffle), supplier/nation broadcast, one agg to the bounded
+# |nations|×|months| lattice, lag window on that tiny relation.
+
+
+@register(
+    "supplier_lead_time_trend",
+    oracle="""
+WITH g AS (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS yyyymm,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS gap_d
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+),
+m AS (
+  SELECT nation, yyyymm,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(gap_d) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_gap_days
+    FROM g GROUP BY 1, 2
+)
+SELECT nation, yyyymm, n_lines, mean_gap_days,
+       mean_gap_days - lag(mean_gap_days) OVER (PARTITION BY nation ORDER BY yyyymm) AS delta_mom
+  FROM m
+""",
+    description="monthly mean order→ship lead time per supplier nation "
+    "with month-over-month delta: one orderkey shuffle join, broadcast "
+    "supplier/nation dims, agg to the bounded nation×month lattice; mean "
+    "= one IEEE division of exact integer sums, delta = one subtraction "
+    "of two such exact divisions (lag window over the tiny lattice)",
+)
+def supplier_lead_time_trend(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    gap = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("long")
+    m = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("int")
+            .alias("yyyymm"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.sum(gap).alias("_s"))
+        .select(
+            "nation",
+            "yyyymm",
+            "n_lines",
+            (F.col("_s").cast("double") / F.col("n_lines").cast("double")).alias(
+                "mean_gap_days"
+            ),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("yyyymm")
+    return m.select(
+        "nation",
+        "yyyymm",
+        "n_lines",
+        "mean_gap_days",
+        (F.col("mean_gap_days") - F.lag("mean_gap_days").over(w)).alias("delta_mom"),
+    )

@@ -1840,3 +1840,108 @@ def text_source_vocab_overlap(spark, sf_dir):
         .join(F.broadcast(tb), "source_b")
         .select("source_a", "source_b", "n_shared", "n_a", "n_b", jac.alias("jaccard"))
     )
+
+
+# --- text_zipf_rank_profile (r10b1) ------------------------------------------
+#
+# Per-source Zipf rank-frequency grid — the vocabulary-concentration
+# diagnostic (how much of a source's token mass its head ranks carry; a
+# source whose head share drifts is templated or spam-polluted).  Lands
+# the r9-staged per-source "line grid" on a NON-VACUOUS unit: the corpus
+# was checked first (r8 benford precedent) and contains no newline or
+# punctuation delimiters at any SF — every doc is one "line", so a
+# line-length grid would be the doc-length profile already covered by
+# text_stats/length_vs_quality.  Tokens are the unit that exists; ranks
+# come from row_number over (count desc, token asc) — fully deterministic
+# — and rank BANDS are fixed power-of-two CASE arms (no log()), so the
+# whole op is exact integer arithmetic + integer-DIV per-mille shares.
+# Shuffle shape: map-side token explode, ONE (source, token) agg bounded
+# by |vocab|, rank window per source on the vocab frame, band agg to the
+# ≤ |sources|×10 lattice.
+
+
+@register(
+    "text_zipf_rank_profile",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS}) AS token FROM documents
+),
+c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
+r AS (SELECT source, cnt,
+             row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token) AS rnk
+        FROM c),
+b AS (
+  SELECT source,
+         CASE WHEN rnk < 2 THEN 'r0001'
+              WHEN rnk < 4 THEN 'r0002_0003'
+              WHEN rnk < 8 THEN 'r0004_0007'
+              WHEN rnk < 16 THEN 'r0008_0015'
+              WHEN rnk < 32 THEN 'r0016_0031'
+              WHEN rnk < 64 THEN 'r0032_0063'
+              WHEN rnk < 128 THEN 'r0064_0127'
+              WHEN rnk < 256 THEN 'r0128_0255'
+              WHEN rnk < 1024 THEN 'r0256_1023'
+              ELSE 'r1024_plus' END AS rank_band,
+         cnt
+    FROM r
+)
+SELECT source, rank_band,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(cnt) AS BIGINT) AS occurrences,
+       CAST(1000 * sum(cnt) // sum(sum(cnt)) OVER (PARTITION BY source) AS BIGINT) AS share_pm
+  FROM b GROUP BY 1, 2
+""",
+    description="per-source Zipf rank-frequency grid (vocabulary "
+    "concentration): deterministic row_number ranks over (count desc, "
+    "token asc), fixed power-of-two rank bands (CASE arms, no log()), "
+    "distinct-token and occurrence mass per band with integer-DIV "
+    "per-mille shares; one vocab-bounded agg + one rank window — the "
+    "r9-staged line grid landed on tokens because the corpus has no "
+    "line/sentence delimiters (checked, r8 benford precedent)",
+)
+def text_zipf_rank_profile(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    toks = F.filter(F.split(F.lower(F.col("text")), _WS), lambda x: x != "")
+    c = (
+        d.select("source", F.explode(toks).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("token"))
+    r = c.select("source", "cnt", F.row_number().over(wr).alias("rnk"))
+    band = (
+        F.when(F.col("rnk") < 2, "r0001")
+        .when(F.col("rnk") < 4, "r0002_0003")
+        .when(F.col("rnk") < 8, "r0004_0007")
+        .when(F.col("rnk") < 16, "r0008_0015")
+        .when(F.col("rnk") < 32, "r0016_0031")
+        .when(F.col("rnk") < 64, "r0032_0063")
+        .when(F.col("rnk") < 128, "r0064_0127")
+        .when(F.col("rnk") < 256, "r0128_0255")
+        .when(F.col("rnk") < 1024, "r0256_1023")
+        .otherwise("r1024_plus")
+    )
+    g = (
+        r.select("source", band.alias("rank_band"), "cnt")
+        .groupBy("source", "rank_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("occurrences"),
+        )
+    )
+    w = Window.partitionBy("source")
+    return g.select(
+        "source",
+        "rank_band",
+        "n_tokens",
+        "occurrences",
+        F.sum("occurrences").over(w).alias("_tot"),
+    ).select(
+        "source",
+        "rank_band",
+        "n_tokens",
+        "occurrences",
+        F.expr("(1000 * occurrences) div _tot").alias("share_pm"),
+    )

@@ -74,14 +74,34 @@ def test_lsh_runs_at_class_grain(spark):
         assert "parquet" not in plan.lower(), f"{op}: raw scan above the class collapse"
 
 
+def _band_join_child_outputs(node, found):
+    """Collect the child OUTPUT attribute lists of every Join whose
+    condition references the band columns (walks the JVM logical-plan
+    tree — py4j, same objects the .toString() renders)."""
+    if node.nodeName() == "Join":
+        cond = node.condition()
+        cond_s = cond.get().toString() if cond.isDefined() else ""
+        if "_band" in cond_s and "_bucket" in cond_s:
+            for i in range(node.children().size()):
+                found.append(node.children().apply(i).output().toString())
+    for i in range(node.children().size()):
+        _band_join_child_outputs(node.children().apply(i), found)
+
+
 def test_lsh_band_join_ships_no_signatures(spark):
     """The band self-join must ship only (group, band, bucket, id) — a
     regression that re-carries the 64-long signature through the join was
-    measured 4× slower than the exact path at sf1."""
+    measured 4× slower than the exact path at sf1.  Asserted on the band
+    join NODE's child outputs, not the plan text above the topmost join
+    (the r9 version of this test inspected plan.split("Join")[0], where
+    `_sig` could never appear — vacuously true; ADVICE r9)."""
     df = registry()["dedup_ngram_jaccard"].fn(spark, SF_DIR, blocking="lsh")
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    # the signature array literal name never appears in a join output
-    assert "_sig" not in plan.split("Join")[0], "signature column above the top join"
+    plan = df._jdf.queryExecution().optimizedPlan()
+    outputs = []
+    _band_join_child_outputs(plan, outputs)
+    assert outputs, "band join (_band/_bucket condition) not found in plan"
+    for out in outputs:
+        assert "_sig" not in out, f"signature array shipped through the band join: {out}"
 
 
 def test_lsh_deterministic(spark):

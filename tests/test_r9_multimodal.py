@@ -28,8 +28,10 @@ def test_bmp_roundtrip_flat():
 
 def test_bmp_decoder_reads_real_pixels_not_metadata():
     """Hand-build a NON-flat 2x2 bitmap; the decoder must average the
-    actual pixel bytes (including stride padding), proving it parses the
-    payload rather than echoing encoder parameters."""
+    actual PIXEL bytes — and only those: the 4-byte-align pad tail is
+    excluded (averaging it in biased real zero-padded BMPs toward 0;
+    ADVICE r9) — proving it parses the payload rather than echoing
+    encoder parameters."""
     width, height = 2, 2
     stride = (3 * width + 3) // 4 * 4  # 8: 6 pixel bytes + 2 pad per row
     data = bytes([10, 20, 30, 40, 50, 60, 0, 0, 70, 80, 90, 100, 110, 120, 0, 0])
@@ -38,7 +40,8 @@ def test_bmp_decoder_reads_real_pixels_not_metadata():
     dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
     w, h, luma = decode_bmp(header + dib + data)
     assert (w, h) == (2, 2)
-    assert luma == (sum(data) / len(data)) / 255.0
+    pixels = [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120]
+    assert luma == (sum(pixels) / len(pixels)) / 255.0
 
 
 def test_bmp_resize_nearest_neighbor_generic():

@@ -185,6 +185,10 @@ SECTIONS = [
         "orders_monthly_mix_shift", "events_type_cooccurrence_daily",
         "customer_nation_ltv_profile", "text_source_vocab_overlap",
     ]),
+    ("SLA bands, type entropy, Zipf grid & lead-time trend (r10 batch 1)", [
+        "orders_priority_sla_breach", "events_user_type_entropy",
+        "text_zipf_rank_profile", "supplier_lead_time_trend",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",

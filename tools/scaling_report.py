@@ -16,6 +16,14 @@ import time
 
 import duckdb
 
+# Sweep checkpoint: REPO-side, not /tmp (r9 verdict ask — the r9 refresh
+# lost its half-finished /tmp checkpoint at a session boundary and the
+# round shipped a partial table).  Gitignored working file; every run
+# rewrites it per SF pass, incremental runs seed from it.
+CHECKPOINT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaling_partial.json"
+)
+
 OPS = [
     "merge_full",
     "merge_broadcast_delta",  # broadcast strategy (no target-row shuffle) vs merge_full's shuffle pair
@@ -157,6 +165,13 @@ OPS = [
     "events_type_cooccurrence_daily",
     "customer_nation_ltv_profile",
     "text_source_vocab_overlap",
+    # r10 batch 1: the SLA band lattice, the fixed-domain entropy pivot,
+    # the vocab-bounded Zipf rank grid, and the nation×month lead-time
+    # lag lattice
+    "orders_priority_sla_breach",
+    "events_user_type_entropy",
+    "text_zipf_rank_profile",
+    "supplier_lead_time_trend",
 ]
 
 # (op, sf) pairs whose ORACLE formulation is intentionally not run: the
@@ -190,7 +205,7 @@ def main() -> None:
 
     # Incremental mode: `python tools/scaling_report.py op1 op2 ...`
     # measures ONLY the named ops and seeds everything else from the last
-    # full sweep's per-SF checkpoint (/tmp/scaling_partial.json, written by
+    # full sweep's per-SF checkpoint (CHECKPOINT above, written by
     # every run).  The regenerated table still covers all of OPS; rows not
     # re-measured carry the cached same-host numbers.  No-arg runs remain
     # the full from-scratch sweep.
@@ -209,7 +224,8 @@ def main() -> None:
                 f"valid names are the {len(OPS)} entries in OPS"
             )
 
-        with open("/tmp/scaling_partial.json") as fh:
+        path = CHECKPOINT if os.path.exists(CHECKPOINT) else "/tmp/scaling_partial.json"
+        with open(path) as fh:
             seeded = {
                 o: {k: tuple(v) for k, v in m.items()}
                 for o, m in _json.load(fh).items()
@@ -312,7 +328,7 @@ def main() -> None:
         # lose a half-hour of measurement
         import json as _json
 
-        with open("/tmp/scaling_partial.json", "w") as fh:
+        with open(CHECKPOINT, "w") as fh:
             _json.dump({o: {k: list(v) for k, v in m.items()} for o, m in results.items()}, fh)
 
     lines = [
