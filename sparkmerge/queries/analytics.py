@@ -40,21 +40,66 @@ SELECT l_returnflag, l_linestatus,
     description="TPC-H Q1 pricing summary: wide aggregation over lineitem",
 )
 def tpch_q1(spark, sf_dir):
+    """Exact LONG-CENTS aggregation (r10): the r9 verdict flagged this op
+    at ~12.6× of DuckDB at sf10; profiling showed the cost was Spark's
+    decimal sum path (sum(decimal(18,s)) widens to decimal(28,s) —
+    Int128/BigDecimal arithmetic outside the fast long aggregator).  The
+    monetary inputs are exact 2-decimal values (module docstring), so
+    every sum here is an exact integer sum of scaled longs producing the
+    IDENTICAL rational — and therefore the identical final double — as
+    the decimal formulation the DuckDB oracle still runs (A/B measured
+    sf10 5.40 → 0.95 s, outputs bit-equal; BASELINE.md round-10).
+
+    Overflow budget, 60-billion-row scale: scale-2 sums peak ~2.3e14 per
+    1e8 rows — safe in int64 to sf1000+.  The scale-6 charge sum would
+    cross int64 near sf40, so it aggregates as a hi/lo SPLIT (div/mod
+    1e9) recombined exactly in decimal(38,0) on the ≤4 output rows —
+    decimal math on the result grain, never in the per-row hot path."""
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.expr("TIMESTAMP '1998-09-02 00:00:00'")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+
+    def cents(col, scale):
+        # floor(x·10^s + 0.5): the house exact-cents recipe — total FP
+        # error of the double product is ≪ 0.5 ulp-at-integer-grain, so
+        # this recovers the exact scaled integer
+        return F.floor(col * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
+
+    c6 = cents(charge, 6)
     n = F.count(F.lit(1))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        _dec_sum(F.col("l_quantity"), 2).alias("sum_qty"),
-        _dec_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
-        _dec_sum(disc_price, 4).alias("sum_disc_price"),
-        _dec_sum(charge, 6).alias("sum_charge"),
-        (_dec_sum(F.col("l_quantity"), 2) / n).alias("avg_qty"),
-        (_dec_sum(F.col("l_extendedprice"), 2) / n).alias("avg_price"),
-        (_dec_sum(F.col("l_discount"), 2) / n).alias("avg_disc"),
-        n.alias("count_order"),
+    qty = F.sum(cents(F.col("l_quantity"), 2))
+    base = F.sum(cents(F.col("l_extendedprice"), 2))
+    disc4 = F.sum(cents(disc_price, 4))
+    dsc2 = F.sum(cents(F.col("l_discount"), 2))
+    # exact scale-6 integer total (hi/lo recombined in decimal), then ONE
+    # decimal scale shift (×1e-6 is exact at scale 6) and ONE double cast:
+    # the charge total crosses 2^53 already at sf0.1, so a long→double
+    # cast followed by /1e6 would double-round and drift a ulp from the
+    # oracle's single decimal→double rounding
+    from decimal import Decimal as _D
+
+    charge_exact = (
+        F.sum(F.expr("_c6 div 1000000000")).cast("decimal(38,0)")
+        * F.lit(1000000000)
+        + F.sum(F.expr("_c6 % 1000000000")).cast("decimal(38,0)")
+    )
+    sum_charge = (charge_exact * F.lit(_D("0.000001"))).cast("double")
+    nd = n.cast("double")
+    return (
+        li.withColumn("_c6", c6)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (qty.cast("double") / F.lit(100.0)).alias("sum_qty"),
+            (base.cast("double") / F.lit(100.0)).alias("sum_base_price"),
+            (disc4.cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+            sum_charge.alias("sum_charge"),
+            (qty.cast("double") / F.lit(100.0) / nd).alias("avg_qty"),
+            (base.cast("double") / F.lit(100.0) / nd).alias("avg_price"),
+            (dsc2.cast("double") / F.lit(100.0) / nd).alias("avg_disc"),
+            n.alias("count_order"),
+        )
     )
 
 

@@ -479,21 +479,50 @@ SELECT o_custkey, rev_cents,
     "unique, so both engines agree bit-for-bit",
 )
 def window_cumulative_share(spark, sf_dir):
+    """Distributed two-pass prefix sum (r10): the r6 formulation ran the
+    cumulative sum AND the grand total as UNPARTITIONED windows — Spark
+    plans both as a single-partition sort, i.e. one task walks every
+    customer serially (the r9 verdict's ~3× sf10 mark was this shape, and
+    at 10⁹ customers it would be a straight scale-killer).  The rewrite is
+    the textbook distributed scan: range-partition on the Pareto order,
+    cumsum WITHIN each partition (parallel), then add each partition's
+    prefix offset — per-partition totals are |shuffle partitions| rows, a
+    bounded driver-side collect exactly like the IVF/PQ centroid seeds.
+    Output values are partitioning-invariant: the key (rev desc, custkey)
+    is a total order, so every row's prefix is unique regardless of where
+    the range boundaries land.  Measured sf10: 5.3 → 1.9 s (BASELINE.md
+    round-10)."""
     o = load(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
     rev = o.groupBy("o_custkey").agg(F.sum(cents).alias("rev_cents"))
-    w_cum = (
-        Window.orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    order = [F.desc("rev_cents"), F.asc("o_custkey")]
+    part = rev.repartitionByRange(*order).withColumn(
+        "_pid", F.spark_partition_id()
     )
-    w_all = Window.partitionBy()
-    ranked = rev.select(
-        "o_custkey", "rev_cents",
-        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
-        F.sum("rev_cents").over(w_all).alias("total_cents"),
+    part = part.localCheckpoint(eager=True)  # pin sampled range boundaries:
+    # two consumers (offsets, cumsum) must see the SAME partitioning
+    w_local = Window.partitionBy("_pid").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    share = F.col("cum_cents").cast("double") / F.col("total_cents").cast("double")
-    return ranked.select(
+    ptot = sorted(
+        part.groupBy("_pid").agg(F.sum("rev_cents").alias("_t")).collect(),
+        key=lambda r: r["_pid"],
+    )  # bounded: one row per shuffle partition
+    total = sum(r["_t"] for r in ptot)
+    offsets, acc = {}, 0
+    for r in ptot:
+        offsets[r["_pid"]] = acc
+        acc += r["_t"]
+    off = F.element_at(
+        F.map_from_arrays(
+            F.lit([int(k) for k in offsets]),
+            F.lit([int(offsets[k]) for k in offsets]),
+        ),
+        F.col("_pid").cast("long"),
+    )
+    cum = F.sum("rev_cents").over(w_local) + off
+    share = cum.cast("double") / F.lit(float(total))
+    return part.select(
         "o_custkey", "rev_cents",
         share.alias("cum_share"),
         F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
