@@ -95,6 +95,10 @@ _FORCE_REVERIFY = {
     "multimodal_binary",
     "multimodal_resize",
     "multimodal_frame_sample",
+    # r10 perf rewrites (outputs hash-identical by design, re-confirm):
+    # long-cents aggregation and the distributed prefix sum
+    "tpch_q1",
+    "window_cumulative_share",
 }
 
 
