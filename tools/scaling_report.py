@@ -172,6 +172,10 @@ OPS = [
     "events_user_type_entropy",
     "text_zipf_rank_profile",
     "supplier_lead_time_trend",
+    # r10 perf rewrites: the long-cents q1 and the distributed prefix-sum
+    # Pareto share join the sweep so their growth shape is tracked
+    "tpch_q1",
+    "window_cumulative_share",
 ]
 
 # (op, sf) pairs whose ORACLE formulation is intentionally not run: the
