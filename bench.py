@@ -423,17 +423,38 @@ def _sf1_leg(spark, reg) -> dict:
         # heaviest headline op reported a wall clock but no ratio).  The
         # bitext oracle is LSH-shaped, not all-pairs — ~260 s at sf1
         # (SCALING.md) — so ONE warm run is affordable under its own
-        # budget slice and the committed artifact gains a ratio.
+        # budget slice and the committed artifact gains a ratio.  The
+        # budget guards DURATION here, not just entry: one such oracle
+        # run was measured at 1517 s under a round-10 host load burst,
+        # so a watchdog thread interrupts DuckDB at the budget and the
+        # row is simply skipped (the receipt keeps its Spark wall clock).
         oracle_budget = float(os.environ.get("SPARK_GRAFT_SF1_RECEIPT_ORACLE_BUDGET", "420"))
+        import threading
+
         o_start = time.perf_counter()
         for op_id in receipts:
             if time.perf_counter() - o_start > oracle_budget:
                 break
             if reg[op_id].oracle is None:
                 continue
+            remaining = oracle_budget - (time.perf_counter() - o_start)
+            done = threading.Event()
+
+            def watchdog():
+                if not done.wait(timeout=max(remaining, 1.0)):
+                    con.interrupt()
+
+            w = threading.Thread(target=watchdog, daemon=True)
+            w.start()
             t0 = time.perf_counter()
-            con.sql(reg[op_id].oracle).arrow()
-            receipts_duckdb[op_id] = round(time.perf_counter() - t0, 4)
+            try:
+                con.sql(reg[op_id].oracle).arrow()
+                receipts_duckdb[op_id] = round(time.perf_counter() - t0, 4)
+            except Exception:  # interrupted past budget: skip the row
+                pass
+            finally:
+                done.set()
+                w.join(timeout=5)
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
