@@ -160,27 +160,68 @@ SELECT n.n_name,
     description="TPC-H Q5 local-supplier volume: 6-way join with broadcast dims",
 )
 def tpch_q5(spark, sf_dir):
-    c = load(spark, sf_dir, "customer")
+    # Plan: push the ASIA selectivity (~20 % of nations) BELOW the two big
+    # shuffles.  Catalyst will not reorder the joins without CBO stats, so the
+    # written order IS the plan: broadcast the 5-row ASIA nation set, filter
+    # supplier and customer by it map-side, filter lineitem by the ASIA
+    # supplier set via a broadcast join that carries (s_nationkey, n_name)
+    # onto the lineitem side — s_suppkey is unique, so this join cannot fan
+    # out.  Only the ~20 %-width lineitem then shuffles on l_orderkey, and
+    # the customer join shuffles on custkey with the c_nationkey =
+    # s_nationkey residual applied in the same exchange.  At 100 TB this is
+    # the difference between shuffling the full lineitem table and a fifth
+    # of it (measured 10.68 s -> see BASELINE.md round-11 for the A/B).
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
         & (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
     )
-    li = load(spark, sf_dir, "lineitem")
-    s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+    asia_nations = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select("n_nationkey", "n_name")
+    s_asia = (
+        load(spark, sf_dir, "supplier")
         .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+            F.broadcast(asia_nations.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
+        .select("s_suppkey", "s_nationkey")
+    )
+    c_asia = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(asia_nations.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey", "c_nationkey")
+    )
+    li_asia = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(s_asia), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    # Shrink orders by the ASIA customer set BEFORE the big orderkey shuffle
+    # (date filter ~30 % × ASIA ~20 % ≈ 6 % of orders reach the SMJ).  At
+    # sf10 AQE broadcasts c_asia; at 100 TB this is a custkey shuffle of the
+    # pre-join orders — still cheaper than shuffling the post-join lineitem
+    # result on custkey.
+    o_asia = o.join(c_asia, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_nationkey"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Group on the int nationkey (narrow shuffle rows) and attach the 25-row
+    # name map after the 5-row aggregate.
+    return (
+        li_asia.join(
+            o_asia,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("s_nationkey")
         .agg(_dec_sum(revenue, 4).alias("revenue"))
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "revenue")
     )
 
 
