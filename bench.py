@@ -312,6 +312,48 @@ def _summary_line(out: dict) -> dict:
     return s
 
 
+def _oracle_with_budget(con, sql: str, remaining: float) -> float | None:
+    """Run one DuckDB oracle under a wall-clock budget on a SHARED connection.
+
+    Returns elapsed seconds, or ``None`` if the watchdog interrupted it past
+    the budget.  ADVICE r10 hardening: the watchdog sets a ``fired`` flag
+    BEFORE calling ``con.interrupt()``, so (a) a genuinely failing oracle
+    re-raises instead of being swallowed as a budget skip, and (b) an
+    interrupt that lands AFTER the query completed (the completes-before-
+    ``done.set()`` race) is detected and absorbed with a throwaway statement
+    so the pending cancellation cannot kill the next caller's query."""
+    import threading
+
+    done = threading.Event()
+    fired = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout=max(remaining, 1.0)):
+            fired.set()
+            con.interrupt()
+
+    w = threading.Thread(target=watchdog, daemon=True)
+    w.start()
+    t0 = time.perf_counter()
+    elapsed = None
+    try:
+        con.sql(sql).arrow()
+        elapsed = time.perf_counter() - t0
+    except Exception:
+        if not fired.is_set():
+            done.set()
+            raise  # real oracle failure, not a budget interrupt
+    finally:
+        done.set()
+        w.join(timeout=5)
+    if fired.is_set() and elapsed is not None:
+        try:
+            con.sql("SELECT 1").fetchall()
+        except Exception:
+            pass
+    return elapsed
+
+
 def _sf1_leg(spark, reg) -> dict:
     """Re-measure the headline set at sf1 inside the same session.
 
@@ -429,8 +471,6 @@ def _sf1_leg(spark, reg) -> dict:
         # so a watchdog thread interrupts DuckDB at the budget and the
         # row is simply skipped (the receipt keeps its Spark wall clock).
         oracle_budget = float(os.environ.get("SPARK_GRAFT_SF1_RECEIPT_ORACLE_BUDGET", "420"))
-        import threading
-
         o_start = time.perf_counter()
         for op_id in receipts:
             if time.perf_counter() - o_start > oracle_budget:
@@ -438,23 +478,9 @@ def _sf1_leg(spark, reg) -> dict:
             if reg[op_id].oracle is None:
                 continue
             remaining = oracle_budget - (time.perf_counter() - o_start)
-            done = threading.Event()
-
-            def watchdog():
-                if not done.wait(timeout=max(remaining, 1.0)):
-                    con.interrupt()
-
-            w = threading.Thread(target=watchdog, daemon=True)
-            w.start()
-            t0 = time.perf_counter()
-            try:
-                con.sql(reg[op_id].oracle).arrow()
-                receipts_duckdb[op_id] = round(time.perf_counter() - t0, 4)
-            except Exception:  # interrupted past budget: skip the row
-                pass
-            finally:
-                done.set()
-                w.join(timeout=5)
+            elapsed = _oracle_with_budget(con, reg[op_id].oracle, remaining)
+            if elapsed is not None:
+                receipts_duckdb[op_id] = round(elapsed, 4)
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)

@@ -208,11 +208,7 @@ def table_path(sf_dir: str, table: str) -> str:
         os.replace(tmp, dst)  # atomic; safe under concurrent callers
         # the writer is also this generation's first reader — lease it
         # (same contract as the open branch below)
-        try:
-            with open(os.path.join(dst_dir, f".lease.{os.getpid()}"), "w"):
-                pass
-        except OSError:
-            pass
+        _write_lease(dst_dir)
     else:
         # Reader lease (ADVICE r8, hardened r10): on relatime/noatime
         # mounts a read-only Spark scan refreshes NEITHER atime nor mtime,
@@ -225,11 +221,46 @@ def table_path(sf_dir: str, table: str) -> str:
         # narrowed the race to scans shorter than the window).
         try:
             os.utime(dst_dir)
-            with open(os.path.join(dst_dir, f".lease.{os.getpid()}"), "w"):
-                pass
         except OSError:
             pass  # another session may prune/replace concurrently — harmless
+        _write_lease(dst_dir)
     return dst_dir
+
+
+_MY_LEASES: set[str] = set()
+
+
+def _write_lease(dst_dir: str) -> None:
+    """Drop this process's pid-named lease sentinel in ``dst_dir`` and
+    remember it for atexit removal (ADVICE r10: leases were written on every
+    open but never removed, so a long-lived process pinned every superseded
+    generation it ever opened for its whole lifetime, and dead-pid lease
+    files accumulated inside cache dirs forever)."""
+    import atexit
+    import os
+
+    path = os.path.join(dst_dir, f".lease.{os.getpid()}")
+    try:
+        with open(path, "w"):
+            pass
+    except OSError:
+        return  # concurrent prune/replace — harmless
+    if not _MY_LEASES:
+        atexit.register(_drop_my_leases)
+    _MY_LEASES.add(path)
+
+
+def _drop_my_leases() -> None:
+    """atexit: release every lease this process wrote — a clean exit must
+    not leave pid files that only the dead-pid sweep can reclaim."""
+    import os
+
+    for path in list(_MY_LEASES):
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        _MY_LEASES.discard(path)
 
 
 def events_path(sf_dir: str) -> str:
@@ -298,16 +329,24 @@ def prune_stale_siblings(base_dir: str, key: str) -> None:
         # pid-named sentinels written by table_path on every open; a lease
         # whose pid is still running marks the generation as in-use no
         # matter how old the dir's timestamps are (a >grace-window Spark
-        # scan).  Dead pids fall through to the age rule — pid reuse at
-        # worst keeps a dir one extra generation, never deletes a live one.
+        # scan).  Dead pids are DELETED as they are seen (ADVICE r10: they
+        # are pure garbage and otherwise accumulate inside cache dirs
+        # forever) and fall through to the age rule — pid reuse at worst
+        # keeps a dir one extra generation, never deletes a live one.
+        live = False
         for lease in glob.glob(os.path.join(d, ".lease.*")):
             try:
                 pid = int(os.path.basename(lease).rsplit(".", 1)[1])
             except ValueError:
                 continue
             if os.path.exists(f"/proc/{pid}"):
-                return True
-        return False
+                live = True
+            else:
+                try:
+                    os.unlink(lease)
+                except OSError:
+                    pass
+        return live
 
     def aged_out(d: str) -> bool:
         try:
@@ -318,7 +357,12 @@ def prune_stale_siblings(base_dir: str, key: str) -> None:
 
     prefix = key.split("-", 1)[0]
     for d in glob.glob(os.path.join(base_dir, f"{prefix}-*")):
-        if os.path.basename(d) != key and aged_out(d):
+        if os.path.basename(d) == key:
+            # the live generation is never age-pruned, but its dead-pid
+            # leases are still garbage — sweep them so a kept dir does not
+            # accumulate one sentinel per crashed/finished process forever
+            leased_by_live_pid(d)
+        elif aged_out(d):
             shutil.rmtree(d, ignore_errors=True)
     # one-time-per-call sweep of pre-r6 legacy names: 12-hex, no dash
     for d in glob.glob(os.path.join(base_dir, "*")):

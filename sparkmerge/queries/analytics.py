@@ -69,6 +69,19 @@ def tpch_q1(spark, sf_dir):
 
     c6 = cents(charge, 6)
     n = F.count(F.lit(1))
+    from decimal import Decimal as _D
+
+    def shifted(sum_long, scale):
+        # long sum is EXACT (int64 budget per docstring); one exact cast to
+        # decimal(38,0), one exact scale shift, ONE double cast — the same
+        # single-rounding discipline as sum_charge.  A long→double cast
+        # followed by a double division rounds TWICE once the integer total
+        # crosses 2^53 (scale-4 disc totals get there near sf33) and can
+        # drift a ulp from the oracle's single decimal→double rounding.
+        return (sum_long.cast("decimal(38,0)") * F.lit(_D(f"1E-{scale}"))).cast(
+            "double"
+        )
+
     qty = F.sum(cents(F.col("l_quantity"), 2))
     base = F.sum(cents(F.col("l_extendedprice"), 2))
     disc4 = F.sum(cents(disc_price, 4))
@@ -78,8 +91,6 @@ def tpch_q1(spark, sf_dir):
     # the charge total crosses 2^53 already at sf0.1, so a long→double
     # cast followed by /1e6 would double-round and drift a ulp from the
     # oracle's single decimal→double rounding
-    from decimal import Decimal as _D
-
     charge_exact = (
         F.sum(F.expr("_c6 div 1000000000")).cast("decimal(38,0)")
         * F.lit(1000000000)
@@ -91,13 +102,13 @@ def tpch_q1(spark, sf_dir):
         li.withColumn("_c6", c6)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            (qty.cast("double") / F.lit(100.0)).alias("sum_qty"),
-            (base.cast("double") / F.lit(100.0)).alias("sum_base_price"),
-            (disc4.cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+            shifted(qty, 2).alias("sum_qty"),
+            shifted(base, 2).alias("sum_base_price"),
+            shifted(disc4, 4).alias("sum_disc_price"),
             sum_charge.alias("sum_charge"),
-            (qty.cast("double") / F.lit(100.0) / nd).alias("avg_qty"),
-            (base.cast("double") / F.lit(100.0) / nd).alias("avg_price"),
-            (dsc2.cast("double") / F.lit(100.0) / nd).alias("avg_disc"),
+            (shifted(qty, 2) / nd).alias("avg_qty"),
+            (shifted(base, 2) / nd).alias("avg_price"),
+            (shifted(dsc2, 2) / nd).alias("avg_disc"),
             n.alias("count_order"),
         )
     )

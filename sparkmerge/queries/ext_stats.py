@@ -491,7 +491,13 @@ def window_cumulative_share(spark, sf_dir):
     Output values are partitioning-invariant: the key (rev desc, custkey)
     is a total order, so every row's prefix is unique regardless of where
     the range boundaries land.  Measured sf10: 5.3 → 1.9 s (BASELINE.md
-    round-10)."""
+    round-10).
+
+    Cluster caveat (ADVICE r10): ``localCheckpoint`` blocks are not
+    fault-tolerant — an executor loss makes the returned frame
+    unrecomputable.  On a real cluster, set a checkpoint dir and swap in
+    reliable ``checkpoint()`` (same pin semantics, HDFS-backed); local[)
+    test mode has no executor loss, so the cheap pin is used here."""
     o = load(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
     rev = o.groupBy("o_custkey").agg(F.sum(cents).alias("rev_cents"))
@@ -508,6 +514,16 @@ def window_cumulative_share(spark, sf_dir):
         part.groupBy("_pid").agg(F.sum("rev_cents").alias("_t")).collect(),
         key=lambda r: r["_pid"],
     )  # bounded: one row per shuffle partition
+    if not ptot:
+        # empty orders input (ADVICE r10): F.lit([]) below cannot infer an
+        # array type and the share would divide by 0.0 — the correct result
+        # is simply the empty frame with the contract schema
+        return part.select(
+            "o_custkey",
+            "rev_cents",
+            F.lit(None).cast("double").alias("cum_share"),
+            F.lit(None).cast("string").alias("abc_class"),
+        )
     total = sum(r["_t"] for r in ptot)
     offsets, acc = {}, 0
     for r in ptot:
