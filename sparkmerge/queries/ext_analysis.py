@@ -3155,3 +3155,199 @@ def supplier_lead_time_trend(spark, sf_dir):
         "mean_gap_days",
         (F.col("mean_gap_days") - F.lag("mean_gap_days").over(w)).alias("delta_mom"),
     )
+
+
+# --- part_brand_price_position (r11b1): per-(brand,type) exact retail-cents
+# percentile bands + position vs the type median -----------------------------
+#
+# All outputs are exact BIGINT cents — zero FP anywhere.  Order statistics
+# use the house cumulative-count recipe (agg_weighted_median precedent): a
+# row-number window ordered by (cents, p_partkey) — deterministic under
+# ties — and the k-th smallest at k = ceil(q·n) (the "lower" convention,
+# pure integer arithmetic: ceil(qn/d) = (qn + d - 1) DIV d on positives,
+# identical in both engines).
+
+
+@register(
+    "part_brand_price_position",
+    oracle="""
+WITH v AS (
+  SELECT p_brand, p_type, p_partkey,
+         CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM part
+),
+r AS (
+  SELECT p_brand, p_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY p_brand, p_type
+                            ORDER BY cents, p_partkey) AS rn,
+         COUNT(*) OVER (PARTITION BY p_brand, p_type) AS n
+    FROM v
+),
+cell AS (
+  SELECT p_brand, p_type,
+         CAST(min(n) AS BIGINT) AS n_parts,
+         CAST(min(cents) FILTER (rn = (n + 3) // 4) AS BIGINT) AS p25_cents,
+         CAST(min(cents) FILTER (rn = (n + 1) // 2) AS BIGINT) AS p50_cents,
+         CAST(min(cents) FILTER (rn = (3 * n + 3) // 4) AS BIGINT) AS p75_cents
+    FROM r GROUP BY 1, 2
+),
+tr AS (
+  SELECT p_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY p_type ORDER BY cents, p_partkey) AS rn,
+         COUNT(*) OVER (PARTITION BY p_type) AS n
+    FROM v
+),
+tmed AS (
+  SELECT p_type, CAST(min(cents) AS BIGINT) AS type_median_cents
+    FROM tr WHERE rn = (n + 1) // 2 GROUP BY 1
+)
+SELECT c.p_brand, c.p_type, c.n_parts, c.p25_cents, c.p50_cents, c.p75_cents,
+       t.type_median_cents,
+       c.p50_cents - t.type_median_cents AS delta_vs_type_cents
+  FROM cell c JOIN tmed t USING (p_type)
+""",
+    description="per-(brand,type) exact retail-cents quartile bands and the "
+    "cell median's position vs the whole type's median: two keyed windows "
+    "(cell grain, type grain) + a broadcast join of the bounded type-median "
+    "table back onto the bounded brand×type lattice — every output an exact "
+    "BIGINT, zero FP",
+)
+def part_brand_price_position(spark, sf_dir):
+    """Brand pricing posture screen.  Shuffle shape: one (p_brand, p_type)
+    exchange for the cell windows, one p_type exchange for the type median,
+    broadcast of the ≤|types| median rows back onto the ≤|brands×types|
+    lattice.  At 100 TB the windows partition on the lattice keys (bounded
+    group count ⇒ bounded skew) and never run unpartitioned."""
+    p = load(spark, sf_dir, "part")
+    cents = F.floor(F.col("p_retailprice") * 100.0 + 0.5).cast("long")
+    v = p.select("p_brand", "p_type", "p_partkey", cents.alias("cents"))
+    w_cell = Window.partitionBy("p_brand", "p_type").orderBy("cents", "p_partkey")
+    wn_cell = Window.partitionBy("p_brand", "p_type")
+    r = v.select(
+        "p_brand",
+        "p_type",
+        "cents",
+        F.row_number().over(w_cell).alias("rn"),
+        F.count(F.lit(1)).over(wn_cell).alias("n"),
+    )
+    # ceil(q·n) in pure integers — (q_num·n + q_den − 1) DIV q_den
+    cell = r.groupBy("p_brand", "p_type").agg(
+        F.min("n").alias("n_parts"),
+        F.min(F.when(F.col("rn") == F.expr("(n + 3) DIV 4"), F.col("cents"))).alias(
+            "p25_cents"
+        ),
+        F.min(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("cents"))).alias(
+            "p50_cents"
+        ),
+        F.min(
+            F.when(F.col("rn") == F.expr("(3 * n + 3) DIV 4"), F.col("cents"))
+        ).alias("p75_cents"),
+    )
+    w_type = Window.partitionBy("p_type").orderBy("cents", "p_partkey")
+    wn_type = Window.partitionBy("p_type")
+    tmed = (
+        v.select(
+            "p_type",
+            "cents",
+            F.row_number().over(w_type).alias("rn"),
+            F.count(F.lit(1)).over(wn_type).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .groupBy("p_type")
+        .agg(F.min("cents").alias("type_median_cents"))
+    )
+    return (
+        cell.join(F.broadcast(tmed), "p_type")
+        .select(
+            "p_brand",
+            "p_type",
+            "n_parts",
+            "p25_cents",
+            "p50_cents",
+            "p75_cents",
+            "type_median_cents",
+            (F.col("p50_cents") - F.col("type_median_cents")).alias(
+                "delta_vs_type_cents"
+            ),
+        )
+    )
+
+
+# --- customer_segment_nation_matrix (r11b1): mktsegment × nation lattice ----
+
+
+@register(
+    "customer_segment_nation_matrix",
+    oracle="""
+WITH v AS (
+  SELECT c_mktsegment, n_name,
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+cell AS (
+  SELECT c_mktsegment, n_name,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS sum_acctbal_cents,
+         CAST(min(cents) AS BIGINT) AS min_acctbal_cents,
+         CAST(max(cents) AS BIGINT) AS max_acctbal_cents
+    FROM v GROUP BY 1, 2
+)
+SELECT c_mktsegment, n_name, n_customers,
+       sum_acctbal_cents, min_acctbal_cents, max_acctbal_cents,
+       CAST(sum_acctbal_cents AS DOUBLE)
+         / CAST(n_customers * 100 AS DOUBLE) AS avg_acctbal,
+       CAST((1000 * n_customers)
+            // CAST((SELECT sum(n_customers) FROM cell) AS BIGINT)
+            AS BIGINT) AS share_permille
+  FROM cell
+""",
+    description="customer mktsegment × nation lattice: counts, exact "
+    "acctbal-cents sum/min/max, mean as ONE IEEE division of exact integers "
+    "(sum_cents / (n·100) — the ·100 de-scales cents and count in a single "
+    "exact integer product), and exact integer per-mille share of the total "
+    "customer count; one (segment, nation) shuffle over broadcast-joined "
+    "dims, global total via one agg over the bounded ≤|segs×nations| lattice",
+)
+def customer_segment_nation_matrix(spark, sf_dir):
+    """Segment×nation composition screen.  The grand total for the share
+    column is a window over the bounded lattice (≤ segments × nations rows),
+    not over raw customers — the raw-grain shuffle happens exactly once."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cents = F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long")
+    cell = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_mktsegment", "n_name", cents.alias("cents"))
+        .groupBy("c_mktsegment", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("sum_acctbal_cents"),
+            F.min("cents").alias("min_acctbal_cents"),
+            F.max("cents").alias("max_acctbal_cents"),
+        )
+    )
+    w_all = Window.partitionBy()
+    total = F.sum("n_customers").over(w_all)
+    return cell.select(
+        "c_mktsegment",
+        "n_name",
+        "n_customers",
+        "sum_acctbal_cents",
+        "min_acctbal_cents",
+        "max_acctbal_cents",
+        (
+            F.col("sum_acctbal_cents").cast("double")
+            / (F.col("n_customers") * F.lit(100)).cast("double")
+        ).alias("avg_acctbal"),
+        (F.lit(1000) * F.col("n_customers")).cast("long").alias("_num"),
+        total.alias("_tot"),
+    ).select(
+        "c_mktsegment",
+        "n_name",
+        "n_customers",
+        "sum_acctbal_cents",
+        "min_acctbal_cents",
+        "max_acctbal_cents",
+        "avg_acctbal",
+        F.expr("_num DIV _tot").alias("share_permille"),
+    )

@@ -469,3 +469,128 @@ def bitext_margin_mine(spark, sf_dir, tables=8):
         tables=tables,
         min_gap=0.02,
     )
+
+
+# --- embedding_label_centroid_spread (r11b1): per-label centroid + intra-
+# label cosine spread — the embedding-quality screen ------------------------
+#
+# Centroids use the kmeans fixed-point discipline (ext_sketch.py precedent):
+# coordinates quantize to offset longs (×2^20 — a power of two, so the
+# double product is EXACT — +2^21 keeps everything positive so DIV == //),
+# per-(label, dim) integer mean, centroid back to double by an exact
+# power-of-two division.  Member-vs-centroid cosine is the house left fold
+# (bit-identical in both engines); the per-label MEAN cosine quantizes each
+# cosine to exact micro units first so the sum is an exact integer and the
+# mean is ONE IEEE division — never an order-dependent double sum.
+
+_CQS = 1 << 20  # quantization scale (power of two: exact double product)
+_CQOFF = 1 << 21  # offset: coords are in (-1, 1), so q is always positive
+
+
+def _centroid_comp_sql(i: int) -> str:
+    return f"((CAST(c.c[{i}] AS DOUBLE) - {_CQOFF}) / {float(_CQS)!r})"
+
+
+def _centroid_cos_sql() -> str:
+    dot = _fold_sql(
+        [
+            f"(CAST(e.embedding[{i}] AS DOUBLE) * {_centroid_comp_sql(i)})"
+            for i in range(1, DIM + 1)
+        ]
+    )
+    nc = _fold_sql(
+        [f"({_centroid_comp_sql(i)} * {_centroid_comp_sql(i)})" for i in range(1, DIM + 1)]
+    )
+    return f"({dot} / ({_norm_sql('e.embedding')} * sqrt({nc})))"
+
+
+@register(
+    "embedding_label_centroid_spread",
+    oracle=f"""
+WITH qv AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {float(_CQS)!r} + 0.5) AS BIGINT)
+                + {_CQOFF}) AS q
+    FROM embeddings
+),
+u AS (SELECT label, q, unnest(generate_series(1, len(q))) AS i FROM qv),
+g AS (
+  SELECT label, i, CAST(SUM(q[i]) // COUNT(*) AS BIGINT) AS cv
+    FROM u GROUP BY 1, 2
+),
+cent AS (SELECT label, list(cv ORDER BY i) AS c FROM g GROUP BY 1),
+scored AS (
+  SELECT e.label, {_centroid_cos_sql()} AS cos
+    FROM embeddings e JOIN cent c USING (label)
+),
+m AS (
+  SELECT label, cos,
+         CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS micro
+    FROM scored
+)
+SELECT CAST(label AS INT) AS label,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(micro) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE)
+         AS mean_cos,
+       min(cos) AS min_cos,
+       max(cos) AS max_cos
+  FROM m GROUP BY 1
+""",
+    description="per-label centroid cohesion screen: fixed-point exact "
+    "centroid (posexplode partial sums, integer mean), member-vs-centroid "
+    "cosine via the house left fold, spread as micro-quantized exact-integer "
+    "mean (ONE IEEE division) + raw min/max — the embedding-quality gate a "
+    "labeled training corpus runs before a contrastive fine-tune",
+)
+def embedding_label_centroid_spread(spark, sf_dir):
+    """Shuffle shape: one posexplode (label, dim) partial-sum exchange —
+    (|labels|·64 groups, map-side combined) — then the ≤|labels|-row centroid
+    table broadcasts back onto the member scan; the final per-label agg is
+    the only other exchange.  No window touches the raw grain, so the plan
+    holds at 10⁹ vectors."""
+    from sparkmerge.ext.similarity import norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    q = F.transform(
+        e,
+        lambda x: F.floor(x.cast("double") * float(_CQS) + 0.5).cast("long")
+        + F.lit(_CQOFF),
+    )
+    u = emb.select("label", F.posexplode(q).alias("i", "qi"))
+    g = u.groupBy("label", "i").agg(F.expr("SUM(qi) DIV COUNT(1)").alias("cv"))
+    cent = g.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cv"))),
+            lambda s: s.getField("cv"),
+        ).alias("c")
+    )
+    cd = F.transform(
+        F.col("c"), lambda x: (x - F.lit(_CQOFF)).cast("double") / float(_CQS)
+    )
+    dot = F.aggregate(
+        F.zip_with(e, cd, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_c = F.sqrt(
+        F.aggregate(
+            F.transform(cd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    cos = dot / (norm(e) * norm_c)
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        cos.alias("cos"),
+        F.floor(cos * 1000000.0 + 0.5).cast("long").alias("micro"),
+    )
+    return scored.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (
+            F.sum("micro").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1000000)).cast("double")
+        ).alias("mean_cos"),
+        F.min("cos").alias("min_cos"),
+        F.max("cos").alias("max_cos"),
+    )

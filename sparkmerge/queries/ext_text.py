@@ -1945,3 +1945,65 @@ def text_zipf_rank_profile(spark, sf_dir):
         "occurrences",
         F.expr("(1000 * occurrences) div _tot").alias("share_pm"),
     )
+
+
+# --- text_cross_lang_length_ratio (r11b1): per (source, lang) length ratio
+# vs the en baseline — the parallel-corpus mining prior ----------------------
+
+
+@register(
+    "text_cross_lang_length_ratio",
+    oracle="""
+WITH g AS (
+  SELECT source, lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1, 2
+),
+en AS (
+  SELECT source, n_docs AS en_docs, sum_chars AS en_chars
+    FROM g WHERE lang = 'en'
+)
+SELECT g.source, g.lang, g.n_docs, g.sum_chars,
+       CAST(g.sum_chars AS DOUBLE) / CAST(g.n_docs AS DOUBLE) AS mean_chars,
+       CAST(g.sum_chars * en.en_docs AS DOUBLE)
+         / CAST(en.en_chars * g.n_docs AS DOUBLE) AS ratio_vs_en
+  FROM g LEFT JOIN en USING (source)
+""",
+    description="per-(source, lang) mean document length and its ratio to "
+    "the same source's en mean — the length-ratio prior parallel-corpus "
+    "mining uses to pre-screen candidate bitext pairs: one (source, lang) "
+    "shuffle agg, the ≤|sources| en-baseline rows broadcast back, ratio as "
+    "ONE IEEE division of two exact cross-multiplied integer products "
+    "(sum_l·n_en / sum_en·n_l — exact below 2^53, i.e. to ~sf300 on this "
+    "corpus; the decimal(38,0) recombine is the escape hatch past that)",
+)
+def text_cross_lang_length_ratio(spark, sf_dir):
+    """Shuffle shape: ONE (source, lang) exchange over the raw grain; the
+    en baseline is a filter of the same aggregate (≤|sources| rows,
+    broadcast).  A source with no en docs keeps its rows with a NULL ratio
+    (left join) — corpus-checked: every source has en docs at every SF, so
+    the tested outputs are total."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    en = g.filter(F.col("lang") == "en").select(
+        "source",
+        F.col("n_docs").alias("en_docs"),
+        F.col("sum_chars").alias("en_chars"),
+    )
+    return g.join(F.broadcast(en), "source", "left").select(
+        "source",
+        "lang",
+        "n_docs",
+        "sum_chars",
+        (F.col("sum_chars").cast("double") / F.col("n_docs").cast("double")).alias(
+            "mean_chars"
+        ),
+        (
+            (F.col("sum_chars") * F.col("en_docs")).cast("double")
+            / (F.col("en_chars") * F.col("n_docs")).cast("double")
+        ).alias("ratio_vs_en"),
+    )

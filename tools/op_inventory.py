@@ -189,6 +189,10 @@ SECTIONS = [
         "orders_priority_sla_breach", "events_user_type_entropy",
         "text_zipf_rank_profile", "supplier_lead_time_trend",
     ]),
+    ("Price position, segment matrix, centroid spread & length ratio (r11 batch 1)", [
+        "part_brand_price_position", "customer_segment_nation_matrix",
+        "embedding_label_centroid_spread", "text_cross_lang_length_ratio",
+    ]),
     ("Multimodal (SURVEY §2.D)", [
         "multimodal_columns", "multimodal_array_sim", "multimodal_binary",
         "multimodal_resize", "multimodal_frame_sample",
