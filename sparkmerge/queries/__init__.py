@@ -83,20 +83,18 @@ def register(op_id: str, *, oracle: str | None = None, description: str = ""):
 # surfaces) landed green r8 rows and are cleared.
 # NOTE (r10): all 7 r9 entries (lsh/tables/gap_unit levers ×4, multimodal
 # real-codec trio) landed green r9 rows and are cleared.
+# NOTE (r11): all 7 r10 entries (lsh-guard pair, multimodal trio, q1
+# long-cents, cumulative-share prefix sum) landed green r10 rows and are
+# cleared.
 _FORCE_REVERIFY = {
-    # r10 ADVICE fixes (ADVICE r9): the lsh lever branch gained the
-    # empty-token-set guard (default/oracle paths untouched — blank docs
-    # never reach the prefix candidates anyway) and the BMP codec went
-    # standard-layout (zero pad, pad-excluded luma; fixture closed forms
-    # unchanged).  Re-confirm the registered surfaces post-edit, same
-    # precedent as every prior round's rewrite entries.
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "multimodal_binary",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    # r10 perf rewrites (outputs hash-identical by design, re-confirm):
-    # long-cents aggregation and the distributed prefix sum
+    # r11 perf rewrite: tpch_q5's ASIA selectivity pushed below the big
+    # shuffles (output identical by construction — suppkey uniqueness —
+    # but the plan is new; re-confirm, same precedent as q1 in r10)
+    "tpch_q5",
+    # r11 ADVICE fixes (ADVICE r10): q1's disc/qty/base sums now convert
+    # via the single-rounding decimal shift (bit-identical below 2^53 by
+    # design), and window_cumulative_share gained the empty-input guard
+    # (non-empty path untouched).  Re-confirm both post-edit.
     "tpch_q1",
     "window_cumulative_share",
 }

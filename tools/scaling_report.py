@@ -176,6 +176,15 @@ OPS = [
     # Pareto share join the sweep so their growth shape is tracked
     "tpch_q1",
     "window_cumulative_share",
+    # r11 batch 1: the all-BIGINT brand×type quartile lattice, the
+    # segment×nation matrix, the fixed-point centroid spread, and the
+    # (source, lang) length-ratio prior
+    "part_brand_price_position",
+    "customer_segment_nation_matrix",
+    "embedding_label_centroid_spread",
+    "text_cross_lang_length_ratio",
+    # r11 perf rewrite: the ASIA-pushdown q5 joins the sweep
+    "tpch_q5",
 ]
 
 # (op, sf) pairs whose ORACLE formulation is intentionally not run: the
