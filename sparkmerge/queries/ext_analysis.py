@@ -900,10 +900,25 @@ def orders_basket_lift(spark, sf_dir, apriori_prune=False):
         raw_pairs = raw_pairs.join(fa, "part_a", "left_semi").join(
             fb, "part_b", "left_semi"
         )
+    # r11 perf: the pair Exchange aggregates ~120M nearly-unique groups at
+    # sf10 (119.96M rows → 119.6M groups — almost every pair is a
+    # singleton the support floor then drops), so the hash-agg key cost
+    # dominates the whole op.  Packing (a, b) into ONE long key (a·2³² + b,
+    # exact while partkey < 2³² — a 4.3-billion-part catalog; two-column
+    # grouping is the fallback past that) measured 38.5 → 23.7 s for the
+    # agg alone at sf10 (BASELINE.md round-11).  a < b by construction of
+    # the sorted-slice expansion, so the unpack is lossless.
+    pk = F.col("part_a").cast("long") * F.lit(1 << 32) + F.col("part_b")
     pair = (
-        raw_pairs.groupBy("part_a", "part_b")
+        raw_pairs.select(pk.alias("_pk"))
+        .groupBy("_pk")
         .agg(F.count(F.lit(1)).alias("pair_n"))
         .filter(F.col("pair_n") >= _BASKET_MIN_PAIR)
+        .select(
+            F.expr("_pk DIV 4294967296").alias("part_a"),
+            (F.col("_pk") % F.lit(1 << 32)).alias("part_b"),
+            "pair_n",
+        )
     )
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("n_a"))
     ib = item.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("n_b"))
