@@ -97,6 +97,10 @@ _FORCE_REVERIFY = {
     # (non-empty path untouched).  Re-confirm both post-edit.
     "tpch_q1",
     "window_cumulative_share",
+    # r11 perf rewrites (outputs hash-identical by design, re-confirm):
+    # the q9_style long-cents promotion and the basket pair-key packing
+    "tpch_q9_style",
+    "orders_basket_lift",
 }
 
 

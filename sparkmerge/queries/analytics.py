@@ -21,6 +21,20 @@ def _dec_sum(col, scale: int):
     return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
 
 
+def _cents_sum(col, scale: int):
+    """Exact long-cents aggregation of an exact ``scale``-decimal product,
+    converted by the single-rounding decimal shift (tpch_q1's r10/r11
+    discipline): bit-identical to ``_dec_sum`` while per-group integer
+    totals stay inside int64, and ~1.2-5× cheaper because the per-row sum
+    stays in the long fast path instead of Spark's widened-decimal
+    accumulator.  Promote an op from _dec_sum only with a measured win
+    (q3 measured NO win — join-dominated — and keeps _dec_sum)."""
+    from decimal import Decimal as _D
+
+    c = F.floor(col * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
+    return (F.sum(c).cast("decimal(38,0)") * F.lit(_D(f"1E-{scale}"))).cast("double")
+
+
 @register(
     "tpch_q1",
     oracle="""
@@ -786,6 +800,15 @@ SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
     "two exact decimal sums combined with two mirrored IEEE double ops",
 )
 def tpch_q9_style(spark, sf_dir):
+    """Long-cents promotion (r11, q1's template): both revenue and cost are
+    exact 4-decimal products of exact 2-decimal inputs, so each sum
+    aggregates as exact scale-4 long cents and converts via the
+    single-rounding decimal shift — bit-identical to the decimal oracle
+    (verified at sf10) and A/B-measured 3.98 → 3.20 s there (interleaved
+    5-rep medians, BASELINE.md round-11).  Overflow budget: per-group
+    scale-4 totals are ~1.7e15 at sf1000 (bounded 25×7 lattice) — int64
+    safe; the totals cross 2^53 near sf40, which is why the conversion
+    goes through decimal, not a double division."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
@@ -799,7 +822,7 @@ def tpch_q9_style(spark, sf_dir):
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(_dec_sum(rev, 4).alias("_r"), _dec_sum(cost, 4).alias("_c"))
+        .agg(_cents_sum(rev, 4).alias("_r"), _cents_sum(cost, 4).alias("_c"))
         .select("nation", "o_year",
                 (F.col("_r") - 0.1 * F.col("_c")).alias("sum_profit"))
     )
