@@ -183,8 +183,10 @@ OPS = [
     "customer_segment_nation_matrix",
     "embedding_label_centroid_spread",
     "text_cross_lang_length_ratio",
-    # r11 perf rewrite: the ASIA-pushdown q5 joins the sweep
+    # r11 perf rewrites: the ASIA-pushdown q5 and the long-cents q9_style
+    # join the sweep (orders_basket_lift is already a sweep row above)
     "tpch_q5",
+    "tpch_q9_style",
 ]
 
 # (op, sf) pairs whose ORACLE formulation is intentionally not run: the
