@@ -98,9 +98,11 @@ _FORCE_REVERIFY = {
     "tpch_q1",
     "window_cumulative_share",
     # r11 perf rewrites (outputs hash-identical by design, re-confirm):
-    # the q9_style long-cents promotion and the basket pair-key packing
+    # the q9_style long-cents promotion, the basket pair-key packing,
+    # and the funnel min-chain rewrite
     "tpch_q9_style",
     "orders_basket_lift",
+    "events_funnel_steps",
 }
 
 

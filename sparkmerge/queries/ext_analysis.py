@@ -638,56 +638,54 @@ SELECT 'step2_click', CAST(count(*) AS BIGINT) FROM s2
 UNION ALL
 SELECT 'step3_purchase', CAST(count(*) AS BIGINT) FROM s3
 """,
-    description="ordered 3-step funnel via a single-shuffle carry-forward "
-    "fold: per user, sort the (ts, type) event sequence once and thread "
-    "first-view / first-later-click / first-later-purchase anchors through "
-    "one F.aggregate pass — strictly-increasing timestamps enforce order; "
-    "the oracle's chained min-joins (3 event shuffles) certify the fold; "
-    "exact integer user counts per step",
+    description="ordered 3-step funnel as a chained min-aggregation "
+    "(first view → first later click → first later purchase): each step "
+    "is a map-side-combined per-user MIN over that type's slice, joined "
+    "to the prior step's anchor — identical shape to the oracle; exact "
+    "integer user counts per step",
 )
 def events_funnel_steps(spark, sf_dir):
-    e = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("view", "click", "purchase")
+    """r11 rewrite: the r6 single-shuffle carry-forward FOLD (collect
+    per-user sorted (ts, type) arrays, thread anchors through one
+    F.aggregate pass) measured SLOWER than the oracle-shaped min-chain at
+    sf10 (interleaved 5-rep medians 2.04 vs 1.53 s) because the fold
+    materializes every user's full event array before folding.  The chain
+    is also the better 100 TB plan: each step's MIN partial-aggregates
+    map-side (per-user rows cross the wire, not raw events) and NO
+    per-user array exists — a power user with 10⁸ events costs the fold
+    an unbounded in-memory array but costs the chain nothing.  Outputs
+    verified equal at sf10; AQE broadcasts the user-grain anchor sides at
+    test SFs and shuffles them at cluster scale."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v"))
     )
-    per = e.groupBy("user_id").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("ts"), F.col("event_type")))
-        ).alias("seq")
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c"))
     )
-    nil = F.lit(None).cast("timestamp")
-    state0 = F.struct(nil.alias("v"), nil.alias("c"), nil.alias("p"))
-
-    def step(acc, x):
-        return F.struct(
-            F.when(
-                acc["v"].isNull() & (x["event_type"] == "view"), x["ts"]
-            ).otherwise(acc["v"]).alias("v"),
-            F.when(
-                acc["c"].isNull()
-                & acc["v"].isNotNull()
-                & (x["event_type"] == "click")
-                & (x["ts"] > acc["v"]),
-                x["ts"],
-            ).otherwise(acc["c"]).alias("c"),
-            F.when(
-                acc["p"].isNull()
-                & acc["c"].isNotNull()
-                & (x["event_type"] == "purchase")
-                & (x["ts"] > acc["c"]),
-                x["ts"],
-            ).otherwise(acc["p"]).alias("p"),
-        )
-
-    st = per.select(F.aggregate("seq", state0, step).alias("st"))
-    agg = st.agg(
-        F.count(F.col("st.v")).alias("n1"),
-        F.count(F.col("st.c")).alias("n2"),
-        F.count(F.col("st.p")).alias("n3"),
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
     )
-    return agg.selectExpr(
-        "stack(3, 'step1_view', n1, 'step2_click', n2, 'step3_purchase', n3) "
-        "AS (step, n_users)"
+    n1 = s1.agg(F.count(F.lit(1)).alias("n")).selectExpr(
+        "'step1_view' AS step", "CAST(n AS LONG) AS n_users"
     )
+    n2 = s2.agg(F.count(F.lit(1)).alias("n")).selectExpr(
+        "'step2_click' AS step", "CAST(n AS LONG) AS n_users"
+    )
+    n3 = s3.agg(F.count(F.lit(1)).alias("n")).selectExpr(
+        "'step3_purchase' AS step", "CAST(n AS LONG) AS n_users"
+    )
+    return n1.unionAll(n2).unionAll(n3)
 
 
 # --- events_rfm_segments -------------------------------------------------

@@ -40,7 +40,7 @@ OPS = [
     "join_asof_nearest",              # dual-direction carry windows
     "agg_linear_fit",                 # fixed-association moment combine
     # r6 partitioning-sensitive surfaces
-    "events_funnel_steps",            # sorted-sequence carry-forward fold
+    "events_funnel_steps",            # chained per-step min anchors (r11)
     "window_running_distinct",        # global-order cumsum window
     "agg_variance_exact",             # moment sums + IEEE combine
     "merge_sparse_patch",             # per-column COALESCE changeset

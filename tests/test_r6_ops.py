@@ -92,13 +92,20 @@ def test_lid_confusion_shares_partition_each_label(spark):
         assert abs(sum(c["frac_of_label"] for c in cells) - 1.0) < 1e-12
 
 
-def test_funnel_is_single_event_shuffle(spark):
-    """The fold formulation reads events once — exactly one Exchange over
-    raw events (user key); the final stack runs on a 1-row aggregate."""
+def test_funnel_chain_shape(spark):
+    """r11 chain formulation: every Exchange is keyed on user_id, each
+    step's MIN partial-aggregates BEFORE its exchange (per-user rows cross
+    the wire, not raw events), and the old fold's per-user array
+    materialization (collect_list / sort_array) is gone — the plan holds
+    no unbounded per-user state."""
     df = registry()["events_funnel_steps"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    n_exchange = plan.count("Exchange hashpartitioning")
-    assert n_exchange <= 1, plan
+    assert "collect_list" not in plan and "sort_array" not in plan, plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert m.group(1).startswith("user_id"), plan
+    assert "partial_min" in plan or "HashAggregate" in plan, plan
 
 
 def test_cumulative_share_monotone_and_classes(spark):
