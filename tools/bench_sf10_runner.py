@@ -69,13 +69,48 @@ def main() -> None:
     for t in bench.TABLES:  # pre-warm read-optimized rewrites outside timings
         table_path(sf10_dir, t)
 
+    # UNTIMED session warmup (r12, the merge_sparse_patch artifact
+    # contradiction): the first job of a fresh session pays ~10 s of pure
+    # warmup on this host (JIT/codegen compile, parquet + noop sink
+    # classloading, shuffle infra init, page-cache first touch) — measured
+    # 11.4 s for a trivial scan+agg+noop job vs sub-second steady-state.
+    # Under the old protocol that cost landed entirely in the FIRST op's
+    # row, and because a >=10 s first reading was returned un-repeated,
+    # merge_sparse_patch (first in breadth) committed 20-25 s cold against
+    # a 3.7-3.9 s steady state.  One representative untimed job absorbs
+    # the session-generic share before any timed row.
+    from pyspark.sql import functions as F
+
+    (
+        spark.read.parquet(table_path(sf10_dir, "orders"))
+        .groupBy((F.col("o_orderkey") % 64).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+
     def timed(run) -> float:
         t0 = time.perf_counter()
         run()
         warm = time.perf_counter() - t0
+        if warm >= 60:
+            # genuinely heavy: one rep — per-plan warmup share is noise at
+            # this magnitude, and a second rep would blow the block budget
+            return warm
         n = 1 if warm >= 10 else 3 if warm >= 2 else 5
         if n == 1:
-            return warm
+            # 10-60 s band: the first reading still carries the op's OWN
+            # cold costs (whole-stage-codegen compile for this plan shape,
+            # first touch of its input files) even after session warmup —
+            # the r11 committed artifact read merge_sparse_patch at 24.8 s
+            # against a 3.7 s steady state this way.  One more rep; min is
+            # the steady-state estimator when one sample is cold-biased.
+            t0 = time.perf_counter()
+            run()
+            return min(warm, time.perf_counter() - t0)
         times = []
         for _ in range(n):
             t0 = time.perf_counter()
