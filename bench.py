@@ -336,21 +336,38 @@ def _oracle_with_budget(con, sql: str, remaining: float) -> float | None:
     w.start()
     t0 = time.perf_counter()
     elapsed = None
+    swallowed: Exception | None = None
     try:
         con.sql(sql).arrow()
         elapsed = time.perf_counter() - t0
-    except Exception:
+    except Exception as e:
         if not fired.is_set():
             done.set()
             raise  # real oracle failure, not a budget interrupt
+        # ADVICE r11: a genuine failure racing the deadline lands here too —
+        # record it (visible on stderr, not silently dropped) so a real
+        # failure coinciding with the budget stays diagnosable.
+        swallowed = e
     finally:
         done.set()
         w.join(timeout=5)
-    if fired.is_set() and elapsed is not None:
+    if fired.is_set():
+        # ADVICE r11: absorb on BOTH outcomes.  When the query completed
+        # (elapsed set) the interrupt may still be pending; when it raised,
+        # the interrupt may equally have landed after DuckDB unwound (e.g.
+        # a real error racing the deadline) — either way the cancellation
+        # must not survive into the next caller's query on this shared
+        # connection.
         try:
             con.sql("SELECT 1").fetchall()
         except Exception:
             pass
+    if swallowed is not None:
+        print(
+            f"oracle budget-skip absorbed an exception: "
+            f"{type(swallowed).__name__}: {swallowed}"[:300],
+            file=sys.stderr,
+        )
     return elapsed
 
 

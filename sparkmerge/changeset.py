@@ -166,9 +166,18 @@ def latest_per_key(
     columns — they are feed metadata (like a CDC ``seq``), not data columns,
     so the reduced source satisfies the normal source ⊆ target schema rule.
 
-    One rank window = one shuffle on the key — the same partitioning the
-    changeset join needs next, so Catalyst reuses the Exchange and the
-    reduction is free at 100 TB beyond the window sort itself.
+    One rank window = one shuffle on the RAW key.  Note (r12 plan audit,
+    BASELINE.md round-12): the changeset join is null-safe, which Catalyst
+    rewrites to join keys ``(coalesce(k, default), isnull(k))`` — the
+    window's ``hashpartitioning(k)`` does NOT satisfy that distribution,
+    so the REDUCED feed (latest rows only, not raw versions) re-shuffles
+    into the join.  Partitioning the window by the null-safe expressions
+    was measured and does not help (Spark extracts window partition
+    expressions into projected ``_w0/_w1`` columns, so the match still
+    fails); the cost is one exchange of latest-per-key rows — delta-sized,
+    below measurement noise at sf10 — and removing it would require the
+    core join to switch to materialized pair columns across every merge
+    op.  The 3-exchange shape is pinned by a plan test.
     """
     from sparkmerge.plan import normalize_ident, split_csv
 

@@ -236,13 +236,35 @@ _MY_LEASES: set[str] = set()
 
 def _write_lease(dst_dir: str) -> None:
     """Drop this process's pid-named lease sentinel in ``dst_dir`` and
-    remember it for atexit removal (ADVICE r10: leases were written on every
-    open but never removed, so a long-lived process pinned every superseded
-    generation it ever opened for its whole lifetime, and dead-pid lease
-    files accumulated inside cache dirs forever)."""
+    remember it for atexit removal.
+
+    Two accumulation modes are handled (ADVICE r10 + r11): atexit removal
+    reclaims leases on a CLEAN exit (without it, dead-pid files piled up
+    until a sweep), and — because the prune's liveness rule is
+    ``/proc/<pid>``, which would otherwise pin every generation a live
+    process ever leased until it exits — leasing a NEW content generation
+    of a source path releases this process's lease on any SUPERSEDED
+    generation of the same path (same path-hash prefix of the cache key,
+    different content hash), so a long-lived session stops pinning
+    regenerated-away fixtures while still running."""
     import atexit
     import os
 
+    base, key = os.path.split(dst_dir)
+    phash = key.split("-", 1)[0]
+    for held in list(_MY_LEASES):
+        hdir = os.path.dirname(held)
+        hkey = os.path.basename(hdir)
+        if (
+            os.path.dirname(hdir) == base
+            and hkey != key
+            and hkey.split("-", 1)[0] == phash
+        ):
+            try:
+                os.unlink(held)
+            except OSError:
+                pass
+            _MY_LEASES.discard(held)
     path = os.path.join(dst_dir, f".lease.{os.getpid()}")
     try:
         with open(path, "w"):

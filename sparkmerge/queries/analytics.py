@@ -193,9 +193,15 @@ def tpch_q5(spark, sf_dir):
     # onto the lineitem side — s_suppkey is unique, so this join cannot fan
     # out.  Only the ~20 %-width lineitem then shuffles on l_orderkey, and
     # the customer join shuffles on custkey with the c_nationkey =
-    # s_nationkey residual applied in the same exchange.  At 100 TB this is
-    # the difference between shuffling the full lineitem table and a fifth
-    # of it (measured 10.68 s -> see BASELINE.md round-11 for the A/B).
+    # s_nationkey residual applied in the same exchange.  The SHAPE (filter
+    # lineitem below its only exchange) is the 100 TB plan — the difference
+    # between shuffling the full lineitem table and a fifth of it (measured
+    # 10.68 s -> see BASELINE.md round-11 for the A/B).  The hard
+    # F.broadcast(s_asia) HINT is not (ADVICE r11): s_asia is ~20 % of
+    # supplier and grows linearly with SF, so past broadcast-threshold
+    # supplier sizes (hundreds of millions of rows) the hint must come off
+    # and AQE left to choose — kept here because the lean sf0.1 profile
+    # runs AQE-off and would otherwise SMJ lineitem on l_suppkey.
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
         & (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))

@@ -887,10 +887,14 @@ SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
     "BEFORE the changeset join, then merges with delete='NO' (upsert "
     "feeds never delete); the feed shape the reference hard-rejects via "
     "its duplicate-key @badKey error (sp_SimpleMerge.sql:63).  The rank "
-    "window shuffles on the same key the full-outer join needs next, so "
-    "the reduction adds no extra Exchange at 100 TB; the ranking column "
-    "is feed metadata and is dropped before the schema-checked join.  "
-    "Output is the upserted end state (apply_changes)",
+    "window shuffles the raw feed on the key; the REDUCED latest-per-key "
+    "rows then re-shuffle into the null-safe join (Catalyst's "
+    "coalesce/isnull join-key rewrite is not satisfied by the window's "
+    "raw-key partitioning — measured r12, BASELINE.md: the extra exchange "
+    "moves delta-sized rows and is below noise at sf10; plan shape pinned "
+    "at 3 exchanges by test).  The ranking column is feed metadata and is "
+    "dropped before the schema-checked join.  Output is the upserted end "
+    "state (apply_changes); sf10 profile 6.2-6.8 s warm ≈ 1.0-1.1× DuckDB",
 )
 def merge_upsert_latest(spark, sf_dir):
     cs = build_changeset(

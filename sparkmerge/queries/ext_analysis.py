@@ -602,17 +602,17 @@ def events_abtest_lift(spark, sf_dir):
     )
 
 
-# --- events_funnel_steps (r6) --------------------------------------------
+# --- events_funnel_steps (r6; min-chain rewrite r11) ----------------------
 #
 # Ordered 3-step funnel (view → click → purchase): a user reaches step k
 # only via a strictly-later event than their step-(k-1) anchor (first view,
-# then first click after it, then first purchase after that).  The oracle
-# is the textbook chained min-join; the engine does it in ONE user-keyed
-# shuffle — sort each user's (ts, type) sequence and fold the three anchors
-# with F.aggregate (per-user state is 3 timestamps; sequence length is
-# bounded by per-user activity, the same envelope as events_top_paths).
-# At 100 TB the chained-join form re-shuffles events three times; the fold
-# touches them once.
+# then first click after it, then first purchase after that).  Both sides
+# compute the chained min-aggregation: per-step map-side-combined per-user
+# MIN, each step joined to the prior step's anchor.  Per-user ANCHOR rows
+# cross the wire (never raw events past step 1), per-user state is bounded
+# (one timestamp per step) — unlike the r6 collect-array fold this holds
+# for a 10⁸-event power user.  Rationale and the 2.04 → 1.53 s sf10 A/B:
+# function docstring + BASELINE.md round-11 funnel section.
 
 
 @register(

@@ -1974,9 +1974,11 @@ SELECT g.source, g.lang, g.n_docs, g.sum_chars,
     "the same source's en mean — the length-ratio prior parallel-corpus "
     "mining uses to pre-screen candidate bitext pairs: one (source, lang) "
     "shuffle agg, the ≤|sources| en-baseline rows broadcast back, ratio as "
-    "ONE IEEE division of two exact cross-multiplied integer products "
-    "(sum_l·n_en / sum_en·n_l — exact below 2^53, i.e. to ~sf300 on this "
-    "corpus; the decimal(38,0) recombine is the escape hatch past that)",
+    "ONE IEEE division of two exact cross-multiplied products computed in "
+    "decimal(38,0) (ADVICE r11: int64 products would silently wrap past "
+    "~sf300 with ANSI off; decimal keeps them exact to 10^38 — far past "
+    "any real corpus — and the final cast to double rounds once, "
+    "bit-equal with the int64 path wherever both are in range)",
 )
 def text_cross_lang_length_ratio(spark, sf_dir):
     """Shuffle shape: ONE (source, lang) exchange over the raw grain; the
@@ -2003,7 +2005,13 @@ def text_cross_lang_length_ratio(spark, sf_dir):
             "mean_chars"
         ),
         (
-            (F.col("sum_chars") * F.col("en_docs")).cast("double")
-            / (F.col("en_chars") * F.col("n_docs")).cast("double")
+            (
+                F.col("sum_chars").cast("decimal(38,0)")
+                * F.col("en_docs").cast("decimal(38,0)")
+            ).cast("double")
+            / (
+                F.col("en_chars").cast("decimal(38,0)")
+                * F.col("n_docs").cast("decimal(38,0)")
+            ).cast("double")
         ).alias("ratio_vs_en"),
     )
