@@ -87,22 +87,21 @@ def register(op_id: str, *, oracle: str | None = None, description: str = ""):
 # long-cents, cumulative-share prefix sum) landed green r10 rows and are
 # cleared.
 _FORCE_REVERIFY = {
-    # r11 perf rewrite: tpch_q5's ASIA selectivity pushed below the big
-    # shuffles (output identical by construction — suppkey uniqueness —
-    # but the plan is new; re-confirm, same precedent as q1 in r10)
+    # r11 rewrites carried per the r11 verdict's r12 queue (ask #4): all
+    # landed green r11 rows, but the q5 pushdown / q1 decimal shift /
+    # cumulative-share guard / q9 long-cents / basket pair-key / funnel
+    # min-chain surfaces changed late enough in r11 that one post-rewrite
+    # driver confirmation each is owed in the r12 window.
     "tpch_q5",
-    # r11 ADVICE fixes (ADVICE r10): q1's disc/qty/base sums now convert
-    # via the single-rounding decimal shift (bit-identical below 2^53 by
-    # design), and window_cumulative_share gained the empty-input guard
-    # (non-empty path untouched).  Re-confirm both post-edit.
     "tpch_q1",
     "window_cumulative_share",
-    # r11 perf rewrites (outputs hash-identical by design, re-confirm):
-    # the q9_style long-cents promotion, the basket pair-key packing,
-    # and the funnel min-chain rewrite
     "tpch_q9_style",
     "orders_basket_lift",
     "events_funnel_steps",
+    # r12 ADVICE fix (ADVICE r11): ratio_vs_en now cross-multiplies in
+    # decimal(38,0) — bit-identical wherever int64 was in range (i.e. the
+    # whole test corpus) by design; re-confirm post-edit.
+    "text_cross_lang_length_ratio",
 }
 
 

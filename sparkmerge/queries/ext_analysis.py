@@ -3364,3 +3364,271 @@ def customer_segment_nation_matrix(spark, sf_dir):
         "avg_acctbal",
         F.expr("_num DIV _tot").alias("share_permille"),
     )
+
+
+# --- part_size_type_price_matrix (r12b1): size × type pricing lattice -------
+#
+# Catalog pricing posture over the bounded size × type lattice (p_size
+# 1-50 × |types| — corpus-checked 299 occupied cells at sf0.01): exact
+# retail-cents stats per cell plus each cell's integer per-mille share of
+# its TYPE's part count.  Shuffle shape: ONE map-side-combined
+# (p_size, p_type) aggregate over the raw grain; the within-type total is
+# a window over the bounded lattice (≤ 300 rows at any SF — the lattice
+# is data-independent), never over raw parts.  Every column exact BIGINT
+# except the single-division mean.
+
+
+@register(
+    "part_size_type_price_matrix",
+    oracle="""
+WITH v AS (
+  SELECT p_size, p_type,
+         CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM part
+),
+cell AS (
+  SELECT p_size, p_type,
+         CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(cents) AS BIGINT) AS sum_price_cents,
+         CAST(min(cents) AS BIGINT) AS min_price_cents,
+         CAST(max(cents) AS BIGINT) AS max_price_cents
+    FROM v GROUP BY 1, 2
+)
+SELECT p_size, p_type, n_parts,
+       sum_price_cents, min_price_cents, max_price_cents,
+       CAST(sum_price_cents AS DOUBLE)
+         / CAST(n_parts * 100 AS DOUBLE) AS avg_price,
+       CAST((1000 * n_parts)
+            // sum(n_parts) OVER (PARTITION BY p_type) AS BIGINT)
+         AS share_permille_in_type
+  FROM cell
+""",
+    description="part size × type pricing matrix: exact retail-cents "
+    "sum/min/max and count per lattice cell, mean as ONE IEEE division of "
+    "exact integers (sum_cents / (n·100)), and each cell's exact integer "
+    "per-mille share of its type's part count — one map-side-combined "
+    "(size, type) shuffle over the raw grain, the type totals a window "
+    "over the bounded ≤|sizes×types| lattice",
+)
+def part_size_type_price_matrix(spark, sf_dir):
+    """Catalog pricing screen.  At 100 TB the only raw-grain exchange is
+    the (p_size, p_type) aggregate (bounded output, map-side combined);
+    the share window runs on the ≤300-row lattice."""
+    p = load(spark, sf_dir, "part")
+    cents = F.floor(F.col("p_retailprice") * 100.0 + 0.5).cast("long")
+    cell = (
+        p.select("p_size", "p_type", cents.alias("cents"))
+        .groupBy("p_size", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("sum_price_cents"),
+            F.min("cents").alias("min_price_cents"),
+            F.max("cents").alias("max_price_cents"),
+        )
+    )
+    w_type = Window.partitionBy("p_type")
+    return cell.select(
+        "p_size",
+        "p_type",
+        "n_parts",
+        "sum_price_cents",
+        "min_price_cents",
+        "max_price_cents",
+        (
+            F.col("sum_price_cents").cast("double")
+            / (F.col("n_parts") * F.lit(100)).cast("double")
+        ).alias("avg_price"),
+        (F.lit(1000) * F.col("n_parts")).alias("_num"),
+        F.sum("n_parts").over(w_type).alias("_tot"),
+    ).select(
+        "p_size",
+        "p_type",
+        "n_parts",
+        "sum_price_cents",
+        "min_price_cents",
+        "max_price_cents",
+        "avg_price",
+        F.expr("_num DIV _tot").alias("share_permille_in_type"),
+    )
+
+
+# --- events_value_type_quantile_bands (r12b1): per-type quartile banding ----
+#
+# Value segmentation: every event lands in its type's quartile band
+# (nearest-rank cutoffs q25/q50/q75; cents == cutoff goes to the LOWER
+# band, so banding is deterministic), and the output is the per
+# (type, band) composition — counts and exact cents stats.  Differs from
+# events_value_percentile_bands (which reports the cutpoints): this op
+# MATERIALIZES the banding, the shape a segmentation pipeline joins back
+# onto events.  Everything past the first aggregate runs on the bounded
+# (type, cents) lattice (domain bounded by the 2-decimal value range, not
+# by row count): cutoffs from cumulative counts over the lattice, band
+# labels assigned to lattice rows, and the final rollup sums lattice
+# counts — the raw grain is touched by exactly ONE map-side-combined
+# shuffle.
+
+
+@register(
+    "events_value_type_quantile_bands",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, cents, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+    FROM g
+),
+cuts AS (
+  SELECT event_type,
+         CAST(min(CASE WHEN cum >= (25 * n + 99) // 100 THEN cents END) AS BIGINT) AS q25,
+         CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN cents END) AS BIGINT) AS q50,
+         CAST(min(CASE WHEN cum >= (75 * n + 99) // 100 THEN cents END) AS BIGINT) AS q75
+    FROM w GROUP BY event_type
+)
+SELECT g.event_type,
+       CAST(1 + (g.cents > q25)::INT + (g.cents > q50)::INT
+              + (g.cents > q75)::INT AS BIGINT) AS band,
+       CAST(sum(g.c) AS BIGINT) AS n_events,
+       CAST(sum(g.cents * g.c) AS BIGINT) AS sum_cents,
+       CAST(min(g.cents) AS BIGINT) AS min_cents,
+       CAST(max(g.cents) AS BIGINT) AS max_cents
+  FROM g JOIN cuts USING (event_type)
+ GROUP BY 1, 2
+""",
+    description="per-type quartile BANDING of event values: nearest-rank "
+    "q25/q50/q75 cutoffs from cumulative counts over the bounded "
+    "(type, cents) lattice, every lattice row labeled band 1-4 (cents == "
+    "cutoff → lower band), rolled up to per-(type, band) count and exact "
+    "cents sum/min/max — one map-side-combined raw-grain shuffle, all "
+    "banding math on the lattice",
+)
+def events_value_type_quantile_bands(spark, sf_dir):
+    """Value segmentation table.  The cutoff join back onto the lattice is
+    a broadcast of ≤|types| rows; at 100 TB nothing past the first
+    aggregate scales with row count."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    g = e.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("c"))
+    wp = Window.partitionBy("event_type")
+    wcum = wp.orderBy("cents")
+    w = g.select(
+        "event_type",
+        "cents",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wp).alias("n"),
+    )
+
+    def cut(p: int):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({p} * n + 99) div 100"), F.col("cents")
+            )
+        )
+
+    cuts = w.groupBy("event_type").agg(
+        cut(25).alias("q25"), cut(50).alias("q50"), cut(75).alias("q75")
+    )
+    band = (
+        F.lit(1)
+        + (F.col("cents") > F.col("q25")).cast("int")
+        + (F.col("cents") > F.col("q50")).cast("int")
+        + (F.col("cents") > F.col("q75")).cast("int")
+    ).cast("long")
+    return (
+        g.join(F.broadcast(cuts), "event_type")
+        .select("event_type", band.alias("band"), "cents", "c")
+        .groupBy("event_type", "band")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.sum(F.col("cents") * F.col("c")).alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+# --- supplier_balance_band_mix (r12b1): acctbal band × nation composition ---
+#
+# Credit-exposure composition: suppliers bucketed into $1000 account-
+# balance bands (band -1 = negative balances — corpus-checked s_acctbal
+# spans −821..9956, so bands are −1..9: a bounded, data-independent
+# lattice), crossed with nation.  Negative cents take the single -1 band
+# rather than floor-division (integer division truncates toward zero in
+# BOTH engines only for non-negative operands — the CASE keeps the
+# banding engine-portable).  Exact integer everything except the one
+# division; the within-nation share window runs over the bounded
+# band × nation lattice.
+
+
+@register(
+    "supplier_balance_band_mix",
+    oracle="""
+WITH v AS (
+  SELECT n_name,
+         CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+cell AS (
+  SELECT n_name,
+         CAST(CASE WHEN cents < 0 THEN -1 ELSE cents // 100000 END AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(cents) AS BIGINT) AS sum_acctbal_cents
+    FROM v GROUP BY 1, 2
+)
+SELECT n_name, band, n_suppliers, sum_acctbal_cents,
+       CAST((1000 * n_suppliers)
+            // sum(n_suppliers) OVER (PARTITION BY n_name) AS BIGINT)
+         AS share_permille_in_nation
+  FROM cell
+""",
+    description="supplier acctbal-band × nation mix: $1000 exact-cents "
+    "bands (negatives pooled at band -1 so integer division never sees a "
+    "negative operand — truncation vs floor is engine-divergent there), "
+    "count and exact cents sum per cell, integer per-mille share within "
+    "the nation — one map-side-combined shuffle over broadcast-joined "
+    "dims, the share window on the bounded band × nation lattice",
+)
+def supplier_balance_band_mix(spark, sf_dir):
+    """Exposure screen over bounded dims.  supplier × nation is a
+    broadcast join; the only raw-grain exchange is the (nation, band)
+    aggregate."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    cents = F.floor(F.col("s_acctbal") * 100.0 + 0.5).cast("long")
+    v = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "n_name", cents.alias("cents")
+    )
+    band = F.when(F.col("cents") < 0, F.lit(-1)).otherwise(
+        F.expr("cents DIV 100000")
+    ).cast("long")
+    cell = (
+        v.select("n_name", band.alias("band"), "cents")
+        .groupBy("n_name", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("cents").alias("sum_acctbal_cents"),
+        )
+    )
+    w_nation = Window.partitionBy("n_name")
+    return cell.select(
+        "n_name",
+        "band",
+        "n_suppliers",
+        "sum_acctbal_cents",
+        (F.lit(1000) * F.col("n_suppliers")).alias("_num"),
+        F.sum("n_suppliers").over(w_nation).alias("_tot"),
+    ).select(
+        "n_name",
+        "band",
+        "n_suppliers",
+        "sum_acctbal_cents",
+        F.expr("_num DIV _tot").alias("share_permille_in_nation"),
+    )

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sparkmerge.ext.text import (
     LANG_MARKERS,
@@ -2014,4 +2015,114 @@ def text_cross_lang_length_ratio(spark, sf_dir):
                 * F.col("n_docs").cast("decimal(38,0)")
             ).cast("double")
         ).alias("ratio_vs_en"),
+    )
+
+
+# --- documents_quality_length_curve (r12b1): score → length curve -----------
+#
+# Does quality correlate with length on this corpus?  The per-document
+# integer quality SCORE (0-5: how many of pipeline_quality_filter's five
+# C4/Gopher-style rules pass — same expressions, same thresholds; the
+# corpus has no stored quality column, corpus-checked r11) is rolled up
+# to a ≤6-row score lattice carrying doc counts, exact n_chars stats, the
+# single-division mean length, and each score's integer per-mille share
+# of the corpus.  Pure map-side scoring + ONE map-side-combined
+# ≤6-group aggregate; the share window runs on the lattice.
+
+
+@register(
+    "documents_quality_length_curve",
+    oracle=f"""
+WITH s AS (
+  SELECT n_chars,
+         CAST((len({_TOKS_RAW}) >= 10) AS INT)
+         + CAST((len({_TOKS_RAW}) <= 5000) AS INT)
+         + CAST((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / greatest(len({_TOKS_RAW}), 1) >= 2.0
+                 AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / greatest(len({_TOKS_RAW}), 1) <= 12.0) AS INT)
+         + CAST(({_PR_SQL} <= 0.2) AS INT)
+         + CAST((len(list_filter({_TOKS},
+                     t -> t IN ('the','and','of','to','in'))) > 0) AS INT)
+           AS score
+    FROM documents),
+cell AS (
+  SELECT CAST(score AS BIGINT) AS quality_score,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(min(n_chars) AS BIGINT) AS min_chars,
+         CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM s GROUP BY 1)
+SELECT quality_score, n_docs, sum_chars, min_chars, max_chars,
+       CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars,
+       CAST((1000 * n_docs) // sum(n_docs) OVER () AS BIGINT) AS share_permille
+  FROM cell
+""",
+    description="quality-score → length curve: per-document 0-5 integer "
+    "score (count of pipeline_quality_filter's five rule passes — same "
+    "expressions and thresholds, both dialects), rolled up to the ≤6-row "
+    "score lattice with doc counts, exact n_chars sum/min/max, mean as ONE "
+    "IEEE division, and integer per-mille corpus share — map-side scoring, "
+    "one ≤6-group map-side-combined shuffle, share window on the lattice",
+)
+def documents_quality_length_curve(spark, sf_dir):
+    """Length-vs-quality audit.  At 100 TB: scoring is per-row codegen
+    (no shuffle), the aggregate collapses to ≤6 groups map-side, and the
+    unpartitioned share window sees ≤6 rows — never raw documents."""
+    from sparkmerge.ext.text import (
+        LANG_MARKERS,
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    s = d.select(
+        "n_chars",
+        token_count(t).alias("n_tokens"),
+        punct_ratio(t).alias("pr"),
+        stopword_ratio(t, LANG_MARKERS["en"]).alias("sr"),
+        F.length(F.regexp_replace(t, " ", "")).alias("n_alpha"),
+    )
+    mean_wl = F.col("n_alpha").cast("double") / F.greatest(
+        F.col("n_tokens"), F.lit(1)
+    )
+    score = (
+        (F.col("n_tokens") >= 10).cast("int")
+        + (F.col("n_tokens") <= 5000).cast("int")
+        + ((mean_wl >= 2.0) & (mean_wl <= 12.0)).cast("int")
+        + (F.col("pr") <= 0.2).cast("int")
+        + (F.col("sr") > 0.0).cast("int")
+    ).cast("long")
+    cell = (
+        s.select(score.alias("quality_score"), "n_chars")
+        .groupBy("quality_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return cell.select(
+        "quality_score",
+        "n_docs",
+        "sum_chars",
+        "min_chars",
+        "max_chars",
+        (F.col("sum_chars").cast("double") / F.col("n_docs").cast("double")).alias(
+            "mean_chars"
+        ),
+        (F.lit(1000) * F.col("n_docs")).alias("_num"),
+        F.sum("n_docs").over(w_all).alias("_tot"),
+    ).select(
+        "quality_score",
+        "n_docs",
+        "sum_chars",
+        "min_chars",
+        "max_chars",
+        "mean_chars",
+        F.expr("_num DIV _tot").alias("share_permille"),
     )
