@@ -187,6 +187,12 @@ OPS = [
     # join the sweep (orders_basket_lift is already a sweep row above)
     "tpch_q5",
     "tpch_q9_style",
+    # r12 batch 1: the size×type pricing lattice, the per-type quartile
+    # banding, the acctbal-band × nation mix, and the quality→length curve
+    "part_size_type_price_matrix",
+    "events_value_type_quantile_bands",
+    "supplier_balance_band_mix",
+    "documents_quality_length_curve",
 ]
 
 # (op, sf) pairs whose ORACLE formulation is intentionally not run: the
