@@ -25,22 +25,53 @@ from pyspark.sql.window import Window
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the input arrives as
-    fewer FILES than cores (e.g. one small parquet file → one task).  The
-    heavy map-side stages below (shingle/token explode) are CPU-bound, so
-    running them on one task serializes the whole operator.  At scale the
-    input already has ≥ parallelism files and this is a no-op — no shuffle is
-    added on the 100 TB path.
+    """Repartition up to the cluster's parallelism when the scan would
+    otherwise produce fewer TASKS than cores (e.g. one small parquet file →
+    one task).  The heavy map-side stages below (shingle/token explode) are
+    CPU-bound, so running them on one task serializes the whole operator.
 
-    The signal is ``inputFiles()`` (plan metadata, no RDD materialization —
-    ``df.rdd.getNumPartitions()`` would force a plan→RDD conversion per
-    call); non-file sources fall through untouched."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    r12 fix (guide §2.4 — remove shuffles outright): the old signal was the
+    FILE count, but parquet splits by ROW GROUP within a file, so a single
+    1.7 GB file with 32 row groups already scans on ~file_bytes /
+    maxPartitionBytes tasks — the file-count test round-robin-shuffled the
+    ENTIRE corpus once per branch that read it (3-4 extra full-table
+    Exchanges in the minhash/ngram/containment plans at sf10, pure waste).
+    The signal is now the SPLIT estimate Spark itself uses (Σ bytes /
+    maxPartitionBytes + one open-cost per file); only a genuinely
+    under-split input (tiny local corpus) is repartitioned.  Non-file
+    sources fall through untouched."""
+    import os
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
         return df
-    if 0 < n_files < parallelism:
+    if not files:
+        return df
+
+    def _parse_bytes(v: str) -> int:
+        v = v.strip().lower()
+        for suffix, mult in (("k", 1024), ("m", 1024**2), ("g", 1024**3)):
+            if v.endswith(suffix + "b") or v.endswith(suffix):
+                return int(v.rstrip("b").rstrip(suffix)) * mult
+        return int(v.rstrip("b"))
+
+    try:
+        max_pb = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        total = sum(
+            os.path.getsize(urlparse(f).path or f) for f in files
+        )
+    except (OSError, ValueError):
+        # remote/object-store paths: can't stat locally — keep the old
+        # conservative file-count heuristic for that case
+        if 0 < len(files) < parallelism:
+            return df.repartition(parallelism)
+        return df
+    est_splits = total // max(max_pb, 1) + len(files)
+    if est_splits < parallelism:
         return df.repartition(parallelism)
     return df
 
@@ -429,6 +460,7 @@ def _token_lsh_candidates(
     *,
     num_hashes: int = 64,
     bands: int = 16,
+    probed: bool = False,
 ) -> DataFrame:
     """Candidate ``(a_id, b_id)`` pairs from TOKEN-SET MinHash banding — the
     approximate candidate router behind ``blocking='lsh'`` (see
@@ -463,7 +495,15 @@ def _token_lsh_candidates(
 
     Scale shape: one explode + one groupBy(doc) for signatures, ONE
     posexplode band join — the pipeline dedup_minhash completes in ~79 s
-    on the sf10 corpus whose exact prefix join needs 250+ s."""
+    on the sf10 corpus whose exact prefix join needs 250+ s.
+
+    ``probed=True`` (r12): ``base`` carries a boolean ``_probe`` column and
+    only pairs with at least one probe-side member matter downstream (the
+    registered ops sample their surfaced pairs) — the band self-join's LEFT
+    side keeps only probe rows and pairs are normalized to (least, greatest)
+    after the join, so every pair with a probe endpoint is still generated
+    (from its probe side) while the join's output shrinks by the probe
+    fraction.  ``probed=False`` keeps the plain a<b self-join."""
     ex = base.select("_id", "_grp", F.explode("_toks").alias("_tok"))
     h31 = base_hash31(F.col("_tok"), "xxhash64")
     aggs = []
@@ -485,10 +525,25 @@ def _token_lsh_candidates(
         "_id", "_grp", F.posexplode(bands_arr).alias("_band", "_bucket")
     )
     left = banded.select("_grp", "_band", "_bucket", F.col("_id").alias("a_id"))
+    if probed:
+        # no broadcast hint: class-rep id sets are dimension-sized on every
+        # local SF (planner broadcasts them) but grow with the corpus — at
+        # 100 TB AQE must stay free to pick a shuffled semi join
+        probe_ids = base.filter(F.col("_probe")).select(F.col("_id").alias("a_id"))
+        left = left.join(probe_ids, "a_id", "left_semi")
     right = banded.select("_grp", "_band", "_bucket", F.col("_id").alias("b_id"))
+    joined = left.join(right, ["_grp", "_band", "_bucket"])
+    if probed:
+        return (
+            joined.filter(F.col("a_id") != F.col("b_id"))
+            .select(
+                F.least("a_id", "b_id").alias("a_id"),
+                F.greatest("a_id", "b_id").alias("b_id"),
+            )
+            .dropDuplicates(["a_id", "b_id"])
+        )
     return (
-        left.join(right, ["_grp", "_band", "_bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
+        joined.filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
@@ -511,85 +566,110 @@ def _verify_jaccard(base: DataFrame, cands: DataFrame, threshold: float) -> Data
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    group_col: str,
-    *,
-    threshold: float,
-    blocking: str = "prefix",
-) -> DataFrame:
-    """Exact token-set Jaccard join via POSITIONAL PREFIX FILTERING (the
-    Chaudhuri/Vernica set-similarity-join technique) — NOT all-pairs.
+def _class_base(
+    df: DataFrame, id_col: str, text_col: str, group_col: str, probe
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of both set-similarity joins (r12): tokenize ONCE,
+    collapse to distinct token-set classes, return ``(classes, cbase)``.
 
-    Guarantee: order each set's tokens by a global (rarest-first) order; with
-    prefix length ``|A| − ⌈t·|A|⌉ + 1``, any pair with J(A,B) ≥ t shares at
-    least one PREFIX token (proof: the globally-smallest shared token cannot
-    sit in either suffix, which holds < ⌈t·|set|⌉ ≤ |A∩B| shared tokens).
-    Candidates are therefore generated by an equi-join on (group, prefix
-    token) with EXACT recall — identical output to the quadratic formulation,
-    so the DuckDB all-pairs oracle still hash-matches — while the pair space
-    is bounded by prefix-token bucket sizes (rare tokens → small buckets)
-    instead of Θ(block²).  A length filter (t·|A| ≤ |B| ≤ |A|/t, implied by
-    J ≥ t) prunes candidates before the exact verify.
+    blank/whitespace-only docs have EMPTY token sets: the doc-grain prefix
+    path never paired them (no tokens → no candidates), and 0/0 similarity
+    is undefined — drop them before the class collapse or they'd all fuse
+    into one within-class 1.0 clique per group (ADVICE r9).
 
-    |A∩B| and |A∪B| are integer cardinalities, so the final similarity is an
-    exact single FP division — oracle-safe.
-
-    Scale shape: token-frequency agg (1 shuffle), doc re-assembly (1), the
-    candidate equi-join (1), and two id-joins for verification — each a
-    bounded shuffle; nothing is quadratic in an unbounded block.
-
-    ``blocking`` selects the candidate router (r8 verdict ask #2 — the
-    registered 100 TB lever):
-
-    - ``'prefix'`` (default): the exact positional prefix filter above —
-      EXACT recall, the oracle surface.  Its weakness is a corpus whose
-      token space densifies (many docs per distinct token): prefix buckets
-      then grow superlinearly (measured 5.4 s@sf1 → 252 s@sf10 on the
-      derived corpus, whose alphabet rotations collide at sf10).
-    - ``'lsh'``: collapse documents to their DISTINCT TOKEN SETS first
-      (:func:`_token_classes` — the "exact-dedup before near-dup" step
-      every production pipeline runs), route the class representatives
-      through token-set MinHash banding (:func:`_token_lsh_candidates`,
-      64 hashes / 16 bands), exact-verify the CLASS pairs, then expand
-      members map-side (within-class pairs are Jaccard 1.0 by identity;
-      cross-class pairs inherit the verified class value, which IS the
-      exact doc-pair value since J depends only on the sets).  Every
-      surfaced pair therefore carries its EXACT Jaccard and passes the
-      exact threshold — lever output ⊆ exact output by construction —
-      while the quadratic work runs on |classes|², not |docs|²: on the
-      sf10 corpus (500k docs, 81k classes, identical-copy multiplicity
-      up to 930) the banding candidate space shrank 16.1B → 241M rows,
-      67×.  Recall is corpus-MEASURED (tests/test_r9_levers.py),
-      mirroring dedup_lsh_recall_eval."""
+    ``cbase`` carries ``_probe`` = "class contains a member the caller's
+    ``probe`` predicate accepts" (all-true when no probe) — the candidate
+    routers use it to keep only pairs that can survive the caller's
+    downstream sampling filter."""
     base = _spread(df.select(id_col, group_col, text_col)).select(
         F.col(id_col).alias("_id"),
         F.col(group_col).alias("_grp"),
         token_set(F.col(text_col)).alias("_toks"),
     )
-    if blocking == "lsh":
-        # blank/whitespace-only docs have EMPTY token sets: the exact
-        # prefix path never pairs them (no tokens → no candidates), and
-        # 0/0 Jaccard is undefined — drop them before the class collapse
-        # or they'd all fuse into one within-class 1.0 clique per group,
-        # breaking "lever output ⊆ exact output" (ADVICE r9)
-        classes = _token_classes(base.filter(F.size("_toks") > 0))
-        cbase = classes.select(F.col("_ids")[0].alias("_id"), "_grp", "_toks")
-        verified = _verify_jaccard(cbase, _token_lsh_candidates(cbase), threshold)
-        amem = classes.select(F.col("_ids")[0].alias("a_id"), F.col("_ids").alias("_a_ids"))
-        bmem = classes.select(F.col("_ids")[0].alias("b_id"), F.col("_ids").alias("_b_ids"))
-        cross = (
-            verified.join(amem, "a_id")
-            .join(bmem, "b_id")
-            .select(F.explode("_a_ids").alias("x"), "_b_ids", "jaccard")
-            .select("x", F.explode("_b_ids").alias("y"), "jaccard")
-            .select(
-                F.least("x", "y").alias("a_id"),
-                F.greatest("x", "y").alias("b_id"),
-                "jaccard",
+    classes = _token_classes(base.filter(F.size("_toks") > 0))
+    probe_col = (
+        F.exists("_ids", probe) if probe is not None else F.lit(True)
+    )
+    cbase = classes.select(
+        F.col("_ids")[0].alias("_id"), "_grp", "_toks", probe_col.alias("_probe")
+    )
+    return classes, cbase
+
+
+def _ordered_tokens(cbase: DataFrame) -> DataFrame:
+    """Per-class rarest-first token order: ``(_id, _grp, _probe, _ord)``
+    where ``_ord`` is the class's tokens as ``struct(_f, _tok)`` sorted by
+    (class frequency asc, token asc) — the global TOTAL order the prefix
+    theorems require (any consistent total order preserves exact recall;
+    rarest-first minimizes candidate bucket sizes).  Frequencies count
+    CLASSES, not docs — cheaper after the collapse and the right rarity
+    signal for class-space buckets."""
+    toks = cbase.select("_id", "_grp", "_probe", F.explode("_toks").alias("_tok"))
+    freq = toks.groupBy("_grp", "_tok").agg(F.count(F.lit(1)).alias("_f"))
+    return (
+        toks.join(freq, ["_grp", "_tok"])
+        # _probe is functionally dependent on (_id, _grp): riding the
+        # grouping key costs nothing and saves a re-attach join
+        .groupBy("_id", "_grp", "_probe")
+        .agg(F.array_sort(F.collect_list(F.struct("_f", "_tok"))).alias("_ord"))
+    )
+
+
+def _hashed_prefix(ordered: DataFrame, length) -> DataFrame:
+    """Explode the first ``length`` tokens of each class's global order as
+    ``(_id, _grp, _probe, _n, _pos, _th)`` rows.  The join key ``_th`` is
+    ``xxhash64(token)`` — an 8-byte shuffle/compare key instead of the raw
+    string (guide §2.3 narrower types); a hash collision can only ADD a
+    candidate pair, which the exact verify removes, so recall and output
+    are unchanged.  ``_pos`` (0-based position in the full order) feeds the
+    PPJoin positional filter in the candidate routers."""
+    n = F.size("_ord")
+    return ordered.select(
+        "_id",
+        "_grp",
+        "_probe",
+        n.alias("_n"),
+        F.posexplode(
+            F.transform(
+                F.slice("_ord", F.lit(1), length), lambda s: F.xxhash64(s["_tok"])
             )
+        ).alias("_pos", "_th"),
+    )
+
+
+def _expand_pairs(classes: DataFrame, verified: DataFrame, value_col: str, directed: bool) -> DataFrame:
+    """Map-side member expansion of verified CLASS pairs back to doc pairs:
+    cross-class pairs inherit the verified class value (exact — similarity
+    depends only on the sets), within-class pairs are 1.0 by identity.
+    ``directed=False`` emits (least, greatest) per undirected class pair
+    and within-class a<b pairs; ``directed=True`` keeps the verified
+    orientation and emits all ordered within-class pairs."""
+    amem = classes.select(F.col("_ids")[0].alias("a_id"), F.col("_ids").alias("_a_ids"))
+    bmem = classes.select(F.col("_ids")[0].alias("b_id"), F.col("_ids").alias("_b_ids"))
+    exploded = (
+        verified.join(amem, "a_id")
+        .join(bmem, "b_id")
+        .select(F.explode("_a_ids").alias("x"), "_b_ids", value_col)
+        .select("x", F.explode("_b_ids").alias("y"), value_col)
+    )
+    if directed:
+        cross = exploded.select(
+            F.col("x").alias("a_id"), F.col("y").alias("b_id"), value_col
+        )
+        within = (
+            classes.filter(F.size("_ids") >= 2)
+            .select(F.explode("_ids").alias("a_id"), "_ids")
+            .select(
+                "a_id",
+                F.explode(F.expr("filter(_ids, x -> x != a_id)")).alias("b_id"),
+            )
+            .withColumn(value_col, F.lit(1.0))
+        )
+    else:
+        cross = exploded.select(
+            F.least("x", "y").alias("a_id"),
+            F.greatest("x", "y").alias("b_id"),
+            value_col,
         )
         within = (
             classes.filter(F.size("_ids") >= 2)
@@ -598,52 +678,134 @@ def ngram_jaccard_pairs(
                 "a_id",
                 F.explode(F.expr("slice(_ids, _i + 2, size(_ids))")).alias("b_id"),
             )
-            .withColumn("jaccard", F.lit(1.0))
+            .withColumn(value_col, F.lit(1.0))
         )
-        return cross.unionByName(within)
-    if blocking != "prefix":
-        raise ValueError(f"unknown blocking {blocking!r}")
-    toks = base.select("_id", "_grp", F.explode("_toks").alias("_tok"))
-    freq = toks.groupBy("_grp", "_tok").agg(F.count(F.lit(1)).alias("_f"))
-    # Global per-group token order: (frequency asc, token asc) — rarest first
-    # minimizes candidate bucket sizes; any consistent total order is correct.
-    ordered = (
-        toks.join(freq, ["_grp", "_tok"])
-        .groupBy("_id", "_grp")
-        .agg(F.array_sort(F.collect_list(F.struct("_f", "_tok"))).alias("_ord"))
-    )
-    n = F.size("_ord")
-    # ceil(t·n) with a downward epsilon: FP error can only LENGTHEN the
-    # prefix (never shortens it below the safe bound), preserving recall.
-    prefix_len = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)).cast("int") + 1
-    prefix = base.join(ordered, ["_id", "_grp"]).select(
-        "_id",
-        "_grp",
-        n.alias("_n"),
-        F.explode(
-            F.transform(F.slice("_ord", F.lit(1), prefix_len), lambda s: s["_tok"])
-        ).alias("_tok"),
-    )
-    a = prefix.select(
-        "_grp", "_tok", F.col("_id").alias("a_id"), F.col("_n").alias("_an")
-    )
-    b = prefix.select(
-        "_grp", "_tok", F.col("_id").alias("b_id"), F.col("_n").alias("_bn")
-    )
-    cands = (
-        a.join(b, ["_grp", "_tok"])
-        .filter(
-            (F.col("a_id") < F.col("b_id"))
-            # length filter: J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|)
-            & (
-                F.least("_an", "_bn").cast("double")
-                >= F.lit(threshold) * F.greatest("_an", "_bn").cast("double")
+    return cross.unionByName(within)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    *,
+    threshold: float,
+    blocking: str = "prefix",
+    probe=None,
+) -> DataFrame:
+    """Exact token-set Jaccard join — NOT all-pairs, and (r12) never
+    doc-grain: documents first collapse to their DISTINCT TOKEN SETS
+    (:func:`_token_classes` — the "exact-dedup before near-dup" step every
+    production pipeline runs), the pairwise machinery runs on class
+    representatives, and members re-expand map-side afterwards
+    (within-class pairs are Jaccard 1.0 by identity; cross-class pairs
+    inherit the verified class value, which IS the exact doc-pair value
+    since J depends only on the sets).  Output is therefore IDENTICAL to
+    the doc-grain formulation for every ``blocking`` — the quadratic work
+    just runs on |classes|², not |docs|² (sf10 corpus: 500k docs → 81k
+    classes).  Before r12 only the lsh lever collapsed classes; the exact
+    prefix path paid doc-grain candidate buckets (its measured 5.4 s@sf1 →
+    252 s@sf10 superlinearity was exactly the identical-copy multiplicity
+    this removes).
+
+    ``blocking`` selects the candidate router over class representatives:
+
+    - ``'prefix'`` (default, the oracle surface): POSITIONAL PREFIX
+      FILTERING (Chaudhuri/Vernica/PPJoin).  Order each set's tokens by a
+      global rarest-first total order; with prefix length
+      ``|A| − ⌈t·|A|⌉ + 1``, any pair with J(A,B) ≥ t shares at least one
+      PREFIX token (the globally-smallest shared token cannot sit in
+      either suffix).  Candidates come from an equi-join on (group,
+      xxhash64(prefix token)) — hash collisions only ADD candidates the
+      verify removes — pruned by the length filter
+      (t·|A| ≤ |B| ≤ |A|/t) AND the PPJoin positional filter: for the
+      matched token at 0-based positions (i, j) of the two full orders,
+      |A∩B| ≤ 1 + min(|A|−i−1, |B|−j−1), so a match with
+      that bound < ⌈t/(1+t)·(|A|+|B|)⌉ cannot reach the threshold.  The
+      pair survives if ANY shared prefix token passes (the first shared
+      token always does when J ≥ t — tokens before it in either order are
+      unshared — so recall stays EXACT).
+    - ``'lsh'``: token-set MinHash banding (:func:`_token_lsh_candidates`,
+      64 hashes / 16 bands) — approximate recall, corpus-MEASURED
+      (tests/test_r9_levers.py), each surfaced pair still carrying its
+      EXACT Jaccard from the shared verify stage (lever output ⊆ exact
+      output by construction).
+
+    ``probe`` (r12, optional): a ``Column -> Column`` predicate over member
+    ids.  Callers that sample surfaced pairs on ``a_id`` (= the LESSER
+    member id) pass their sampling predicate here; only class pairs with a
+    probe-side member can produce a surviving row, so the candidate join
+    keeps probe classes on one side (normalizing orientation after), which
+    shrinks the join output by the probe fraction.  The caller MUST still
+    apply its own filter on the expanded pairs — ``probe`` is a pruning
+    hint, never a semantic change: with ``probe=None`` nothing is pruned.
+
+    |A∩B| and |A∪B| are integer cardinalities, so the final similarity is
+    an exact single FP division — oracle-safe.
+
+    Scale shape: tokenize + class collapse (1 shuffle, checkpointed once),
+    class-token frequency agg (1), order re-assembly (1), the candidate
+    equi-join (1), two id-joins to verify, two id-joins + map-side explodes
+    to re-expand — each a bounded shuffle; nothing is quadratic in an
+    unbounded block."""
+    classes, cbase = _class_base(df, id_col, text_col, group_col, probe)
+    if blocking == "lsh":
+        cands = _token_lsh_candidates(cbase, probed=probe is not None)
+    elif blocking == "prefix":
+        ordered = _ordered_tokens(cbase)
+        n = F.size("_ord")
+        # ceil(t·n) with a downward epsilon: FP error can only LENGTHEN the
+        # prefix (never shortens it below the safe bound), preserving recall.
+        prefix_len = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)).cast("int") + 1
+        pre = _hashed_prefix(ordered, prefix_len)
+        a = pre.select(
+            "_grp", "_th", "_probe",
+            F.col("_id").alias("a_id"), F.col("_n").alias("_an"), F.col("_pos").alias("_ap"),
+        )
+        b = pre.select(
+            "_grp", "_th",
+            F.col("_id").alias("b_id"), F.col("_n").alias("_bn"), F.col("_pos").alias("_bp"),
+        )
+        # PPJoin positional upper bound on |A∩B| for THIS matched token;
+        # the required-intersection floor gets the same downward epsilon
+        # (an undershoot only keeps extra candidates — recall-safe)
+        ub = F.lit(1) + F.least(
+            F.col("_an") - F.col("_ap") - 1, F.col("_bn") - F.col("_bp") - 1
+        )
+        alpha = F.ceil(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("_an") + F.col("_bn")).cast("double")
+            - F.lit(1e-9)
+        )
+        orient = (
+            (F.col("a_id") != F.col("b_id"))
+            if probe is not None
+            else (F.col("a_id") < F.col("b_id"))
+        )
+        joined = (
+            a.filter(F.col("_probe")).join(b, ["_grp", "_th"])
+            .filter(
+                orient
+                # length filter: J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|)
+                & (
+                    F.least("_an", "_bn").cast("double")
+                    >= F.lit(threshold) * F.greatest("_an", "_bn").cast("double")
+                )
+                & (ub >= alpha)
             )
         )
-        .select("_grp", "a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
-    return _verify_jaccard(base, cands, threshold)
+        cands = (
+            joined.select(
+                F.least("a_id", "b_id").alias("a_id"),
+                F.greatest("a_id", "b_id").alias("b_id"),
+            )
+            if probe is not None
+            else joined.select("a_id", "b_id")
+        ).dropDuplicates(["a_id", "b_id"])
+    else:
+        raise ValueError(f"unknown blocking {blocking!r}")
+    verified = _verify_jaccard(cbase, cands, threshold)
+    return _expand_pairs(classes, verified, "jaccard", directed=False)
 
 
 def _verify_containment(base: DataFrame, cands: DataFrame, threshold: float) -> DataFrame:
@@ -671,6 +833,7 @@ def containment_pairs(
     *,
     threshold: float,
     blocking: str = "prefix",
+    probe=None,
 ) -> DataFrame:
     """Exact token-set CONTAINMENT join (doc-in-doc detection): emit
     ``(a_id, b_id, containment)`` where ``C(A,B) = |A∩B| / |A| ≥ t`` —
@@ -678,56 +841,55 @@ def containment_pairs(
     document quoted or embedded inside a larger one (Jaccard misses those:
     a small doc inside a big one has low |A∩B|/|A∪B| but containment 1).
 
-    Prefix rule (asymmetric): order tokens rarest-first; ``C(A,B) ≥ t``
-    means A misses at most ``⌊(1−t)·|A|⌋`` of its tokens from B, so among
-    the first ``⌊(1−t)·|A|⌋ + 1`` rarest tokens of A at least one is in B.
-    Only the PROBE side (A) is prefix-truncated; the indexed side (B) must
-    carry all its tokens because a shared token can sit anywhere in B's
-    order.  Candidates = equi-join (group, token) of A-prefixes against
-    B-full — recall is exact, so the all-pairs DuckDB oracle hash-matches —
-    plus the length filter ``|B| ≥ t·|A|`` (implied by C ≥ t since
-    |A∩B| ≤ |B|).  Scale shape mirrors ngram_jaccard_pairs: frequency agg,
-    prefix assembly, one candidate equi-join, two id-joins to verify —
-    every shuffle bounded by token-bucket sizes, nothing Θ(block²).
+    Like :func:`ngram_jaccard_pairs` (r12), BOTH routes run class-grain:
+    documents collapse to distinct token-set classes first, the pairwise
+    machinery runs on class representatives, members re-expand map-side
+    (within-class ordered pairs are containment 1.0 by identity;
+    cross-class pairs inherit the verified class value, exact since C
+    depends only on the sets) — output identical to the doc-grain
+    formulation, quadratic work on |classes|² not |docs|².
 
-    ``blocking='lsh'`` (default ``'prefix'`` = the exact path above, the
-    oracle surface) mirrors :func:`ngram_jaccard_pairs`'s lever: collapse
-    to distinct token-set classes (:func:`_token_classes`), band the class
-    representatives in DIRECTED form (``a_id != b_id`` — both
-    orientations, since containment is asymmetric), exact-verify the
-    class pairs, then expand members map-side (within-class ordered pairs
-    are containment 1.0 by identity; cross-class pairs inherit the
-    verified class value, exact since C depends only on the sets) —
-    lever output ⊆ exact output by construction, quadratic work on
-    |classes|² not |docs|².  Honest recall caveat, documented not hidden:
-    MinHash collision probability tracks JACCARD, and a small doc
-    contained in a much larger one has low Jaccard
-    (J = C·|A|/(|A|+|B|−C·|A|)), so the LSH route structurally
+    Prefix rule (asymmetric, the oracle surface): order tokens by the
+    global rarest-first total order; ``C(A,B) ≥ t`` means A misses at most
+    ``⌊(1−t)·|A|⌋`` of its tokens from B, so among the first
+    ``⌊(1−t)·|A|⌋ + 1`` rarest tokens of A at least one is in B.  Only the
+    PROBE side (A) is prefix-truncated; the indexed side (B) must carry
+    all its tokens because a shared token can sit anywhere in B's order.
+    Candidates = equi-join (group, xxhash64(token)) of A-prefixes against
+    B-full — hash collisions only ADD candidates the verify removes —
+    pruned by the length filter ``|B| ≥ t·|A|`` (implied by C ≥ t since
+    |A∩B| ≤ |B|) AND the positional filter (r12): for the matched token at
+    0-based positions (i, j) of the two FULL orders,
+    |A∩B| ≤ 1 + min(|A|−i−1, |B|−j−1), so a match with that bound
+    < ⌈t·|A|⌉ cannot reach the threshold; the first shared token always
+    passes when C ≥ t (tokens before it in either order are unshared), so
+    recall stays EXACT and the all-pairs DuckDB oracle hash-matches.
+
+    ``blocking='lsh'`` mirrors the Jaccard lever: band the class
+    representatives UNDIRECTED (band collision is symmetric and
+    C(A,B)/C(B,A) share the intersection cardinality — a first cut that
+    banded directed ran 2× every heavy stage and measured 114 s vs the
+    exact path's 110 s at sf10, erasing the lever's win), verify both
+    orientations in one pass with a map-side 2-struct explode.  Honest
+    recall caveat, documented not hidden: MinHash collision probability
+    tracks JACCARD, and a small doc contained in a much larger one has low
+    Jaccard (J = C·|A|/(|A|+|B|−C·|A|)), so the LSH route structurally
     under-recalls extreme small-in-big pairs (|B|≫|A|); on this corpus
     the containment pairs' size ratio is ≤ 1.9 (J ≥ 0.5 → band collision
     ≥ 0.64, ≥ 0.96 at the median ratio), and recall is MEASURED per SF in
     tests/test_r9_levers.py — a deployment with true small-in-big
     duplication keeps the exact prefix path or adds a size-stratified
-    pass."""
-    base = _spread(df.select(id_col, group_col, text_col)).select(
-        F.col(id_col).alias("_id"),
-        F.col(group_col).alias("_grp"),
-        token_set(F.col(text_col)).alias("_toks"),
-    )
+    pass.
+
+    ``probe`` (r12): as in :func:`ngram_jaccard_pairs`, but containment is
+    directed and callers sample on ``a_id`` = the CONTAINED side, so the
+    prefix route simply keeps probe classes on the A side (no
+    re-orientation needed); the lsh route prunes its undirected band join
+    to pairs with a probe endpoint.  A pruning hint only — the caller
+    still applies its own filter on the expanded pairs."""
+    classes, cbase = _class_base(df, id_col, text_col, group_col, probe)
     if blocking == "lsh":
-        # same empty-token-set guard as ngram_jaccard_pairs (ADVICE r9):
-        # token-less docs pair with nothing on the exact path, so the
-        # lever must never class-collapse them into a 1.0 clique
-        classes = _token_classes(base.filter(F.size("_toks") > 0))
-        cbase = classes.select(F.col("_ids")[0].alias("_id"), "_grp", "_toks")
-        # band UNDIRECTED and verify BOTH orientations in one pass: band
-        # collision is symmetric and C(A,B)/C(B,A) share the intersection
-        # cardinality, so the join/dedup/verify stages all run on a<b
-        # pairs only, with a map-side 2-struct explode emitting the
-        # directed rows (a first cut banded directed — 2× every heavy
-        # stage — and measured 114 s vs the exact path's 110 s at sf10,
-        # erasing the lever's win)
-        und = _token_lsh_candidates(cbase)
+        und = _token_lsh_candidates(cbase, probed=probe is not None)
         a_toks = cbase.select(F.col("_id").alias("a_id"), F.col("_toks").alias("_a_toks"))
         b_toks = cbase.select(F.col("_id").alias("b_id"), F.col("_toks").alias("_b_toks"))
         inter = F.size(F.array_intersect(F.col("_a_toks"), F.col("_b_toks")))
@@ -768,62 +930,35 @@ def containment_pairs(
             .select("_p.*")
             .filter(F.col("containment") >= threshold)
         )
-        amem = classes.select(F.col("_ids")[0].alias("a_id"), F.col("_ids").alias("_a_ids"))
-        bmem = classes.select(F.col("_ids")[0].alias("b_id"), F.col("_ids").alias("_b_ids"))
-        cross = (
-            verified.join(amem, "a_id")
-            .join(bmem, "b_id")
-            .select(F.explode("_a_ids").alias("x"), "_b_ids", "containment")
-            .select("x", F.explode("_b_ids").alias("y"), "containment")
-            .select(
-                F.col("x").alias("a_id"),
-                F.col("y").alias("b_id"),
-                "containment",
-            )
+    elif blocking == "prefix":
+        ordered = _ordered_tokens(cbase)
+        n = F.size("_ord")
+        # ⌊(1−t)·n⌋ + 1 == n − ⌈t·n⌉ + 1; epsilon only ever lengthens the prefix
+        prefix_len = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)).cast("int") + 1
+        a = _hashed_prefix(ordered, prefix_len)
+        a = a.filter(F.col("_probe")).select(
+            "_grp", "_th",
+            F.col("_id").alias("a_id"), F.col("_n").alias("_an"), F.col("_pos").alias("_ap"),
         )
-        within = (
-            classes.filter(F.size("_ids") >= 2)
-            .select(F.explode("_ids").alias("a_id"), "_ids")
-            .select(
-                "a_id",
-                F.explode(F.expr("filter(_ids, x -> x != a_id)")).alias("b_id"),
-            )
-            .withColumn("containment", F.lit(1.0))
+        b = _hashed_prefix(ordered, n).select(
+            "_grp", "_th",
+            F.col("_id").alias("b_id"), F.col("_n").alias("_bn"), F.col("_pos").alias("_bp"),
         )
-        return cross.unionByName(within)
-    if blocking != "prefix":
+        ub = F.lit(1) + F.least(
+            F.col("_an") - F.col("_ap") - 1, F.col("_bn") - F.col("_bp") - 1
+        )
+        alpha = F.ceil(F.lit(threshold) * F.col("_an").cast("double") - F.lit(1e-9))
+        cands = (
+            a.join(b, ["_grp", "_th"])
+            .filter(
+                (F.col("a_id") != F.col("b_id"))
+                & (F.col("_bn").cast("double") >= F.lit(threshold) * F.col("_an").cast("double"))
+                & (ub >= alpha)
+            )
+            .select("a_id", "b_id")
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        verified = _verify_containment(cbase, cands, threshold)
+    else:
         raise ValueError(f"unknown blocking {blocking!r}")
-    toks = base.select("_id", "_grp", F.explode("_toks").alias("_tok"))
-    freq = toks.groupBy("_grp", "_tok").agg(F.count(F.lit(1)).alias("_f"))
-    ordered = (
-        toks.join(freq, ["_grp", "_tok"])
-        .groupBy("_id", "_grp")
-        .agg(F.array_sort(F.collect_list(F.struct("_f", "_tok"))).alias("_ord"))
-    )
-    n = F.size("_ord")
-    # ⌊(1−t)·n⌋ + 1 == n − ⌈t·n⌉ + 1; epsilon only ever lengthens the prefix
-    prefix_len = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)).cast("int") + 1
-    probe = base.join(ordered, ["_id", "_grp"]).select(
-        "_id",
-        "_grp",
-        n.alias("_n"),
-        F.explode(
-            F.transform(F.slice("_ord", F.lit(1), prefix_len), lambda s: s["_tok"])
-        ).alias("_tok"),
-    )
-    a = probe.select("_grp", "_tok", F.col("_id").alias("a_id"), F.col("_n").alias("_an"))
-    b = toks.select(
-        F.col("_grp"), F.col("_tok"), F.col("_id").alias("b_id")
-    ).join(
-        base.select(F.col("_id").alias("b_id"), F.size("_toks").alias("_bn")), "b_id"
-    )
-    cands = (
-        a.join(b, ["_grp", "_tok"])
-        .filter(
-            (F.col("a_id") != F.col("b_id"))
-            & (F.col("_bn").cast("double") >= F.lit(threshold) * F.col("_an").cast("double"))
-        )
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
-    return _verify_containment(base, cands, threshold)
+    return _expand_pairs(classes, verified, "containment", directed=True)

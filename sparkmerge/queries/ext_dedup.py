@@ -286,7 +286,14 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
 )
 def dedup_ngram_jaccard(spark, sf_dir, blocking="prefix"):
     d = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", "lang", threshold=0.6, blocking=blocking)
+    # probe = the sampling predicate applied below: a pruning HINT to the
+    # candidate router (only class pairs with a sampled member can survive
+    # the filter), never a semantic change — the filter itself remains the
+    # op's output contract (r12, guide §2.3: shuffle fewer bytes)
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", "lang", threshold=0.6, blocking=blocking,
+        probe=lambda c: c % 20 == 0,
+    )
     return pairs.filter(F.col("a_id") % 20 == 0)
 
 
@@ -357,7 +364,11 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
 )
 def dedup_containment(spark, sf_dir, blocking="prefix"):
     d = load(spark, sf_dir, "documents")
-    pairs = containment_pairs(d, "doc_id", "text", "lang", threshold=0.95, blocking=blocking)
+    # probe: same pruning-hint discipline as dedup_ngram_jaccard (r12)
+    pairs = containment_pairs(
+        d, "doc_id", "text", "lang", threshold=0.95, blocking=blocking,
+        probe=lambda c: c % 20 == 0,
+    )
     return pairs.filter(F.col("a_id") % 20 == 0)
 
 
