@@ -182,12 +182,41 @@ SELECT a_id, b_id, hamming FROM (
 
 
 def _minhash_pairs(spark, sf_dir):
+    # r12 (guide §2.3/§2.4): collapse to distinct NORMALIZED-TEXT classes
+    # before the signature pipeline — a MinHash signature depends only on
+    # the normalized text, so identical docs share a signature, band
+    # identically, and estimate 1.0 against each other.  Running shingle
+    # explode + 32 permutation aggs + the band self-join on class
+    # representatives and re-expanding members map-side is therefore
+    # output-IDENTICAL (hash-checked at sf0.01/sf0.1), while the heavy
+    # stages run on |classes| not |docs| — and, critically, the band join
+    # stops paying the within-class quadratic blowup (the sf10 corpus has
+    # 500k docs over 94.8k classes with copy multiplicity in the hundreds:
+    # every identical pair used to collide in all 8 bands).  Measured sf10:
+    # 155 s (r12 solo artifact) → see OPTIMIZATION_r12.md.
+    #
+    # The normalize here is byte-identical to minhash_signatures' own
+    # (lower + \s+→' '), which is idempotent — re-normalizing the class
+    # representative inside the signature pipeline is a no-op.
+    from sparkmerge.ext.dedup import _expand_pairs
+
     d = load(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").alias("_norm"),
+    )
+    classes = (
+        norm.groupBy("_norm")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+        .localCheckpoint(eager=True)
+    )
+    reps = classes.select(F.col("_ids")[0].alias("doc_id"), F.col("_norm").alias("text"))
     sigs = minhash_signatures(
-        d, "doc_id", "text", num_hashes=32, shingle_n=5, base_hash="poly31"
+        reps, "doc_id", "text", num_hashes=32, shingle_n=5, base_hash="poly31"
     )
     pairs = minhash_lsh_pairs(sigs, "doc_id", num_hashes=32, bands=8, band_key="slice")
-    return pairs.filter(F.col("est_jaccard") >= 0.5)
+    expanded = _expand_pairs(classes, pairs, "est_jaccard", directed=False)
+    return expanded.filter(F.col("est_jaccard") >= 0.5)
 
 
 @register(
