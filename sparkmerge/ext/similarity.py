@@ -376,17 +376,41 @@ def bitext_margin_pairs(
         )
         return df.select(
             F.col(id_col).alias(f"{side}_id"),
-            F.col(vec_col).alias(f"{side}_vec"),
             F.posexplode(buckets).alias("_t", "_bkt"),
         )
 
+    def vecs(df: DataFrame, side: str) -> DataFrame:
+        # r12: the vector NORM is computed here, once per row, instead of
+        # being folded per candidate pair inside cosine; sim stays
+        # bit-identical (dot/(norm_a·norm_b) is the same IEEE expression
+        # tree over the same operands).
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"{side}_vec"),
+            norm(F.col(vec_col)).alias(f"{side}_nrm"),
+        )
+
+    # r12 (guide §2.3 — shuffle keys, not payloads): the band join and the
+    # pair dedup used to carry BOTH 64-double vectors through their
+    # exchanges (the dedup alone shipped ~2×512 B of payload per candidate
+    # row to compare 16 B of ids); candidates now travel as bare id pairs
+    # and the vectors re-attach via two row-count-bounded joins before
+    # scoring — the same decide-small/move-heavy-once discipline as the
+    # optimization guide's worked example.
     cand = (
         bucketed(a_df, "a")
         .join(bucketed(b_df, "b"), ["_t", "_bkt"])
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    scored = cand.select(
-        "a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("sim")
+    scored = (
+        cand.join(vecs(a_df, "a"), "a_id")
+        .join(vecs(b_df, "b"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))).alias("sim"),
+        )
     )
     wa = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
     wb = Window.partitionBy("b_id").orderBy(F.desc("sim"), F.asc("a_id"))

@@ -870,9 +870,16 @@ SELECT part_a, part_b, pair_n, ia.c AS n_a, ib.c AS n_b,
 )
 def orders_basket_lift(spark, sf_dir, apriori_prune=False):
     li = load(spark, sf_dir, "lineitem")
+    # r12: THREE consumers read the basket aggregation (n_orders, item
+    # counts, pair expansion) and Spark re-runs the lineitem groupBy per
+    # branch — 11 s/pass at sf10, the op's single largest cost after the
+    # pair agg.  One eager localCheckpoint runs it once (the iterative-
+    # dataflow discipline connected_components already uses); measured
+    # sf10 receipt in OPTIMIZATION_r12.md.
     baskets = (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint(eager=True)
     )
     n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     item = (
