@@ -169,7 +169,28 @@ def registry() -> dict[str, QuerySpec]:
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, table))
+    """Batch-read a corpus table (via its read-optimized rewrite).
+
+    r12: the returned DataFrame HANDLE is cached per (session, resolved
+    path) — ``spark.read.parquet`` costs ~90 ms of py4j round-trips +
+    footer schema read, and fixture-assembling ops call load() 3-5× per
+    construction (measured: ~half of the merge family's per-query driver
+    floor).  This is logical-plan reuse, the same thing a catalog table
+    reference gives a long-running Spark app — NOT result caching: every
+    action on the handle re-executes from the parquet files.  The cache
+    key is the rewrite path, which is content-addressed (fingerprint of
+    the source file), so a regenerated corpus resolves to a NEW path and
+    can never serve a stale handle; the pid lease written by table_path
+    keeps the generation alive for the session's lifetime."""
+    path = table_path(sf_dir, table)
+    cache = getattr(spark, "_sparkmerge_df_cache", None)
+    if cache is None:
+        cache = {}
+        spark._sparkmerge_df_cache = cache
+    df = cache.get(path)
+    if df is None:
+        df = cache[path] = spark.read.parquet(path)
+    return df
 
 
 def table_path(sf_dir: str, table: str) -> str:
