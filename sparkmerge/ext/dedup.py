@@ -239,11 +239,16 @@ def minhash_lsh_pairs(
         right = banded.select(
             "_band", "_bucket", F.col(id_col).alias("b_id"), F.col("_sig").alias("_b_sig")
         )
+        # r12 (guide §2.3): est is computed map-side on the band-join output
+        # so the pair-dedup exchange ships (a_id, b_id, est) instead of two
+        # num_hashes-long signature arrays per candidate row.  est is
+        # identical for every banded copy of a pair, so the output is
+        # unchanged.
         return (
             left.join(right, ["_band", "_bucket"])
             .filter(F.col("a_id") < F.col("b_id"))
-            .dropDuplicates(["a_id", "b_id"])
             .select("a_id", "b_id", est)
+            .dropDuplicates(["a_id", "b_id"])
         )
     banded = sig_arr.select(id_col, F.posexplode(bands_arr).alias("_band", "_bucket"))
     left = banded.select("_band", "_bucket", F.col(id_col).alias("a_id"))
@@ -307,30 +312,46 @@ def simhash_pairs(sim_df: DataFrame, id_col: str, *, max_hamming: int = 3) -> Da
     """Candidate pairs whose SimHashes differ in ≤ max_hamming bits (exact
     post-filter after the block band join).  Like ``minhash_lsh_pairs``, the
     4 block-equality joins are folded into ONE self-join on
-    (block index, block value) via ``posexplode`` — one shuffle total."""
-    blocks = F.array(*[F.col(f"blk_{i}") for i in range(4)])
+    (block index, block value) via ``posexplode`` — one shuffle total.
+
+    r12 (guide §2.3 — filter before the exchange): the hamming filter now
+    runs directly on the band-join output, BEFORE the pair dedup — the
+    dedup exchange used to ship every block-collision candidate (quadratic
+    in corpus size over the 2^16 block space) with both 4-long block
+    arrays attached, to drop ≥99.9 % of them after the shuffle.  hamming
+    is identical for every banded copy of a pair, so filtering first is
+    output-identical.  Blocks also travel as four scalar columns with an
+    unrolled bit_count sum (same integer adds in block order — whole-stage
+    codegen) instead of per-candidate array allocs + a higher-order fold."""
     banded = sim_df.select(
-        F.col(id_col), blocks.alias("_blks"), F.posexplode(blocks).alias("_band", "_bucket")
+        F.col(id_col),
+        *[F.col(f"blk_{i}") for i in range(4)],
+        F.posexplode(F.array(*[F.col(f"blk_{i}") for i in range(4)])).alias(
+            "_band", "_bucket"
+        ),
     )
     left = banded.select(
-        "_band", "_bucket", F.col(id_col).alias("a_id"), F.col("_blks").alias("_a_blks")
+        "_band",
+        "_bucket",
+        F.col(id_col).alias("a_id"),
+        *[F.col(f"blk_{i}").alias(f"_a{i}") for i in range(4)],
     )
     right = banded.select(
-        "_band", "_bucket", F.col(id_col).alias("b_id"), F.col("_blks").alias("_b_blks")
+        "_band",
+        "_bucket",
+        F.col(id_col).alias("b_id"),
+        *[F.col(f"blk_{i}").alias(f"_b{i}") for i in range(4)],
     )
-    hamming = F.aggregate(
-        F.zip_with(
-            F.col("_a_blks"), F.col("_b_blks"), lambda x, y: F.bit_count(x.bitwiseXOR(y))
-        ),
-        F.lit(0),
+    hamming = functools.reduce(
         operator.add,
+        [F.bit_count(F.col(f"_a{i}").bitwiseXOR(F.col(f"_b{i}"))) for i in range(4)],
     )
     return (
         left.join(right, ["_band", "_bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
         .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
     )
 
 
@@ -637,13 +658,24 @@ def _hashed_prefix(ordered: DataFrame, length) -> DataFrame:
     )
 
 
-def _expand_pairs(classes: DataFrame, verified: DataFrame, value_col: str, directed: bool) -> DataFrame:
+def _expand_pairs(
+    classes: DataFrame,
+    verified: DataFrame,
+    value_col: str,
+    directed: bool,
+    within_value: Column | None = None,
+) -> DataFrame:
     """Map-side member expansion of verified CLASS pairs back to doc pairs:
     cross-class pairs inherit the verified class value (exact — similarity
     depends only on the sets), within-class pairs are 1.0 by identity.
     ``directed=False`` emits (least, greatest) per undirected class pair
     and within-class a<b pairs; ``directed=True`` keeps the verified
-    orientation and emits all ordered within-class pairs."""
+    orientation and emits all ordered within-class pairs.  ``within_value``
+    overrides the identity value for within-class pairs (default 1.0 —
+    similarity measures; pass ``F.lit(0)`` for distance measures like
+    SimHash hamming)."""
+    if within_value is None:
+        within_value = F.lit(1.0)
     amem = classes.select(F.col("_ids")[0].alias("a_id"), F.col("_ids").alias("_a_ids"))
     bmem = classes.select(F.col("_ids")[0].alias("b_id"), F.col("_ids").alias("_b_ids"))
     exploded = (
@@ -663,7 +695,7 @@ def _expand_pairs(classes: DataFrame, verified: DataFrame, value_col: str, direc
                 "a_id",
                 F.explode(F.expr("filter(_ids, x -> x != a_id)")).alias("b_id"),
             )
-            .withColumn(value_col, F.lit(1.0))
+            .withColumn(value_col, within_value)
         )
     else:
         cross = exploded.select(
@@ -678,7 +710,7 @@ def _expand_pairs(classes: DataFrame, verified: DataFrame, value_col: str, direc
                 "a_id",
                 F.explode(F.expr("slice(_ids, _i + 2, size(_ids))")).alias("b_id"),
             )
-            .withColumn(value_col, F.lit(1.0))
+            .withColumn(value_col, within_value)
         )
     return cross.unionByName(within)
 

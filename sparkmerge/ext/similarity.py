@@ -43,6 +43,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _norm_py(vec: list[float]) -> float:
+    """Python replay of :func:`norm`'s exact left-fold (binary64 adds and
+    multiplies in array order, correctly-rounded sqrt) — bit-identical to
+    evaluating ``norm`` on the same values in the JVM, so literal centroid
+    norms can be precomputed once at plan-build time instead of per row."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -58,12 +71,28 @@ def brute_force_topk(
     query id — as many groups as queries, AQE-friendly).  Ties broken by
     neighbor id for determinism.
     """
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    # r12: norms are computed ONCE per row (map-side, before the cross join)
+    # instead of per (query, neighbor) pair inside cosine — |q|× fewer norm
+    # folds on the corpus side.  sim stays bit-identical: dot/(q_nrm·n_nrm)
+    # is the same IEEE expression tree over the same operands.
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_nrm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_nrm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"))
+        .select(
+            "q_id",
+            "n_id",
+            (dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))).alias("sim"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
@@ -96,12 +125,27 @@ def lsh_bucket(vec: Column, dim: int, *, planes: int = 12, table: int = 0) -> Co
     6144-node scalar expression chain (hoping for whole-stage codegen)
     regressed 8 s → 55 s at sf0.1 — trees that large fall out of codegen
     into per-node interpreted eval, which is far slower than the
-    higher-order-function fold they replaced."""
-    bits = []
-    for p in range(planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, table * 1009 + p)])
-        bits.append(F.when(dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    return functools.reduce(lambda a, b: a + b, bits).cast("long")
+    higher-order-function fold they replaced.
+
+    r12 extends the same lesson to the PLAN itself: the per-plane
+    ``create_array`` of ``dim`` literal nodes (planes × dim ≈ thousands of
+    expression nodes per bucket column, ~100k for a 16-table band array)
+    made plan construction/analysis the dominant cost on small inputs.
+    The plane matrix is now ONE nested-array literal and the bit-pack a
+    fold over it — same dots over the same double values in the same
+    order, same bit sum (integer adds in plane order), so bucket ids are
+    bit-identical (the DuckDB oracle replays this exact math)."""
+    planes_lit = F.lit([_hyperplane(dim, table * 1009 + p) for p in range(planes)])
+    pow2 = F.lit([1 << p for p in range(planes)])
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.when(
+            dot(vec, F.element_at(planes_lit, p + 1)) >= 0,
+            F.element_at(pow2, p + 1),
+        ).otherwise(F.lit(0)),
+    )
 
 
 def lsh_topk(
@@ -118,28 +162,55 @@ def lsh_topk(
     """Approximate top-k: score only candidates that share an LSH bucket with
     the query in ANY of ``tables`` independent hash tables (multi-table LSH —
     the standard recall lever; single-probe recall is poor on unclustered
-    data).  At scale each table's lookup is a bucket-keyed equi-join (one
-    shuffle per table on small uniform keys); candidates are unioned and
-    deduped before scoring, so each pair's cosine is computed once."""
-    cand_frames = []
-    for t in range(tables):
-        c = corpus.select(
-            F.col(id_col).alias("n_id"),
-            F.col(vec_col).alias("n_vec"),
-            lsh_bucket(F.col(vec_col), dim, planes=planes, table=t).alias("_bucket"),
+    data).  Candidates are unioned and deduped before scoring, so each
+    pair's cosine is computed once.
+
+    r12 (guide §2.3/§2.4): all ``tables`` lookups fold into ONE bucket-keyed
+    equi-join via ``posexplode`` over the per-table bucket array — one
+    corpus scan and one join instead of ``tables`` scans + ``tables``
+    branch joins (same candidate set: a pair collides iff it shares a
+    (table, bucket)).  Candidates travel as bare id pairs through the
+    dedup exchange; vectors and per-row precomputed norms re-attach via
+    row-count-bounded joins before scoring (the bitext discipline) — sim
+    stays bit-identical (dot/(q_nrm·n_nrm) is the same IEEE tree)."""
+    def buckets_of(vec: Column) -> Column:
+        return F.array(
+            *[lsh_bucket(vec, dim, planes=planes, table=t) for t in range(tables)]
         )
-        q = queries.select(
-            F.col(id_col).alias("q_id"),
-            F.col(vec_col).alias("q_vec"),
-            lsh_bucket(F.col(vec_col), dim, planes=planes, table=t).alias("_bucket"),
+
+    c_b = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.posexplode(buckets_of(F.col(vec_col))).alias("_t", "_bkt"),
+    )
+    q_b = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.posexplode(buckets_of(F.col(vec_col))).alias("_t", "_bkt"),
+    )
+    cands = (
+        c_b.join(F.broadcast(q_b), ["_t", "_bkt"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_nrm"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_nrm"),
+    )
+    scored = (
+        cands.join(cv, "n_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "n_id",
+            (dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))).alias("sim"),
         )
-        cand_frames.append(
-            c.join(F.broadcast(q), "_bucket")
-            .filter(F.col("q_id") != F.col("n_id"))
-            .select("q_id", "q_vec", "n_id", "n_vec")
-        )
-    cands = functools.reduce(DataFrame.unionAll, cand_frames).dropDuplicates(["q_id", "n_id"])
-    scored = cands.select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"))
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -174,17 +245,30 @@ def ivf_topk(
         (r[0], r[1])
         for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(nlist).collect()
     ]
+    # r12 (the lsh_bucket r6 lesson): the unrolled per-centroid cosine chain
+    # (nlist × full dot+norm scalar trees) was a multi-thousand-node
+    # projection that fell out of whole-stage codegen into interpreted eval.
+    # The centroid matrix is now ONE nested-array literal and cell scoring a
+    # transform() fold over it; the row vector's norm is hoisted to a single
+    # per-row column and each centroid's norm is precomputed at plan-build
+    # time by replaying norm()'s exact fold in Python (_norm_py — binary64
+    # ops in the same order, so the doubles are bit-identical).  sim per
+    # cell = dot/(vnrm·cnrm): the same IEEE tree as cosine() over the same
+    # operand values, so cell assignment and scores are unchanged.
+    cents_arr = F.lit([[float(x) for x in cvec] for _, cvec in centroids])
+    cnorms_arr = F.lit([_norm_py(cvec) for _, cvec in centroids])
 
-    def nearest_cells(vec: Column, n: int) -> Column:
+    def nearest_cells(vec: Column, vnrm: Column, n: int) -> Column:
         """Array of the n nearest centroid indexes (by cosine, descending)."""
-        scored = F.array(
-            *[
-                F.struct(
-                    cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("sim"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, (_, cvec) in enumerate(centroids)
-            ]
+        scored = F.transform(
+            F.sequence(F.lit(0), F.lit(nlist - 1)),
+            lambda i: F.struct(
+                (
+                    dot(vec, F.element_at(cents_arr, i + 1))
+                    / (vnrm * F.element_at(cnorms_arr, i + 1))
+                ).alias("sim"),
+                i.alias("cell"),
+            ),
         )
         top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
         return F.transform(top, lambda s: s["cell"])
@@ -192,17 +276,31 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
-        F.element_at(nearest_cells(F.col(vec_col), 1), 1).alias("_cell"),
+        norm(F.col(vec_col)).alias("n_nrm"),
+    ).select(
+        "n_id",
+        "n_vec",
+        "n_nrm",
+        F.element_at(nearest_cells(F.col("n_vec"), F.col("n_nrm"), 1), 1).alias("_cell"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(nearest_cells(F.col(vec_col), nprobe)).alias("_cell"),
+        norm(F.col(vec_col)).alias("q_nrm"),
+    ).select(
+        "q_id",
+        "q_vec",
+        "q_nrm",
+        F.explode(nearest_cells(F.col("q_vec"), F.col("q_nrm"), nprobe)).alias("_cell"),
     )
     scored = (
         c.join(F.broadcast(q), "_cell")
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"))
+        .select(
+            "q_id",
+            "n_id",
+            (dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))).alias("sim"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
@@ -247,22 +345,32 @@ def pq_topk(
         list(r[1])
         for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(ksub).collect()
     ]
+    # r12 (the lsh_bucket r6 lesson): the fully-unrolled encoder —
+    # m × ksub × sub scalar diff² terms per row, ~10k expression nodes —
+    # fell out of whole-stage codegen into interpreted eval (the `coded`
+    # Project carried no codegen star in the before-plan).  The codebook is
+    # now ONE nested-array literal; subspace distances are aggregate()
+    # folds over the SAME index range accumulating acc + diff·diff in the
+    # same order, so every distance, code and LUT entry is bit-identical.
+    cents_arr = F.lit([[float(x) for x in cv] for cv in cents])
 
-    def subdist_lit(vec: Column, cvec: list[float], s: int) -> Column:
-        """Exact squared L2 between vec's subspace s and a literal codeword."""
-        acc: Column = F.lit(0.0)
-        for d in range(sub):
-            i = s * sub + d + 1  # 1-based
-            diff = F.element_at(vec, i).cast("double") - F.lit(float(cvec[i - 1]))
-            acc = acc + diff * diff
-        return acc
+    def subdist(vec: Column, cvec: Column, s: int) -> Column:
+        """Exact squared L2 between vec's subspace s and a codeword column."""
+        return F.aggregate(
+            F.sequence(F.lit(s * sub + 1), F.lit(s * sub + sub)),  # 1-based
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (F.element_at(vec, i).cast("double") - F.element_at(cvec, i))
+            * (F.element_at(vec, i).cast("double") - F.element_at(cvec, i)),
+        )
 
     def code_for(vec: Column, s: int) -> Column:
-        scored = F.array(
-            *[
-                F.struct(subdist_lit(vec, cv, s).alias("d"), F.lit(j).alias("j"))
-                for j, cv in enumerate(cents)
-            ]
+        scored = F.transform(
+            F.sequence(F.lit(0), F.lit(ksub - 1)),
+            lambda j: F.struct(
+                subdist(vec, F.element_at(cents_arr, j + 1), s).alias("d"),
+                j.alias("j"),
+            ),
         )
         return F.element_at(F.array_sort(scored), 1)["j"]
 
@@ -271,12 +379,15 @@ def pq_topk(
         *[code_for(F.col(vec_col), s).alias(f"code{s}") for s in range(m)],
     )
     # per-query ADC lookup tables: lut{s}[j+1] = subdist(q, codeword j, s)
+    def lut_for(s: int) -> Column:
+        # NB: a plain `lambda cv, s=s` would be treated by transform() as a
+        # TWO-argument (element, index) lambda, silently binding the array
+        # index to s — hence the closure.
+        return F.transform(cents_arr, lambda cv: subdist(F.col(vec_col), cv, s))
+
     q = queries.select(
         F.col(id_col).alias("q_id"),
-        *[
-            F.array(*[subdist_lit(F.col(vec_col), cv, s) for cv in cents]).alias(f"lut{s}")
-            for s in range(m)
-        ],
+        *[lut_for(s).alias(f"lut{s}") for s in range(m)],
     )
     adc: Column = F.lit(0.0)
     for s in range(m):
@@ -321,28 +432,56 @@ def embedding_near_dup_pairs(
     space shrinks by ~2^planes/tables ≈ 64× versus all-pairs.  Exactness of
     *reported* similarities is unaffected (exact cosine on every candidate).
     """
+    # r12 (guide §2.3 — shuffle keys, not payloads): the band self-join and
+    # the pair dedup used to carry the 64-float vector through every
+    # exchange — ``tables``× replicated on each join side (~tables·512 B
+    # per doc where 16 B of id + band key decide everything).  Band rows
+    # now carry ids only; vectors and per-row precomputed norms re-attach
+    # via two row-count-bounded joins before the exact verify (the bitext
+    # discipline).  sim stays bit-identical: dot/(a_nrm·b_nrm) is the same
+    # IEEE expression tree as cosine() over the same operands.
     grp = [F.col(group_col).alias("_grp")] if group_col else []
     buckets = F.array(
         *[lsh_bucket(F.col(vec_col), dim, planes=planes, table=t) for t in range(tables)]
     )
+    # Eager checkpoint: the self-join below references the banded stream on
+    # BOTH sides, and each reference re-evaluates the tables×planes
+    # hyperplane dots per row (measured: the banding pass is the dominant
+    # cost of the whole op).  The checkpointed state is (group, id, band,
+    # bucket) — a few dozen bytes × tables per doc, the same bounded-reuse
+    # discipline as connected_components' per-round truncation.
     banded = df.select(
         *grp,
         F.col(id_col),
-        F.col(vec_col),
         F.posexplode(buckets).alias("_t", "_bkt"),
-    )
+    ).localCheckpoint(eager=True)
     keys = (["_grp"] if group_col else []) + ["_t", "_bkt"]
-    a = banded.select(
-        *keys, F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec")
-    )
-    b = banded.select(
-        *keys, F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
-    )
-    return (
+    a = banded.select(*keys, F.col(id_col).alias("a_id"))
+    b = banded.select(*keys, F.col(id_col).alias("b_id"))
+    cand = (
         a.join(b, keys)
         .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
-        .select("a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("sim"))
+    )
+    vn_a = df.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        norm(F.col(vec_col)).alias("a_nrm"),
+    )
+    vn_b = df.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        norm(F.col(vec_col)).alias("b_nrm"),
+    )
+    return (
+        cand.join(vn_a, "a_id")
+        .join(vn_b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )
 

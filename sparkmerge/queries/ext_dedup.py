@@ -253,9 +253,35 @@ def dedup_fuzzy(spark, sf_dir):
     "DuckDB reimplementation",
 )
 def dedup_simhash(spark, sf_dir):
+    # r12 (guide §2.3/§2.4, the _minhash_pairs discipline): a SimHash is a
+    # function of the word-token multiset, which is fully determined by the
+    # normalized text (lower + \s+→' ' — split('\s+') of the normalized
+    # form yields the same non-empty tokens as the raw text), so identical
+    # normalized texts share a signature, band identically, and sit at
+    # hamming 0.  The token explode + 64 bit-sum aggs + the block band join
+    # therefore run on class REPRESENTATIVES and members re-expand
+    # map-side: cross-class pairs inherit the class hamming (exact),
+    # within-class pairs are hamming 0 by identity.  Docs whose normalized
+    # text is empty produce no tokens → no signature → no pairs in the
+    # original; they are dropped before classing so the collapse matches.
+    from sparkmerge.ext.dedup import _expand_pairs
+
     d = load(spark, sf_dir, "documents")
-    return simhash_pairs(
-        simhash(d, "doc_id", "text", base_hash="poly31"), "doc_id", max_hamming=3
+    norm = d.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").alias("_norm"),
+    ).filter(F.trim(F.col("_norm")) != "")
+    classes = (
+        norm.groupBy("_norm")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+        .localCheckpoint(eager=True)
+    )
+    reps = classes.select(F.col("_ids")[0].alias("doc_id"), F.col("_norm").alias("text"))
+    pairs = simhash_pairs(
+        simhash(reps, "doc_id", "text", base_hash="poly31"), "doc_id", max_hamming=3
+    )
+    return _expand_pairs(
+        classes, pairs, "hamming", directed=False, within_value=F.lit(0).cast("int")
     )
 
 

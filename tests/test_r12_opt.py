@@ -158,3 +158,169 @@ def test_lsh_blocking_still_subset_of_exact(spark):
     }
     assert set(lever) <= set(exact)
     assert all(exact[k] == v for k, v in lever.items())
+
+
+# --- round-12 optimization pass 2: simhash / minhash / similarity internals --
+
+
+def _brute_simhash_pairs(rows, max_hamming=3):
+    """Ground truth: per-doc poly31/37 SimHash recomputed in Python, then
+    all-pairs hamming ≤ max_hamming.  Mirrors ext/dedup.simhash exactly:
+    tokens = split(lower(text), \\s+) minus empties; per bit b the sum of
+    ±1 over token occurrences by bit b of the packed double-poly hash."""
+    MASK = (1 << 64) - 1
+
+    def poly(tok, mult):
+        h = 0
+        for ch in tok:
+            h = (h * mult + ord(ch)) % 2147483647
+        return h
+
+    def sig(text):
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            return None
+        sums = [0] * 64
+        for t in toks:
+            h = (poly(t, 31) + poly(t, 37) * 2147483648) & MASK
+            for b in range(64):
+                sums[b] += 1 if (h >> b) & 1 else -1
+        return sum((1 << b) for b in range(64) if sums[b] > 0)
+
+    sigs = {}
+    for r in rows:
+        s = sig(r.text)
+        if s is not None:
+            sigs[r.doc_id] = s
+    out = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        ham = bin(sigs[a] ^ sigs[b]).count("1")
+        if ham <= max_hamming:
+            out[(a, b)] = ham
+    return out
+
+
+def test_simhash_class_collapse_matches_brute_force(spark, tmp_path):
+    """dedup_simhash's r12 normalized-text class collapse + the
+    filter-before-dedup band join must reproduce the doc-grain all-pairs
+    ground truth — including hamming-0 within-class pairs for identical
+    normalized texts, and NO pairs for empty/whitespace docs."""
+    from sparkmerge.queries import registry
+
+    rows = [
+        # three docs with identical normalized text (case/whitespace only):
+        # one class, within-pairs at hamming 0
+        Row(doc_id=1, text="the quick brown fox jumps", source="a", lang="en"),
+        Row(doc_id=2, text="The  Quick  Brown  Fox  Jumps", source="a", lang="en"),
+        Row(doc_id=9, text="the quick brown fox jumps", source="b", lang="en"),
+        # a near-dup in a different class (one word changed)
+        Row(doc_id=3, text="the quick brown fox leaps", source="a", lang="en"),
+        # far docs
+        Row(doc_id=4, text="completely different words entirely here", source="b", lang="de"),
+        Row(doc_id=5, text="unrelated content again something else", source="b", lang="de"),
+        # empty / whitespace-only: no signature, no pairs
+        Row(doc_id=6, text="", source="a", lang="en"),
+        Row(doc_id=7, text="   ", source="a", lang="en"),
+    ]
+    df = spark.createDataFrame(rows)
+    p = str(tmp_path / "documents.parquet")
+    df.write.parquet(p)
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in registry()["dedup_simhash"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == _brute_simhash_pairs(rows)
+
+
+def test_simhash_filter_before_dedup_is_output_identical(spark):
+    """simhash_pairs' r12 restructure (hamming filter pushed below the
+    pair dedup, scalar-block hamming) against direct signature pairs."""
+    from sparkmerge.ext.dedup import simhash, simhash_pairs
+
+    rows = [
+        Row(doc_id=i, text=f"shared common tokens here plus unique{i} word{i % 3}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows)
+    sigs = simhash(df, "doc_id", "text", base_hash="poly31")
+    sig_map = {
+        r.doc_id: sum(r[f"blk_{i}"] << (16 * i) for i in range(4))
+        for r in sigs.collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sig_map), 2):
+        ham = bin(sig_map[a] ^ sig_map[b]).count("1")
+        # banding guarantee only covers hamming <= 3 (pigeonhole over the
+        # 4 blocks); recompute the banded candidate condition explicitly
+        blocks_a = [(sig_map[a] >> (16 * i)) & 0xFFFF for i in range(4)]
+        blocks_b = [(sig_map[b] >> (16 * i)) & 0xFFFF for i in range(4)]
+        if ham <= 3 and any(x == y for x, y in zip(blocks_a, blocks_b)):
+            want[(a, b)] = ham
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_pairs(sigs, "doc_id", max_hamming=3).collect()
+    }
+    assert got == want
+
+
+def test_lsh_bucket_fold_rewrite_stable_value(spark):
+    """lsh_bucket's r12 nested-literal fold must produce the exact bucket
+    ids of the unrolled per-plane formulation (pinned by recomputing the
+    sign bits from the same _hyperplane components in Python)."""
+    from sparkmerge.ext.similarity import _hyperplane, lsh_bucket
+
+    vec = [(-1.0) ** i * (i + 1) / 7.0 for i in range(16)]
+    df = spark.createDataFrame([Row(vec_id=1, embedding=vec)])
+    got = df.select(
+        lsh_bucket(F.col("embedding"), 16, planes=12, table=3).alias("b")
+    ).collect()[0].b
+    want = 0
+    for p in range(12):
+        comps = _hyperplane(16, 3 * 1009 + p)
+        acc = 0.0
+        for x, y in zip(vec, comps):
+            acc = acc + float(x) * y
+        if acc >= 0:
+            want += 1 << p
+    assert got == want
+
+
+def test_embedding_near_dup_id_pair_banding_matches_brute_force(spark):
+    """embedding_near_dup_pairs' r12 id-pair banding + norm re-attach must
+    still find every pair the exact all-pairs check finds at the near-dup
+    threshold (recall is probabilistic but ~1 at 0.99+; the planted pair
+    here is at ~0.9999)."""
+    import math
+
+    from sparkmerge.ext.similarity import embedding_near_dup_pairs
+
+    def unit(seed, dim=16, eps=0.0):
+        vals = [((seed * 31 + j * 7) % 13) - 6.0 + (eps if j == 0 else 0.0) for j in range(dim)]
+        n = math.sqrt(sum(v * v for v in vals))
+        return [v / n for v in vals]
+
+    rows = [Row(vec_id=i, label="x", embedding=unit(i)) for i in range(6)]
+    rows.append(Row(vec_id=100, label="x", embedding=unit(2, eps=0.01)))  # near-dup of 2
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.a_id, r.b_id)
+        for r in embedding_near_dup_pairs(
+            df, group_col="label", threshold=0.999, dim=16, planes=6, tables=12
+        ).collect()
+    }
+    # brute force in Python (same fold order; doubles)
+    def cos(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            d = d + float(x) * float(y)
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return d / (na * nb)
+
+    vecs = {r.vec_id: r.embedding for r in rows}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(vecs), 2)
+        if cos(vecs[a], vecs[b]) >= 0.999
+    }
+    assert got == want
