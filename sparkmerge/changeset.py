@@ -67,6 +67,21 @@ _SRC = "__s_"  # prefix applied to source columns before the join so that
 #                resolve unambiguously to the TARGET side.
 
 
+def _qi(name: str) -> str:
+    """Backtick-quote an identifier for Spark SQL text (embedded backticks
+    double, per the SQL ref) — the classification expressions below are
+    assembled as SQL strings so one ``selectExpr`` crosses py4j instead of
+    hundreds of per-node Column calls (guide §1/§7.3: driver-side
+    construction was ~half of every merge-family rep at sf0.1)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _qs(text: str) -> str:
+    """Single-quoted SQL string literal (backslash-escaped, the default
+    parser mode — ``spark.sql.parser.escapedStringLiterals`` off)."""
+    return "'" + text.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 @dataclass(frozen=True)
 class DeleteMode:
     """Parsed ``@delete`` parameter (sp_SimpleMerge.sql:339-346, README.md:32-36).
@@ -376,9 +391,12 @@ def build_changeset(
 
     t_df = target_df.withColumn("__t_present", F.lit(True))
     # Rename source columns so bare identifiers resolve to the target side.
-    s_df = source_df.select(
-        *[F.col(c).alias(f"{_SRC}{c}") for c in source_df.columns],
-        F.lit(True).alias("__s_present"),
+    # One selectExpr call — the aliases parse JVM-side instead of paying a
+    # py4j round-trip per column (the same expressions as the old
+    # per-column F.col(c).alias(...) form).
+    s_df = source_df.selectExpr(
+        *[f"{_qi(c)} AS {_qi(_SRC + c)}" for c in source_df.columns],
+        "true AS `__s_present`",
     )
 
     join_cond = _key_condition(plan, "", _SRC)
@@ -426,39 +444,43 @@ def build_changeset(
     else:
         joined = t_df.join(s_df, join_cond, "full_outer")
 
-    t_present = F.col("__t_present").isNotNull()
-    s_present = F.col("__s_present").isNotNull()
+    # The classification expressions below are assembled as SQL TEXT and
+    # handed to ONE selectExpr call: each string parses JVM-side, so the
+    # whole classification costs a handful of py4j round-trips instead of
+    # one per expression node (measured r12, guide §1/§7.3: ~1,700
+    # round-trips ≈ 0.35 s of the ~0.52 s merge_full rep at sf0.1 were
+    # driver-side construction; the expressions themselves are UNCHANGED —
+    # same Catalyst trees, same results, plan shape pinned by tests).
 
     # Change detection: null-safe row-wise comparison of all non-key source
     # columns — INTERSECT semantics (sp_SimpleMerge.sql:275-297).  An OR-chain
-    # of per-column ~eqNullSafe is exactly `NOT EXISTS (... INTERSECT ...)`.
+    # of per-column NOT(<=>) is exactly `NOT EXISTS (... INTERSECT ...)`.
     if plan.update_suppressed:
-        changed = F.lit(False)  # no WHEN MATCHED branch at all (:275-276)
+        changed_sql = "false"  # no WHEN MATCHED branch at all (:275-276)
     elif update_mode == "patch":
         # sparse patch: a NULL source column is a hole (keep target), so it
         # can never constitute a change — changed iff any NON-NULL source
         # column differs null-safely from the target
-        changed = functools.reduce(
-            operator.or_,
-            [
-                F.col(f"{_SRC}{c}").isNotNull() & ~F.col(c).eqNullSafe(F.col(f"{_SRC}{c}"))
-                for c in plan.non_key_source_columns
-            ],
+        changed_sql = " OR ".join(
+            f"({_qi(_SRC + c)} IS NOT NULL AND (NOT ({_qi(c)} <=> {_qi(_SRC + c)})))"
+            for c in plan.non_key_source_columns
         )
     else:
-        changed = functools.reduce(
-            operator.or_,
-            [~F.col(c).eqNullSafe(F.col(f"{_SRC}{c}")) for c in plan.non_key_source_columns],
+        changed_sql = " OR ".join(
+            f"(NOT ({_qi(c)} <=> {_qi(_SRC + c)}))"
+            for c in plan.non_key_source_columns
         )
 
-    # The action expression is reused (as an expression tree, not a column
+    # The action expression is reused (as expression TEXT, not a column
     # reference) inside the _new struct below — Catalyst's subexpression
-    # elimination and whole-stage codegen keep this a single evaluation pass.
-    action_expr = (
-        F.when(~t_present, F.lit(ACTION_INSERT))
-        .when(~s_present, F.lit(mode.action))
-        .when(changed, F.lit(ACTION_UPDATE))
-        .otherwise(F.lit(ACTION_KEEP))
+    # elimination and whole-stage codegen keep this a single evaluation
+    # pass, exactly as with the old shared-Column-tree form.
+    action_sql = (
+        "CASE"
+        f" WHEN `__t_present` IS NULL THEN {_qs(ACTION_INSERT)}"
+        f" WHEN `__s_present` IS NULL THEN {_qs(mode.action)}"
+        f" WHEN {changed_sql} THEN {_qs(ACTION_UPDATE)}"
+        f" ELSE {_qs(ACTION_KEEP)} END"
     )
 
     soft_assign = dict(mode.assignments)
@@ -468,33 +490,49 @@ def build_changeset(
 
     source_set = set(plan.source_columns)
 
-    def new_value(c: str) -> Column:
+    def new_value(c: str) -> str:
         # patch mode: UPDATE image is COALESCE(source, target); on INSERT
         # the target side is all-NULL so the same expression yields the
         # source image as-is
         src_val = (
-            F.coalesce(F.col(f"{_SRC}{c}"), F.col(c))
+            f"coalesce({_qi(_SRC + c)}, {_qi(c)})"
             if update_mode == "patch"
-            else F.col(f"{_SRC}{c}")
+            else _qi(_SRC + c)
         )
         base = (
-            F.when(action_expr.isin(ACTION_INSERT, ACTION_UPDATE), src_val).otherwise(F.col(c))
+            f"CASE WHEN ({action_sql}) IN ({_qs(ACTION_INSERT)}, {_qs(ACTION_UPDATE)})"
+            f" THEN {src_val} ELSE {_qi(c)} END"
             if c in source_set
-            else F.col(c)  # target-only columns pass through / NULL-fill on insert (:323)
+            else _qi(c)  # target-only columns pass through / NULL-fill on insert (:323)
         )
         if c in soft_assign:
             # Soft-delete SET expr evaluates over the (unambiguous) target row.
-            base = F.when(action_expr == ACTION_SOFT_DELETE, F.expr(soft_assign[c])).otherwise(base)
-        return base.alias(c)
+            base = (
+                f"CASE WHEN ({action_sql}) = {_qs(ACTION_SOFT_DELETE)}"
+                f" THEN ({soft_assign[c]}) ELSE ({base}) END"
+            )
+        return base
 
-    old_struct = F.when(
-        t_present, F.struct(*[F.col(c).alias(c) for c in plan.target_columns])
-    ).alias(_OLD)
-    new_struct = F.when(
-        action_expr != ACTION_DELETE,
-        F.struct(*[new_value(c) for c in plan.target_columns]),
-    ).alias(_NEW)
-    key_cols = [F.coalesce(F.col(k), F.col(f"{_SRC}{k}")).alias(k) for k in plan.key_columns]
+    def struct_sql(fields: list[tuple[str, str]]) -> str:
+        return "named_struct(" + ", ".join(
+            f"{_qs(name)}, {value}" for name, value in fields
+        ) + ")"
 
-    cs_df = joined.select(*key_cols, action_expr.alias(_ACTION), old_struct, new_struct)
+    old_struct = (
+        "CASE WHEN `__t_present` IS NOT NULL THEN "
+        + struct_sql([(c, _qi(c)) for c in plan.target_columns])
+        + f" END AS {_qi(_OLD)}"
+    )
+    new_struct = (
+        f"CASE WHEN ({action_sql}) <> {_qs(ACTION_DELETE)} THEN "
+        + struct_sql([(c, new_value(c)) for c in plan.target_columns])
+        + f" END AS {_qi(_NEW)}"
+    )
+    key_cols = [
+        f"coalesce({_qi(k)}, {_qi(_SRC + k)}) AS {_qi(k)}" for k in plan.key_columns
+    ]
+
+    cs_df = joined.selectExpr(
+        *key_cols, f"{action_sql} AS {_qi(_ACTION)}", old_struct, new_struct
+    )
     return Changeset(df=cs_df, plan=plan, delete_mode=mode)

@@ -102,6 +102,68 @@ _FORCE_REVERIFY = {
     # decimal(38,0) — bit-identical wherever int64 was in range (i.e. the
     # whole test corpus) by design; re-confirm post-edit.
     "text_cross_lang_length_ratio",
+    # --- r12 OPTIMIZATION round: every op whose executed dataflow changed
+    # owes one post-rewrite driver confirmation (all were locally
+    # hash-verified at sf0.01 — several also at sf0.1 — before commit;
+    # OPTIMIZATION_r12.md changes #1-#7).
+    # Structural rewrites (class collapse / PPJoin / literal-fold / band
+    # join / id-pair shuffles):
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_fuzzy",
+    "dedup_cluster_survivors",
+    "dedup_lsh_recall_eval",
+    "bitext_margin_mine",
+    "topk_similarity",
+    "ann_lsh",
+    "ann_ivf",
+    "ann_pq",
+    "dedup_embedding",
+    "dedup_embedding_clusters",
+    # Merge-core expression-text batching (change #7 — expressions
+    # unchanged, construction path rewritten): every registry consumer of
+    # build_changeset / orders_source / orders_upsert_feed.
+    "merge_full",
+    "join_null_safe_eq",
+    "join_composite_key",
+    "change_detect_intersect",
+    "update_changed",
+    "update_suppressed_all_key",
+    "insert_unmatched",
+    "delete_unmatched",
+    "softdelete_unmatched",
+    "keep_unmatched",
+    "target_filter_scope",
+    "badkey_rank",
+    "output_audit",
+    "threshold_guard",
+    "merge_cdc_apply",
+    "merge_scd2",
+    "merge_scd2_multibatch",
+    "merge_multi_source",
+    "merge_broadcast_delta",
+    "merge_sparse_patch",
+    "merge_column_change_profile",
+    "merge_upsert_latest",
+    "agg_action_counts",
+    "multimodal_columns",
+    "debug_dry_run",
+    "lastupdate_prop",
+    "schema_align_fullouter",
+    "txn_commit_rollback",
+    "merge_partition_pruned",
+    "table_maintenance",
+    "sink_audit_append",
+    "table_time_travel",
+    "merge_version_diff",
+    "merge_schema_evolution",
+    "merge_deletion_vectors",
+    "stream_merge_foreachbatch",
+    "stream_scd2_foreachbatch",
+    "error_raise",
+    "dynamic_exec",
 }
 
 

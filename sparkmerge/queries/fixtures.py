@@ -171,44 +171,55 @@ SELECT o_orderkey + 9000000000, o_custkey, 'N2', o_totalprice + 3.0,
 
 
 def orders_upsert_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: SQL-text branches (one selectExpr each) — this fixture's five
+    # per-branch Column chains were ~0.29 s of every merge_upsert_latest
+    # rep at sf0.1 (cProfile receipt; the floor_profile construct column).
+    # Expressions are UNCHANGED: nD is the double literal F.lit(n.0) made,
+    # 9000000000 parses as BIGINT (out of int range), CAST(n AS BIGINT)
+    # mirrors F.lit(seq).cast('long').
     o = load(spark, sf_dir, "orders")
-    k = F.col("o_orderkey")
 
     def ver(pred, key, status, price, seq):
-        return o.where(pred).select(
-            key.alias("o_orderkey"),
+        return o.where(pred).selectExpr(
+            f"{key} AS o_orderkey",
             "o_custkey",
-            status.alias("o_orderstatus"),
-            price.alias("o_totalprice"),
+            f"{status} AS o_orderstatus",
+            f"{price} AS o_totalprice",
             "o_orderdate",
             "o_orderpriority",
-            F.lit(seq).cast("long").alias("src_seq"),
+            f"CAST({seq} AS BIGINT) AS src_seq",
         )
 
+    k = "o_orderkey"
     return (
-        ver(k % 5 == 0, k, F.lit("U1"), F.col("o_totalprice") + 1.0, 1)
-        .unionAll(ver(k % 10 == 0, k, F.lit("U2"), F.col("o_totalprice") + 2.0, 2))
-        .unionAll(ver(k % 15 == 0, k, F.col("o_orderstatus"), F.col("o_totalprice"), 3))
-        .unionAll(ver(k % 97 == 0, k + 9000000000, F.lit("N1"), F.col("o_totalprice"), 1))
-        .unionAll(ver(k % 97 == 0, k + 9000000000, F.lit("N2"), F.col("o_totalprice") + 3.0, 2))
+        ver("o_orderkey % 5 = 0", k, "'U1'", "o_totalprice + 1.0D", 1)
+        .unionAll(ver("o_orderkey % 10 = 0", k, "'U2'", "o_totalprice + 2.0D", 2))
+        .unionAll(ver("o_orderkey % 15 = 0", k, "o_orderstatus", "o_totalprice", 3))
+        .unionAll(ver("o_orderkey % 97 = 0", f"{k} + 9000000000", "'N1'", "o_totalprice", 1))
+        .unionAll(ver("o_orderkey % 97 = 0", f"{k} + 9000000000", "'N2'", "o_totalprice + 3.0D", 2))
     )
 
 
 def orders_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: assembled as SQL text (one selectExpr per branch) — this fixture
+    # is constructed once per merge-family rep, and its ~40 per-node py4j
+    # round-trips were ~0.1 s of every sf0.1 rep (floor_profile receipt).
+    # Expressions are UNCHANGED (10.0D is the double literal F.lit(10.0)
+    # produced; CASE WHEN mirrors F.when().otherwise()).
     o = load(spark, sf_dir, "orders")
-    mut = F.col("o_orderkey") % 5 == 0
-    base = o.where(F.col("o_orderkey") % 7 != 0).select(
+    mut = "o_orderkey % 5 = 0"
+    base = o.where("o_orderkey % 7 != 0").selectExpr(
         "o_orderkey",
         "o_custkey",
-        F.when(mut, F.lit("X")).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
-        F.when(mut, F.col("o_totalprice") + 10.0).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        f"CASE WHEN {mut} THEN 'X' ELSE o_orderstatus END AS o_orderstatus",
+        f"CASE WHEN {mut} THEN o_totalprice + 10.0D ELSE o_totalprice END AS o_totalprice",
         "o_orderdate",
         "o_orderpriority",
     )
-    extra = o.where(F.col("o_orderkey") % 11 == 0).select(
-        (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+    extra = o.where("o_orderkey % 11 = 0").selectExpr(
+        "o_orderkey + 1000000 AS o_orderkey",
         "o_custkey",
-        F.lit("N").alias("o_orderstatus"),
+        "'N' AS o_orderstatus",
         "o_totalprice",
         "o_orderdate",
         "o_orderpriority",
