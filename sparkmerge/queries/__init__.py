@@ -164,6 +164,10 @@ _FORCE_REVERIFY = {
     "stream_scd2_foreachbatch",
     "error_raise",
     "dynamic_exec",
+    # r12 session 2: the bounded lag/total joins are now explicit broadcast
+    # hash joins (4 SMJ → 4 BHJ, plans/r12/orders_seasonal_naive_mase_*);
+    # outputs bit-identical (hash-verified sf0.01 + sf0.1 pre-commit).
+    "orders_seasonal_naive_mase",
 }
 
 

@@ -846,10 +846,14 @@ def orders_seasonal_naive_mase(spark, sf_dir):
     )
 
     def lag_errors(months: int, n_name: str, sae_name: str):
+        # r12 (guide §3.1 — pick the join strategy deliberately): m is
+        # |brands|×|months|-bounded (~2,000 rows at ANY corpus size —
+        # catalog × calendar), so the lag self-join is a broadcast hash
+        # join by construction, never a sort-merge Exchange pair.
         a, b = m.alias("a"), m.alias("b")
         return (
             a.join(
-                b,
+                F.broadcast(b),
                 (F.col("a.brand") == F.col("b.brand"))
                 & (F.col("b.mo") == F.add_months(F.col("a.mo"), -months)),
             )
@@ -868,8 +872,8 @@ def orders_seasonal_naive_mase(spark, sf_dir):
         / (F.col("sae_naive_cents") * F.col("n_seasonal")).cast("double")
     )
     return (
-        t.join(s, "brand")
-        .join(n, "brand")
+        t.join(F.broadcast(s), "brand")
+        .join(F.broadcast(n), "brand")
         .select(
             "brand", "n_months", "n_seasonal", "n_naive",
             "sae_seasonal_cents", "sae_naive_cents", mase.alias("mase"),

@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 
 from sparkmerge.ext.dedup import containment_pairs, ngram_jaccard_pairs
 
+SF_DIR = "/root/testdata/sf0.001"
+
 
 def _corpus(spark):
     rows = [
@@ -324,3 +326,32 @@ def test_embedding_near_dup_id_pair_banding_matches_brute_force(spark):
         if cos(vecs[a], vecs[b]) >= 0.999
     }
     assert got == want
+
+
+def test_seasonal_mase_bounded_joins_are_broadcast(spark):
+    """r12 session 2: orders_seasonal_naive_mase's lag self-joins and final
+    total joins run over the |brands|x|months|-bounded checkpointed relation
+    — they must plan as broadcast hash joins (guide §3.1), never as
+    sort-merge Exchange pairs (the pre-change plan carried 4 SMJs)."""
+    from sparkmerge.queries import registry
+
+    fn = registry()["orders_seasonal_naive_mase"].fn
+    plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_release_checkpoint_blocks_unpersists(spark):
+    """r12 measurement hygiene: bench._release_checkpoint_blocks must drop
+    every persistent RDD (the leftover localCheckpoint blocks that
+    otherwise accumulate across a bench leg), and must be a no-op-safe
+    call when nothing is persisted."""
+    import bench
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(F.col("id")).localCheckpoint(eager=True)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    bench._release_checkpoint_blocks(spark)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    bench._release_checkpoint_blocks(spark)  # idempotent / empty-safe
+    del df

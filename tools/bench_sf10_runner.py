@@ -92,7 +92,13 @@ def main() -> None:
     gc.collect()
     spark.sparkContext._jvm.System.gc()
 
-    def timed(run) -> float:
+    def timed(run, pre=None) -> float:
+        # pre() runs OUTSIDE every timer — Spark runs release leftover
+        # localCheckpoint blocks here (bench._release_checkpoint_blocks,
+        # r12 measurement-hygiene fix; the gc.collect() between ops only
+        # releases blocks ASYNCHRONOUSLY via the ContextCleaner)
+        if pre is not None:
+            pre()
         t0 = time.perf_counter()
         run()
         warm = time.perf_counter() - t0
@@ -108,11 +114,15 @@ def main() -> None:
             # the r11 committed artifact read merge_sparse_patch at 24.8 s
             # against a 3.7 s steady state this way.  One more rep; min is
             # the steady-state estimator when one sample is cold-biased.
+            if pre is not None:
+                pre()
             t0 = time.perf_counter()
             run()
             return min(warm, time.perf_counter() - t0)
         times = []
         for _ in range(n):
+            if pre is not None:
+                pre()
             t0 = time.perf_counter()
             run()
             times.append(time.perf_counter() - t0)
@@ -148,7 +158,8 @@ def main() -> None:
                         lambda: spec.fn(spark, sf10_dir, **kwargs)
                         .write.format("noop")
                         .mode("overwrite")
-                        .save()
+                        .save(),
+                        pre=lambda: bench._release_checkpoint_blocks(spark),
                     ),
                     4,
                 )

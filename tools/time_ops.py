@@ -50,7 +50,18 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # r12 measurement hygiene (bench._release_checkpoint_blocks discipline):
+    # release leftover localCheckpoint blocks OUTSIDE every timer so reps
+    # and successive ops never read under earlier blocks' memory pressure
+    def _release() -> None:
+        try:
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist(True)
+        except Exception:
+            pass
+
     def timed(run) -> float:
+        _release()
         t0 = time.perf_counter()
         run()
         warm = time.perf_counter() - t0
@@ -58,11 +69,13 @@ def main() -> None:
             return warm
         n = 1 if warm >= 10 else 3 if warm >= 2 else 5
         if n == 1:
+            _release()
             t0 = time.perf_counter()
             run()
             return min(warm, time.perf_counter() - t0)
         times = []
         for _ in range(n):
+            _release()
             t0 = time.perf_counter()
             run()
             times.append(time.perf_counter() - t0)
