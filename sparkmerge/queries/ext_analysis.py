@@ -914,11 +914,20 @@ def orders_basket_lift(spark, sf_dir, apriori_prune=False):
     # agg alone at sf10 (BASELINE.md round-11).  a < b by construction of
     # the sorted-slice expansion, so the unpack is lossless.
     pk = F.col("part_a").cast("long") * F.lit(1 << 32) + F.col("part_b")
+    # r12 (guide §2.3 — shuffle fewer bytes, cheaper aggregation): hash
+    # aggregation is pathological when groups ≈ rows (119.96M rows →
+    # 119.6M groups: the partial agg builds giant useless hash tables and
+    # the final agg pays cache-hostile probes on every row).  A window
+    # COUNT over the packed key is sort-based — no partial agg, no hash
+    # table, one Exchange + a cache-friendly sort of bare longs — and the
+    # support-floor filter then drops the singleton majority before the
+    # (tiny) distinct.  Measured at sf10: 10.6-11.5 s → 6.1 s for the
+    # stage, outputs bit-identical (357,300 surviving pairs both ways).
     pair = (
         raw_pairs.select(pk.alias("_pk"))
-        .groupBy("_pk")
-        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .withColumn("pair_n", F.count(F.lit(1)).over(Window.partitionBy("_pk")))
         .filter(F.col("pair_n") >= _BASKET_MIN_PAIR)
+        .distinct()
         .select(
             F.expr("_pk DIV 4294967296").alias("part_a"),
             (F.col("_pk") % F.lit(1 << 32)).alias("part_b"),
