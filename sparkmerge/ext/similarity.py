@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sparkmerge.ext.consts import const_array, session_memo
+
 
 def dot(a: Column, b: Column) -> Column:
     """Left-fold double dot product in array order (bit-deterministic)."""
@@ -135,8 +137,14 @@ def lsh_bucket(vec: Column, dim: int, *, planes: int = 12, table: int = 0) -> Co
     fold over it — same dots over the same double values in the same
     order, same bit sum (integer adds in plane order), so bucket ids are
     bit-identical (the DuckDB oracle replays this exact math)."""
-    planes_lit = F.lit([_hyperplane(dim, table * 1009 + p) for p in range(planes)])
-    pow2 = F.lit([1 << p for p in range(planes)])
+    # r12 (second pass): F.lit(list) builds the literal element-by-element
+    # over py4j (one round-trip per double — 7.6 s of bitext's 9.9 s
+    # construction, cProfiled); const_array builds it with the SAME F.lit
+    # call once per session and memoizes the Column (content-addressed), so
+    # the expression tree, folds and bucket ids are identical by
+    # construction — pinned in tests/test_r12_opt.py.
+    planes_lit = const_array([_hyperplane(dim, table * 1009 + p) for p in range(planes)])
+    pow2 = const_array([1 << p for p in range(planes)])
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(planes - 1)),
         F.lit(0).cast("long"),
@@ -145,6 +153,26 @@ def lsh_bucket(vec: Column, dim: int, *, planes: int = 12, table: int = 0) -> Co
             dot(vec, F.element_at(planes_lit, p + 1)) >= 0,
             F.element_at(pow2, p + 1),
         ).otherwise(F.lit(0)),
+    )
+
+
+def bucket_array(vec_col: str, dim: int, *, planes: int, tables: int) -> Column:
+    """All ``tables`` per-table bucket ids of ``F.col(vec_col)`` as ONE
+    array column, memoized on the session.
+
+    r12 (second pass, guide §1): even with the plane matrices batched into
+    single literals, each ``lsh_bucket`` call still creates its
+    aggregate-fold lambdas over py4j (~60 ms/call; 16 calls ≈ 1 s of every
+    bitext/ann_lsh construction).  The whole bucket-array expression is a
+    pure function of (vec_col, dim, planes, tables) — an UNRESOLVED column
+    tree, bound to a relation only at analysis — so it is built once per
+    session and reused; every query that embeds it resolves and executes
+    it independently (expression reuse, not result reuse)."""
+    return session_memo(
+        ("bucket_array", vec_col, dim, planes, tables),
+        lambda: F.array(
+            *[lsh_bucket(F.col(vec_col), dim, planes=planes, table=t) for t in range(tables)]
+        ),
     )
 
 
@@ -173,18 +201,14 @@ def lsh_topk(
     dedup exchange; vectors and per-row precomputed norms re-attach via
     row-count-bounded joins before scoring (the bitext discipline) — sim
     stays bit-identical (dot/(q_nrm·n_nrm) is the same IEEE tree)."""
-    def buckets_of(vec: Column) -> Column:
-        return F.array(
-            *[lsh_bucket(vec, dim, planes=planes, table=t) for t in range(tables)]
-        )
-
+    buckets = bucket_array(vec_col, dim, planes=planes, tables=tables)
     c_b = corpus.select(
         F.col(id_col).alias("n_id"),
-        F.posexplode(buckets_of(F.col(vec_col))).alias("_t", "_bkt"),
+        F.posexplode(buckets).alias("_t", "_bkt"),
     )
     q_b = queries.select(
         F.col(id_col).alias("q_id"),
-        F.posexplode(buckets_of(F.col(vec_col))).alias("_t", "_bkt"),
+        F.posexplode(buckets).alias("_t", "_bkt"),
     )
     cands = (
         c_b.join(F.broadcast(q_b), ["_t", "_bkt"])
@@ -255,8 +279,10 @@ def ivf_topk(
     # ops in the same order, so the doubles are bit-identical).  sim per
     # cell = dot/(vnrm·cnrm): the same IEEE tree as cosine() over the same
     # operand values, so cell assignment and scores are unchanged.
-    cents_arr = F.lit([[float(x) for x in cvec] for _, cvec in centroids])
-    cnorms_arr = F.lit([_norm_py(cvec) for _, cvec in centroids])
+    # (r12 second pass: const_array — the same F.lit, built once per session
+    # and memoized by content; identical tree, zero py4j on reuse — consts.py)
+    cents_arr = const_array([[float(x) for x in cvec] for _, cvec in centroids])
+    cnorms_arr = const_array([_norm_py(cvec) for _, cvec in centroids])
 
     def nearest_cells(vec: Column, vnrm: Column, n: int) -> Column:
         """Array of the n nearest centroid indexes (by cosine, descending)."""
@@ -352,7 +378,9 @@ def pq_topk(
     # now ONE nested-array literal; subspace distances are aggregate()
     # folds over the SAME index range accumulating acc + diff·diff in the
     # same order, so every distance, code and LUT entry is bit-identical.
-    cents_arr = F.lit([[float(x) for x in cv] for cv in cents])
+    # (r12 second pass: const_array — the same F.lit, built once per session
+    # and memoized by content; see consts.py)
+    cents_arr = const_array([[float(x) for x in cv] for cv in cents])
 
     def subdist(vec: Column, cvec: Column, s: int) -> Column:
         """Exact squared L2 between vec's subspace s and a codeword column."""
@@ -441,9 +469,7 @@ def embedding_near_dup_pairs(
     # discipline).  sim stays bit-identical: dot/(a_nrm·b_nrm) is the same
     # IEEE expression tree as cosine() over the same operands.
     grp = [F.col(group_col).alias("_grp")] if group_col else []
-    buckets = F.array(
-        *[lsh_bucket(F.col(vec_col), dim, planes=planes, table=t) for t in range(tables)]
-    )
+    buckets = bucket_array(vec_col, dim, planes=planes, tables=tables)
     # Eager checkpoint: the self-join below references the banded stream on
     # BOTH sides, and each reference re-evaluates the tables×planes
     # hyperplane dots per row (measured: the banding pass is the dominant
@@ -510,9 +536,7 @@ def bitext_margin_pairs(
     over the candidate set; ties break on partner id.
     """
     def bucketed(df: DataFrame, side: str) -> DataFrame:
-        buckets = F.array(
-            *[lsh_bucket(F.col(vec_col), dim, planes=planes, table=t) for t in range(tables)]
-        )
+        buckets = bucket_array(vec_col, dim, planes=planes, tables=tables)
         return df.select(
             F.col(id_col).alias(f"{side}_id"),
             F.posexplode(buckets).alias("_t", "_bkt"),

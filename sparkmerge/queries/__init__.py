@@ -168,6 +168,12 @@ _FORCE_REVERIFY = {
     # hash joins (4 SMJ → 4 BHJ, plans/r12/orders_seasonal_naive_mase_*);
     # outputs bit-identical (hash-verified sf0.01 + sf0.1 pre-commit).
     "orders_seasonal_naive_mase",
+    # r12 session 3: the entropy LUT literal is now built via const_array
+    # (one parsed SQL expression instead of 1001 per-element py4j lits);
+    # values bit-identical, hash-verified sf0.01 + sf0.1 pre-commit.  The
+    # similarity/ANN const_array + bucket_array consumers above are already
+    # listed (bitext/ann_*/dedup_embedding*).
+    "events_user_type_entropy",
 }
 
 

@@ -3084,7 +3084,12 @@ def events_user_type_entropy(spark, sf_dir):
         cnt("signup").alias("c4"),
         cnt("view").alias("c5"),
     )
-    lut = F.lit(_ENTROPY_LUT)
+    # r12: const_array — the same F.lit literal, built once per session and
+    # memoized by content instead of paying 1001 per-element py4j
+    # round-trips per construction (see ext/consts.py)
+    from sparkmerge.ext.consts import const_array
+
+    lut = const_array(_ENTROPY_LUT)
 
     def term(col):
         s = F.expr(f"cast((1000 * {col}) div n as int)")

@@ -355,3 +355,76 @@ def test_release_checkpoint_blocks_unpersists(spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
     bench._release_checkpoint_blocks(spark)  # idempotent / empty-safe
     del df
+
+
+def test_const_array_bitwise_matches_f_lit(spark):
+    """r12 session 3: const_array builds the literal with the same F.lit
+    call, once per session, memoized by content.  The doubles must reach
+    the plan bit-identically, the ints with F.lit's int-vs-long typing,
+    nesting preserved (also guards the content key: repr must round-trip
+    binary64 so equal keys mean bit-equal contents)."""
+    import struct
+
+    from sparkmerge.ext.consts import const_array
+    from sparkmerge.ext.similarity import _hyperplane
+
+    vals = [_hyperplane(64, 1009 * t + p) for t in range(2) for p in range(6)]
+    vals.append([1e-305, -1e305, 0.1, -0.0, 2.5e-08, 123456789.123456789])
+    row = (
+        spark.range(1)
+        .select(F.lit(vals).alias("a"), const_array(vals).alias("b"))
+        .collect()[0]
+    )
+    assert len(row.a) == len(row.b)
+    for ra, rb in zip(row.a, row.b):
+        for xa, xb in zip(ra, rb):
+            assert struct.pack("d", xa) == struct.pack("d", xb)
+    ints = [1, 2, 4, 8, 16, 32]
+    d2 = spark.range(1).select(F.lit(ints).alias("a"), const_array(ints).alias("b"))
+    assert d2.schema["a"].dataType == d2.schema["b"].dataType
+    r2 = d2.collect()[0]
+    assert r2.a == r2.b
+    longs = [1 << 40, 5]
+    d3 = spark.range(1).select(F.lit(longs).alias("a"), const_array(longs).alias("b"))
+    assert d3.schema["a"].dataType == d3.schema["b"].dataType
+    assert d3.collect()[0].a == d3.collect()[0].b
+
+
+def test_session_memo_reuses_and_content_addresses(spark):
+    """session_memo must return the SAME Column object for equal keys in
+    one session (that is the py4j saving) and distinct objects for
+    distinct content; const_array keys on the generated SQL text, so
+    int-vs-float content that compares equal in Python still gets
+    distinct, correctly typed entries."""
+    from sparkmerge.ext.consts import const_array, session_memo
+
+    a = session_memo(("t", 1), lambda: F.lit(1))
+    b = session_memo(("t", 1), lambda: F.lit(2))  # builder must NOT run
+    assert a is b
+    c1 = const_array([1, 2])
+    c2 = const_array([1.0, 2.0])
+    assert c1 is not c2
+    s = spark.range(1).select(c1.alias("i"), c2.alias("d")).schema
+    assert s["i"].dataType.simpleString() == "array<int>"
+    assert s["d"].dataType.simpleString() == "array<double>"
+
+
+def test_bucket_array_matches_per_table_lsh_bucket(spark):
+    """bucket_array (the session-memoized whole-bank column) must produce
+    exactly the per-table lsh_bucket values in table order."""
+    from sparkmerge.ext.similarity import bucket_array, lsh_bucket
+
+    vec = [(-1.0) ** i * (i + 3) / 11.0 for i in range(16)]
+    df = spark.createDataFrame([Row(vec_id=1, embedding=vec)])
+    got = df.select(
+        bucket_array("embedding", 16, planes=5, tables=4).alias("bank"),
+        *[
+            lsh_bucket(F.col("embedding"), 16, planes=5, table=t).alias(f"b{t}")
+            for t in range(4)
+        ],
+    ).collect()[0]
+    assert list(got.bank) == [got.b0, got.b1, got.b2, got.b3]
+    # memoized: same Column object on repeat call
+    assert bucket_array("embedding", 16, planes=5, tables=4) is bucket_array(
+        "embedding", 16, planes=5, tables=4
+    )
