@@ -126,6 +126,54 @@ SF1_SKIP = {
     "instead as a single warm run under sf1.receipts (r8 verdict ask #5)",
 }
 
+# r12 verdict ask #5 (silent sf1 starvation): the sf1 leg runs CHEAPEST
+# FIRST, ordered by the last-known committed sf1 seconds (the r12
+# quiet-host BENCH_LOCAL.json cut), so a loaded host that exhausts the
+# budget skips only the few most expensive rows — which all have receipts
+# elsewhere (sf10 tail/levers, SCALING.md) — instead of whatever happens
+# to be last in HEADLINE registration order (the r12 driver leg silently
+# dropped its two last-ordered ops that way).  Ops absent from the map
+# (new headliners) sort FIRST so they always get measured.  This is a
+# measurement-ORDER hint only: every op still runs the identical protocol.
+_SF1_LAST_KNOWN_SEC = {
+    "window_tumbling": 0.150,
+    "tpch_q6": 0.173,
+    "dedup_exact": 0.187,
+    "pipeline_sequence_pack": 0.356,
+    "tpch_q1": 0.380,
+    "window_session": 0.497,
+    "events_funnel_steps": 0.542,
+    "json_extract_props": 0.604,
+    "text_stats": 0.670,
+    "tpch_q3": 0.734,
+    "tpch_q5": 0.750,
+    "topk_similarity": 0.833,
+    "merge_full": 0.851,
+    "merge_sparse_patch": 0.869,
+    "output_audit": 0.883,
+    "softdelete_unmatched": 0.896,
+    "pipeline_quality_filter": 0.903,
+    "join_asof": 0.913,
+    "text_fingerprint": 0.941,
+    "merge_upsert_latest": 1.053,
+    "graph_cooccurrence_edges": 1.155,
+    "text_repetition": 1.361,
+    "badkey_rank": 1.434,
+    "orders_seasonal_naive_mase": 1.454,
+    "tpch_q9_style": 1.514,
+    "pipeline_training_mix": 1.976,
+    "orders_nation_trade_matrix": 2.178,
+    "graph_kcore_peel": 2.402,
+    "text_shingle_novelty_curve": 2.541,
+    "dedup_cross_source_matrix": 2.614,
+    "tpch_q21_style": 2.960,
+    "orders_brand_audience_jaccard": 4.504,
+    "dedup_containment": 5.936,
+    "orders_basket_lift": 6.511,
+    "dedup_minhash": 10.018,
+    "dedup_ngram_jaccard": 14.191,
+}
+
 # Spark-only single-run receipts appended to the sf1 leg AFTER the main
 # loop, under their own budget extension (SPARK_GRAFT_SF1_RECEIPT_BUDGET,
 # default 200 s): ops too heavy for the repeat protocol but too important
@@ -474,8 +522,11 @@ def _sf1_leg(spark, reg) -> dict:
     duck_times: dict[str, float] = {}
     skipped: list[str] = []
     oracle_skipped: list[str] = []
+    # cheapest-first (r12 verdict ask #5 — see _SF1_LAST_KNOWN_SEC); sort is
+    # stable, so unmapped ops keep HEADLINE order among themselves
+    sf1_order = sorted(HEADLINE, key=lambda op: _SF1_LAST_KNOWN_SEC.get(op, 0.0))
     try:
-        for op_id in HEADLINE:
+        for op_id in sf1_order:
             if op_id in SF1_SKIP:
                 continue  # reason recorded under "skipped_expensive" below
             if time.perf_counter() - t_start > budget:

@@ -12,6 +12,8 @@ products to the same decimal.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from sparkmerge.queries import load, register
@@ -166,6 +168,26 @@ def tpch_q3(spark, sf_dir):
     )
 
 
+# tpch_q5's supplier-broadcast gate (r12 verdict #2): the ASIA semi-join
+# keeps ~20 % of supplier projected to two int columns, so while the
+# supplier table's parquet file is under this size the hinted build side is
+# a few MB at most — within Spark's own 10 MiB default
+# autoBroadcastJoinThreshold, i.e. the hint only forces what a stats-aware
+# planner would choose anyway (64 MiB of supplier parquet ≈ ~3M rows ≈
+# ~9 MB projected build side).  Past the gate the hint comes off entirely
+# and the scale profile's AQE picks the join from runtime stats, so a
+# corpus-growing supplier can never be forced into a driver-OOM broadcast.
+_Q5_SUPPLIER_BCAST_MAX_BYTES = 64 * 1024**2
+
+
+def _q5_supplier_broadcastable(sf_dir: str) -> bool:
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "supplier.parquet"))
+    except OSError:
+        return False  # unknown size: never force a broadcast
+    return size <= _Q5_SUPPLIER_BCAST_MAX_BYTES
+
+
 @register(
     "tpch_q5",
     oracle="""
@@ -194,14 +216,18 @@ def tpch_q5(spark, sf_dir):
     # out.  Only the ~20 %-width lineitem then shuffles on l_orderkey, and
     # the customer join shuffles on custkey with the c_nationkey =
     # s_nationkey residual applied in the same exchange.  The SHAPE (filter
-    # lineitem below its only exchange) is the 100 TB plan — the difference
-    # between shuffling the full lineitem table and a fifth of it (measured
-    # 10.68 s -> see BASELINE.md round-11 for the A/B).  The hard
-    # F.broadcast(s_asia) HINT is not (ADVICE r11): s_asia is ~20 % of
-    # supplier and grows linearly with SF, so past broadcast-threshold
-    # supplier sizes (hundreds of millions of rows) the hint must come off
-    # and AQE left to choose — kept here because the lean sf0.1 profile
-    # runs AQE-off and would otherwise SMJ lineitem on l_suppkey.
+    # lineitem below its only exchange) carries to any scale — the
+    # difference between shuffling the full lineitem table and a fifth of
+    # it (measured 10.68 s -> see BASELINE.md round-11 for the A/B).  The
+    # hard F.broadcast(s_asia) HINT does not (ADVICE r11 / r12 verdict #2):
+    # s_asia is ~20 % of supplier and grows linearly with the corpus, so it
+    # is SIZE-GATED (_q5_supplier_broadcastable below) — hinted while the
+    # supplier table is provably small enough that a stats-aware planner
+    # would broadcast it anyway (the hint only matters under the lean
+    # sf0.1 profile, which runs AQE-off and would otherwise SMJ lineitem
+    # on l_suppkey), unhinted past the gate so AQE is free to pick the
+    # join from runtime stats and a 100 TB supplier can never be forced
+    # into a driver-OOM broadcast.
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
         & (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
@@ -229,8 +255,9 @@ def tpch_q5(spark, sf_dir):
         )
         .select("c_custkey", "c_nationkey")
     )
+    s_build = F.broadcast(s_asia) if _q5_supplier_broadcastable(sf_dir) else s_asia
     li_asia = load(spark, sf_dir, "lineitem").join(
-        F.broadcast(s_asia), F.col("l_suppkey") == F.col("s_suppkey")
+        s_build, F.col("l_suppkey") == F.col("s_suppkey")
     )
     # Shrink orders by the ASIA customer set BEFORE the big orderkey shuffle
     # (date filter ~30 % × ASIA ~20 % ≈ 6 % of orders reach the SMJ).  At

@@ -828,6 +828,30 @@ def events_rfm_segments(spark, sf_dir, cutoffs="exact"):
 _BASKET_MIN_PAIR = 2  # support floor: pairs co-bought in >= 2 orders
 
 
+def _sortagg_checkpoint(df):
+    """``localCheckpoint(eager=True)`` planned with ObjectHashAggregate and
+    AQE disabled, for a collect_* aggregation over input that is already
+    sorted by its grouping key.  The default ObjectHashAggregate keeps
+    every group's object buffer resident in a hash map until the partition
+    ends — for a 15M-group array build that is GBs of long-lived object
+    churn (the r12 "session aging" victim profile); over key-sorted input
+    SortAggregate streams one group at a time, so buffers die young.  AQE
+    is off for the same job so it cannot coalesce the explicit repartition
+    below the parallelism the sort+aggregate needs (the advisory partition
+    size would halve it at sf10).  Both flips are scoped to the
+    materialization (construct-then-restore)."""
+    spark = df.sparkSession
+    keys = ("spark.sql.adaptive.enabled", "spark.sql.execution.useObjectHashAggregateExec")
+    saved = {k: spark.conf.get(k) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "false")
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 @register(
     "orders_basket_lift",
     oracle=f"""
@@ -868,19 +892,42 @@ SELECT part_a, part_b, pair_n, ia.c AS n_a, ib.c AS n_b,
     "support/confidence/lift from EXACT int64 counts, one IEEE division "
     "each; prune on/off output-identical (tested)",
 )
-def orders_basket_lift(spark, sf_dir, apriori_prune=False):
+def orders_basket_lift(spark, sf_dir, apriori_prune=False, basket_build="sorted"):
     li = load(spark, sf_dir, "lineitem")
-    # r12: THREE consumers read the basket aggregation (n_orders, item
-    # counts, pair expansion) and Spark re-runs the lineitem groupBy per
-    # branch — 11 s/pass at sf10, the op's single largest cost after the
-    # pair agg.  One eager localCheckpoint runs it once (the iterative-
-    # dataflow discipline connected_components already uses); measured
-    # sf10 receipt in OPTIMIZATION_r12.md.
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-        .localCheckpoint(eager=True)
-    )
+    # r13 (guide §2.3 — cheaper aggregation; r12 verdict lead item): the
+    # basket build is now SORT-BASED.  The r7-r12 build (basket_build=
+    # "arrays", kept for the measured A/B and the output-identity
+    # regression test) ran sort_array(collect_set(...)) as an
+    # ObjectHashAggregate — 15M per-order array buffers resident in a hash
+    # map until each partition ends, the op's dominant stage at sf10
+    # (12-17 s/pass solo on this host, 24-27 s in an aged session: exactly
+    # the long-lived-object-churn profile of the r12 "session aging"
+    # finding).  The sorted build shuffles the same two columns once by
+    # l_orderkey, sorts within partitions by (okey, pkey), and runs the
+    # SAME collect_set as a streaming SortAggregate (one group's buffer
+    # alive at a time — _sortagg_checkpoint above): measured 12.3-16.7 s →
+    # 8.1-11.3 s interleaved at sf10, identical arrays by construction
+    # (collect_set dedups, sort_array fixes the order either way).
+    # Array-FREE formulations were A/B'd per the r12 verdict ask and
+    # REJECTED by measurement (receipts in OPTIMIZATION_r13.md): the
+    # distinct(okey,pkey) self-join pair expansion read 24-34 s at sf10
+    # (join machinery per pair vs codegen Generate) and its checkpointed
+    # 60M-row build starved the 32-way aggregates into
+    # AGGREGATE_OUT_OF_MEMORY under the 8g local profile.
+    if basket_build == "sorted":
+        baskets = _sortagg_checkpoint(
+            li.select("l_orderkey", "l_partkey")
+            .repartition("l_orderkey")
+            .sortWithinPartitions("l_orderkey", "l_partkey")
+            .groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        )
+    else:
+        baskets = (
+            li.groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+            .localCheckpoint(eager=True)
+        )
     n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     item = (
         baskets.select(F.explode("parts").alias("l_partkey"))

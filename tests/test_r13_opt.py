@@ -1,0 +1,106 @@
+"""r13 optimization-round regression tests: the sort-based basket build
+(output identity vs the r12 arrays path + SortAggregate planning +
+conf-restore/partitioning semantics of _sortagg_checkpoint), tpch_q5's
+size-gated supplier broadcast, and bench's cheapest-first sf1 ordering."""
+
+from __future__ import annotations
+
+from sparkmerge.queries import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(
+        (r["part_a"], r["part_b"], r["pair_n"], r["n_a"], r["n_b"],
+         r["confidence"], r["lift"])
+        for r in df.collect()
+    )
+
+
+def test_basket_build_paths_output_identical(spark):
+    fn = registry()["orders_basket_lift"].fn
+    ref = _rows(fn(spark, SF_DIR))  # default: sort-based build
+    assert ref == _rows(fn(spark, SF_DIR, basket_build="arrays"))
+    assert len(ref) > 0
+
+
+def test_sortagg_checkpoint_plans_sort_aggregate_and_restores_confs(spark):
+    """The basket build's collect_set must plan as a streaming SortAggregate
+    (not ObjectHashAggregate — the r12 session-aging victim) under the flips
+    _sortagg_checkpoint applies, and the flips must be construct-then-restore."""
+    from pyspark.sql import functions as F
+
+    from sparkmerge.queries import load
+    from sparkmerge.queries.ext_analysis import _sortagg_checkpoint
+
+    keys = (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.execution.useObjectHashAggregateExec",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.execution.useObjectHashAggregateExec", "true")
+        build = (
+            load(spark, SF_DIR, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .repartition("l_orderkey")
+            .sortWithinPartitions("l_orderkey", "l_partkey")
+            .groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        )
+        cp = _sortagg_checkpoint(build)
+        # both flips restored after the materialization
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert (
+            spark.conf.get("spark.sql.execution.useObjectHashAggregateExec")
+            == "true"
+        )
+        # the checkpointed RDD records its static hash partitioning (a plain
+        # localCheckpoint under AQE records UnknownPartitioning), so the
+        # downstream consumers keyed on l_orderkey need no fresh exchange
+        part = (
+            cp._jdf.queryExecution().executedPlan().outputPartitioning().toString()
+        )
+        assert "hashpartitioning(l_orderkey" in part
+        # and the build itself, planned under the same flips, is a streaming
+        # SortAggregate — no resident per-group object hash map
+        for k in keys:
+            spark.conf.set(k, "false")
+        build_plan = build._jdf.queryExecution().executedPlan().toString()
+        assert "SortAggregate" in build_plan
+        assert "ObjectHashAggregate" not in build_plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_q5_supplier_broadcast_gate(spark, monkeypatch):
+    from sparkmerge.queries import analytics
+
+    # small corpus: gate open (hint applies, bench plan unchanged)
+    assert analytics._q5_supplier_broadcastable(SF_DIR)
+    # simulated 100 TB supplier: gate closed — no forced broadcast
+    monkeypatch.setattr(analytics, "_Q5_SUPPLIER_BCAST_MAX_BYTES", 0)
+    assert not analytics._q5_supplier_broadcastable(SF_DIR)
+    fn = registry()["tpch_q5"].fn
+    gate_off = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    monkeypatch.undo()
+    gate_on = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    # the gate changes join STRATEGY freedom only, never the result
+    assert gate_on == gate_off
+    assert len(gate_on) > 0
+
+
+def test_sf1_leg_runs_cheapest_first():
+    import bench
+
+    assert set(bench._SF1_LAST_KNOWN_SEC) <= set(bench.HEADLINE)
+    order = sorted(
+        bench.HEADLINE, key=lambda op: bench._SF1_LAST_KNOWN_SEC.get(op, 0.0)
+    )
+    # budget exhaustion must drop the most expensive rows first — they are
+    # the ones with receipts elsewhere (sf10 tail/levers, SCALING.md)
+    assert order[-1] == "dedup_ngram_jaccard"
+    assert order[-2] == "dedup_minhash"

@@ -156,7 +156,11 @@ def main() -> None:
     spark = get_spark("plan-report", input_bytes=100)
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
-    ops = OPS + [op for op in reg if op not in set(OPS)]
+    # ADVICE r12: sort the non-curated tail by op_id — registry() order
+    # depends on the driver-verify history (CORRECTNESS_r*.json), so an
+    # unsorted listing moved rows between regenerations and every PLANS.md
+    # re-cut carried spurious diff noise.
+    ops = OPS + sorted(op for op in reg if op not in set(OPS))
 
     lines = [
         "# PLANS — physical-plan audit of EVERY registry operator",
