@@ -87,94 +87,37 @@ def register(op_id: str, *, oracle: str | None = None, description: str = ""):
 # long-cents, cumulative-share prefix sum) landed green r10 rows and are
 # cleared.
 _FORCE_REVERIFY = {
-    # r11 rewrites carried per the r11 verdict's r12 queue (ask #4): all
-    # landed green r11 rows, but the q5 pushdown / q1 decimal shift /
-    # cumulative-share guard / q9 long-cents / basket pair-key / funnel
-    # min-chain surfaces changed late enough in r11 that one post-rewrite
-    # driver confirmation each is owed in the r12 window.
+    # NOTE (r13): the r12 window cleared 50 of the previous 62 entries
+    # (CORRECTNESS_r12.json, all hash-green).  Kept below: the 14 r11/r12
+    # entries the rotating window has not yet reached (all covered by the
+    # at-HEAD 337/337 local sweeps, but one driver confirmation each is
+    # still owed), plus the two r13 surfaces.
+    # --- r13 OPTIMIZATION round (OPTIMIZATION_r13.md changes #1-#2):
+    # basket build is now a streaming SortAggregate materialization
+    # (output-identical by construction, hash-verified sf0.001 + sf0.01
+    # pre-commit); q5's supplier broadcast hint is size-gated (join
+    # strategy freedom only, gate open at every bench SF).
+    "orders_basket_lift",
     "tpch_q5",
+    # --- r11 rewrite confirmations still owed (q1 decimal shift /
+    # cumulative-share guard / q9 long-cents / funnel min-chain):
     "tpch_q1",
     "window_cumulative_share",
     "tpch_q9_style",
-    "orders_basket_lift",
     "events_funnel_steps",
-    # r12 ADVICE fix (ADVICE r11): ratio_vs_en now cross-multiplies in
-    # decimal(38,0) — bit-identical wherever int64 was in range (i.e. the
-    # whole test corpus) by design; re-confirm post-edit.
+    # --- r12 surfaces the r12 window did not reach:
     "text_cross_lang_length_ratio",
-    # --- r12 OPTIMIZATION round: every op whose executed dataflow changed
-    # owes one post-rewrite driver confirmation (all were locally
-    # hash-verified at sf0.01 — several also at sf0.1 — before commit;
-    # OPTIMIZATION_r12.md changes #1-#7).
-    # Structural rewrites (class collapse / PPJoin / literal-fold / band
-    # join / id-pair shuffles):
     "dedup_ngram_jaccard",
     "dedup_containment",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_fuzzy",
-    "dedup_cluster_survivors",
-    "dedup_lsh_recall_eval",
     "bitext_margin_mine",
-    "topk_similarity",
-    "ann_lsh",
-    "ann_ivf",
     "ann_pq",
-    "dedup_embedding",
-    "dedup_embedding_clusters",
-    # Merge-core expression-text batching (change #7 — expressions
-    # unchanged, construction path rewritten): every registry consumer of
-    # build_changeset / orders_source / orders_upsert_feed.
-    "merge_full",
-    "join_null_safe_eq",
-    "join_composite_key",
-    "change_detect_intersect",
-    "update_changed",
-    "update_suppressed_all_key",
-    "insert_unmatched",
-    "delete_unmatched",
-    "softdelete_unmatched",
-    "keep_unmatched",
-    "target_filter_scope",
-    "badkey_rank",
-    "output_audit",
-    "threshold_guard",
-    "merge_cdc_apply",
-    "merge_scd2",
-    "merge_scd2_multibatch",
     "merge_multi_source",
-    "merge_broadcast_delta",
-    "merge_sparse_patch",
-    "merge_column_change_profile",
-    "merge_upsert_latest",
-    "agg_action_counts",
     "multimodal_columns",
-    "debug_dry_run",
-    "lastupdate_prop",
-    "schema_align_fullouter",
-    "txn_commit_rollback",
-    "merge_partition_pruned",
-    "table_maintenance",
-    "sink_audit_append",
-    "table_time_travel",
-    "merge_version_diff",
     "merge_schema_evolution",
-    "merge_deletion_vectors",
     "stream_merge_foreachbatch",
-    "stream_scd2_foreachbatch",
-    "error_raise",
-    "dynamic_exec",
-    # r12 session 2: the bounded lag/total joins are now explicit broadcast
-    # hash joins (4 SMJ → 4 BHJ, plans/r12/orders_seasonal_naive_mase_*);
-    # outputs bit-identical (hash-verified sf0.01 + sf0.1 pre-commit).
-    "orders_seasonal_naive_mase",
-    # r12 session 3: the entropy LUT literal is now built via const_array
-    # (one parsed SQL expression instead of 1001 per-element py4j lits);
-    # values bit-identical, hash-verified sf0.01 + sf0.1 pre-commit.  The
-    # similarity/ANN const_array + bucket_array consumers above are already
-    # listed (bitext/ann_*/dedup_embedding*).
     "events_user_type_entropy",
 }
+
 
 
 def _last_verified_round() -> dict[str, int]:
