@@ -91,14 +91,17 @@ _FORCE_REVERIFY = {
     # (CORRECTNESS_r12.json, all hash-green).  Kept below: the 14 r11/r12
     # entries the rotating window has not yet reached (all covered by the
     # at-HEAD 337/337 local sweeps, but one driver confirmation each is
-    # still owed), plus the two r13 surfaces.
+    # still owed), plus the three r13 surfaces.
     # --- r13 OPTIMIZATION round (OPTIMIZATION_r13.md changes #1-#2):
     # basket build is now a streaming SortAggregate materialization
     # (output-identical by construction, hash-verified sf0.001 + sf0.01
     # pre-commit); q5's supplier broadcast hint is size-gated (join
-    # strategy freedom only, gate open at every bench SF).
+    # strategy freedom only, gate open at every bench SF); q21's
+    # finished-order gate moved below the windows as a left-semi join
+    # (hash-verified sf0.01 + sf0.1 pre-commit).
     "orders_basket_lift",
     "tpch_q5",
+    "tpch_q21_style",
     # --- r11 rewrite confirmations still owed (q1 decimal shift /
     # cumulative-share guard / q9 long-cents / funnel min-chain):
     "tpch_q1",

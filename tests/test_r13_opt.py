@@ -93,6 +93,20 @@ def test_q5_supplier_broadcast_gate(spark, monkeypatch):
     assert len(gate_on) > 0
 
 
+def test_q21_semi_join_below_windows(spark):
+    """r13: the o_orderstatus='F' gate is a left-semi join BELOW the
+    window exchange (per-order predicate over order-partitioned windows),
+    and no orders join remains above the windows."""
+    fn = registry()["tpch_q21_style"].fn
+    plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    semi_at = plan.index("LeftSemi")
+    window_at = plan.index("Window")
+    # plans print top-down: the semi join appearing AFTER (deeper than)
+    # the windows means it executes before them
+    assert semi_at > window_at
+    assert plan.count("LeftSemi") == 1
+
+
 def test_sf1_leg_runs_cheapest_first():
     import bench
 
