@@ -128,50 +128,52 @@ SF1_SKIP = {
 
 # r12 verdict ask #5 (silent sf1 starvation): the sf1 leg runs CHEAPEST
 # FIRST, ordered by the last-known committed sf1 seconds (the r12
-# quiet-host BENCH_LOCAL.json cut), so a loaded host that exhausts the
+# quiet-host BENCH_LOCAL.json cut at the r13 HEAD), so a loaded host that exhausts the
 # budget skips only the few most expensive rows — which all have receipts
 # elsewhere (sf10 tail/levers, SCALING.md) — instead of whatever happens
 # to be last in HEADLINE registration order (the r12 driver leg silently
-# dropped its two last-ordered ops that way).  Ops absent from the map
+# dropped its two last-ordered ops that way).  Values from the r13
+# canonical 32-core quiet-host cut (the r12-committed file turned out
+# to be the driver's 8-core leftover — see OPTIMIZATION_r13.md).  Ops absent from the map
 # (new headliners) sort FIRST so they always get measured.  This is a
 # measurement-ORDER hint only: every op still runs the identical protocol.
 _SF1_LAST_KNOWN_SEC = {
-    "window_tumbling": 0.150,
-    "tpch_q6": 0.173,
-    "dedup_exact": 0.187,
-    "pipeline_sequence_pack": 0.356,
-    "tpch_q1": 0.380,
-    "window_session": 0.497,
-    "events_funnel_steps": 0.542,
-    "json_extract_props": 0.604,
-    "text_stats": 0.670,
-    "tpch_q3": 0.734,
-    "tpch_q5": 0.750,
-    "topk_similarity": 0.833,
-    "merge_full": 0.851,
-    "merge_sparse_patch": 0.869,
-    "output_audit": 0.883,
-    "softdelete_unmatched": 0.896,
-    "pipeline_quality_filter": 0.903,
-    "join_asof": 0.913,
-    "text_fingerprint": 0.941,
-    "merge_upsert_latest": 1.053,
-    "graph_cooccurrence_edges": 1.155,
-    "text_repetition": 1.361,
-    "badkey_rank": 1.434,
-    "orders_seasonal_naive_mase": 1.454,
-    "tpch_q9_style": 1.514,
-    "pipeline_training_mix": 1.976,
-    "orders_nation_trade_matrix": 2.178,
-    "graph_kcore_peel": 2.402,
-    "text_shingle_novelty_curve": 2.541,
-    "dedup_cross_source_matrix": 2.614,
-    "tpch_q21_style": 2.960,
-    "orders_brand_audience_jaccard": 4.504,
-    "dedup_containment": 5.936,
-    "orders_basket_lift": 6.511,
-    "dedup_minhash": 10.018,
-    "dedup_ngram_jaccard": 14.191,
+    "tpch_q6": 0.131,
+    "dedup_exact": 0.245,
+    "window_tumbling": 0.260,
+    "pipeline_sequence_pack": 0.287,
+    "json_extract_props": 0.305,
+    "tpch_q1": 0.337,
+    "window_session": 0.421,
+    "text_fingerprint": 0.508,
+    "text_stats": 0.557,
+    "join_asof": 0.626,
+    "badkey_rank": 0.650,
+    "topk_similarity": 0.657,
+    "graph_cooccurrence_edges": 0.722,
+    "output_audit": 0.769,
+    "pipeline_quality_filter": 0.788,
+    "orders_seasonal_naive_mase": 0.789,
+    "softdelete_unmatched": 0.793,
+    "tpch_q3": 0.888,
+    "merge_full": 0.894,
+    "text_repetition": 0.895,
+    "merge_sparse_patch": 0.923,
+    "tpch_q5": 0.929,
+    "pipeline_training_mix": 0.940,
+    "events_funnel_steps": 0.967,
+    "tpch_q9_style": 0.980,
+    "tpch_q21_style": 1.048,
+    "orders_nation_trade_matrix": 1.152,
+    "merge_upsert_latest": 1.374,
+    "text_shingle_novelty_curve": 1.483,
+    "dedup_cross_source_matrix": 2.145,
+    "dedup_containment": 2.295,
+    "orders_brand_audience_jaccard": 2.827,
+    "graph_kcore_peel": 3.081,
+    "dedup_ngram_jaccard": 3.301,
+    "orders_basket_lift": 3.430,
+    "dedup_minhash": 6.271,
 }
 
 # Spark-only single-run receipts appended to the sf1 leg AFTER the main

@@ -116,5 +116,5 @@ def test_sf1_leg_runs_cheapest_first():
     )
     # budget exhaustion must drop the most expensive rows first — they are
     # the ones with receipts elsewhere (sf10 tail/levers, SCALING.md)
-    assert order[-1] == "dedup_ngram_jaccard"
-    assert order[-2] == "dedup_minhash"
+    assert order[-1] == "dedup_minhash"
+    assert order[-2] == "orders_basket_lift"
