@@ -102,6 +102,10 @@ _FORCE_REVERIFY = {
     "orders_basket_lift",
     "tpch_q5",
     "tpch_q21_style",
+    # --- r13 session-3: cross-source matrix bitmask source-set agg
+    # (output-identical to the sets path, hash-verified sf0.01 + sf0.1
+    # pre-commit):
+    "dedup_cross_source_matrix",
     # --- r11 rewrite confirmations still owed (q1 decimal shift /
     # cumulative-share guard / q9 long-cents / funnel min-chain):
     "tpch_q1",

@@ -796,9 +796,13 @@ def dedup_lsh_recall_eval(spark, sf_dir):
 # pair COUNTS surface — a hash collision would merge two shingles' source
 # sets, an under-count of at most 1 per colliding pair at ~2^-64 per
 # shingle pair; the exact raw-string path stays the oracle surface).  Each
-# distinct (shingle, source) contributes once; shingles aggregate their DISTINCT
-# source sets in ONE content-keyed shuffle, and the |sources|-bounded
-# sorted set expands map-side into i < j source pairs — the pair
+# distinct (shingle, source) contributes once; shingles aggregate their
+# DISTINCT source sets in ONE content-keyed shuffle — since r13 as a
+# BITMASK long over dense source-rank bits (bit_or is idempotent, so the
+# partial agg dedups for free and the whole aggregation is a declarative
+# codegen HashAggregate instead of collect_set's ObjectHashAggregate) —
+# then the mask→count relation (bounded by distinct masks, thousands of
+# rows at any SF) expands into i < j source pairs, so the pair
 # aggregation's domain is |sources|², never |docs|².  The oracle certifies
 # via the self-join formulation on the distinct (shingle, source) relation.
 
@@ -829,25 +833,50 @@ SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_shingles
     "weighting audit): distinct 5-word shingles per source group by their "
     "raw string (md5 measured pure overhead at this key width; xxhash64 "
     "is the 100 TB shuffle-compaction lever), each shingle aggregates its "
-    "distinct source set in ONE content-keyed map-side-combined shuffle "
-    "(collect_set dedups in-agg), and the sorted ≤|sources| set expands to i < j pairs "
-    "MAP-SIDE (posexplode+slice, no text-level self-join) — the final "
-    "aggregation runs over the |sources|²-bounded pair domain at any "
-    "corpus size; shingle_key='hash' is the REGISTERED 100 TB lever "
-    "(xxhash64 compacts the ~30-byte shingle string to an 8-byte shuffle "
-    "key before the groupBy — counts-only surface, so cross-engine digest "
-    "match is not required); oracle certifies the raw path against the "
-    "(shingle, source) self-join formulation",
+    "distinct source set in ONE content-keyed map-side-combined shuffle — "
+    "as a BITMASK long (bit_or of dense source-rank bits, fully-codegen "
+    "declarative HashAggregate; r13, replacing the collect_set "
+    "ObjectHashAggregate whose ~25M resident set buffers were the sf10 "
+    "cost) — and the pair expansion runs over the DISTINCT-MASK counts "
+    "(≤ min(2^|sources|, |shingles|) rows), never per shingle; bit ids "
+    "are source-string-rank so i < j bit pairs are exactly the sorted "
+    "string pairs; agg='sets' keeps the collect_set path (>64-source "
+    "fallback, output-identity regression surface; the mask path "
+    "raise_errors past 64 — never a silent wrap); shingle_key='hash' is "
+    "the REGISTERED 100 TB lever (xxhash64 compacts the ~30-byte shingle "
+    "string to an 8-byte shuffle key before the groupBy — counts-only "
+    "surface, so cross-engine digest match is not required); oracle "
+    "certifies against the (shingle, source) self-join formulation",
 )
-def dedup_cross_source_matrix(spark, sf_dir, shingle_key="raw"):
+def dedup_cross_source_matrix(spark, sf_dir, shingle_key="raw", agg="mask"):
+    from pyspark.sql.window import Window
+
     from sparkmerge.ext.text import whitespace_tokens
 
     d = load(spark, sf_dir, "documents")
-    # Tokenize in its OWN projection BELOW the Generate: a computed alias
-    # sharing a select with explode() lands ABOVE the generator and
-    # re-evaluates per OUTPUT row — the inline form re-tokenized the doc
-    # once per shingle (the text_shingle_novelty_curve finding, ~8× on
-    # the exploded stream at sf0.1).
+    # r13 (guide §2.3 — cheaper aggregation, narrower types): the per-
+    # shingle source-set aggregation is BITMASK-based by default
+    # (``agg='mask'``).  collect_set is a typed imperative aggregate —
+    # ObjectHashAggregate keeps every one of the ~25M (sf10) per-shingle
+    # set buffers resident until its partition ends (the exact profile the
+    # r13 basket-build fix removed), and the pair fan-out then runs over
+    # every shingle row.  The source domain is BOUNDED (20 on every test
+    # corpus; a curated feed list at any scale), so each source gets a
+    # dense bit id in SOURCE-STRING SORT ORDER (a row_number over the
+    # ≤|sources| distinct relation — the order sort_array(collect_set(..))
+    # produced, so i < j bit pairs are exactly the old string-sorted
+    # pairs), ``bit_or(1L << sid)`` aggregates each shingle's source set
+    # as ONE long in a fully-codegen declarative HashAggregate (partial
+    # agg stays map-side-combined; OR is idempotent so duplicate
+    # (h, source) rows need no dedup), and the pair expansion collapses to
+    # the DISTINCT-MASK relation (masks → count, ≤ thousands of rows at
+    # any SF) instead of running per shingle.  Outputs are identical ints.
+    # ``agg='sets'`` keeps the r12 collect_set path (the >64-source
+    # fallback and the output-identity regression surface); the mask path
+    # guards the 64-bit bound with an in-plan raise_error on the tiny
+    # sid relation — never a silent wrap.
+    if agg not in ("mask", "sets"):
+        raise ValueError(f"Unknown agg: {agg!r}")
     tokd = d.select(
         "source", whitespace_tokens(F.lower(F.col("text"))).alias("t")
     )
@@ -873,21 +902,69 @@ def dedup_cross_source_matrix(spark, sf_dir, shingle_key="raw"):
         h = F.xxhash64(h)
     elif shingle_key != "raw":
         raise ValueError(f"Unknown shingle_key: {shingle_key!r}")
-    per_shingle = (
-        ex.select("source", h.alias("h"))
-        .groupBy("h")
-        .agg(F.sort_array(F.collect_set("source")).alias("sources"))
-    )
-    pairs = (
-        per_shingle.select(
-            F.posexplode("sources").alias("i", "source_a"), "sources"
-        ).select(
-            "source_a",
-            F.explode(
-                F.expr("slice(sources, i + 2, size(sources))")
-            ).alias("source_b"),
+    if agg == "sets":
+        per_shingle = (
+            ex.select("source", h.alias("h"))
+            .groupBy("h")
+            .agg(F.sort_array(F.collect_set("source")).alias("sources"))
+        )
+        pairs = (
+            per_shingle.select(
+                F.posexplode("sources").alias("i", "source_a"), "sources"
+            ).select(
+                "source_a",
+                F.explode(
+                    F.expr("slice(sources, i + 2, size(sources))")
+                ).alias("source_b"),
+            )
+        )
+        return pairs.groupBy("source_a", "source_b").agg(
+            F.count(F.lit(1)).alias("n_shared_shingles")
+        )
+    # dense bit ids in source-string sort order; bounded relation, one
+    # single-partition row_number window over ≤|sources| rows
+    sid = F.row_number().over(Window.orderBy("source")) - 1
+    sids = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.when(sid < 64, sid)
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "dedup_cross_source_matrix agg='mask' supports at "
+                        "most 64 sources; use agg='sets'"
+                    )
+                ).cast("int")
+            )
+            .alias("sid"),
         )
     )
-    return pairs.groupBy("source_a", "source_b").agg(
-        F.count(F.lit(1)).alias("n_shared_shingles")
+    # attach the bit id per DOC (pre-explode — ~|docs| probes, not
+    # ~|shingles|); the shingle stream then carries only (h, sid)
+    exi = ex.join(F.broadcast(sids), "source").select(h.alias("h"), "sid")
+    per_shingle = exi.groupBy("h").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), sid)")).alias("m")
+    )
+    # the pair domain collapses to distinct masks → count (tiny at any SF)
+    mask_counts = per_shingle.groupBy("m").agg(F.count(F.lit(1)).alias("cnt"))
+    bits = F.expr("filter(sequence(0, 63), b -> ((m >> b) & 1) = 1)")
+    bp = mask_counts.select("cnt", bits.alias("bits"))
+    id_pairs = bp.select(
+        "cnt", F.posexplode("bits").alias("i", "ba"), "bits"
+    ).select(
+        "cnt",
+        "ba",
+        F.explode(F.expr("slice(bits, i + 2, size(bits))")).alias("bb"),
+    )
+    cnt_pairs = id_pairs.groupBy("ba", "bb").agg(
+        F.sum("cnt").alias("n_shared_shingles")
+    )
+    na = sids.select(F.col("source").alias("source_a"), F.col("sid").alias("ba"))
+    nb = sids.select(F.col("source").alias("source_b"), F.col("sid").alias("bb"))
+    return (
+        cnt_pairs.join(F.broadcast(na), "ba")
+        .join(F.broadcast(nb), "bb")
+        .select("source_a", "source_b", "n_shared_shingles")
     )

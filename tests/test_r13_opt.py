@@ -118,3 +118,27 @@ def test_sf1_leg_runs_cheapest_first():
     # the ones with receipts elsewhere (sf10 tail/levers, SCALING.md)
     assert order[-1] == "dedup_minhash"
     assert order[-2] == "orders_basket_lift"
+
+
+def test_cross_source_mask_and_sets_output_identical(spark):
+    """r13 session-3: the bitmask source-set aggregation (agg='mask',
+    default) must be row-identical to the r12 collect_set path (agg='sets')
+    in both shingle-key modes, and the mask plan must carry no
+    ObjectHashAggregate (the resident-buffer profile the rewrite removes)."""
+    fn = registry()["dedup_cross_source_matrix"].fn
+
+    def rows(**kw):
+        return sorted(tuple(r) for r in fn(spark, SF_DIR, **kw).collect())
+
+    ref = rows()  # default: agg='mask'
+    assert ref == rows(agg="sets")
+    assert rows(shingle_key="hash") == rows(agg="sets", shingle_key="hash")
+    assert len(ref) > 0
+    plan = fn(spark, SF_DIR)._sc._jvm.PythonSQLUtils.explainString(
+        fn(spark, SF_DIR)._jdf.queryExecution(), "formatted"
+    )
+    assert "ObjectHashAggregate" not in plan
+    import pytest
+
+    with pytest.raises(ValueError):
+        fn(spark, SF_DIR, agg="nope")
