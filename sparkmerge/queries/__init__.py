@@ -102,10 +102,12 @@ _FORCE_REVERIFY = {
     "orders_basket_lift",
     "tpch_q5",
     "tpch_q21_style",
-    # --- r13 session-3: cross-source matrix bitmask source-set agg
-    # (output-identical to the sets path, hash-verified sf0.01 + sf0.1
-    # pre-commit):
+    # --- r13 session-3: bitmask set aggregations over bounded domains
+    # (output-identical to the sets paths, hash-verified sf0.01 + sf0.1
+    # pre-commit; brand_audience's mask path is size-gated to ≥512 MiB
+    # lineitem, so the small-SF plan is unchanged):
     "dedup_cross_source_matrix",
+    "orders_brand_audience_jaccard",
     # --- r11 rewrite confirmations still owed (q1 decimal shift /
     # cumulative-share guard / q9 long-cents / funnel min-chain):
     "tpch_q1",

@@ -2412,6 +2412,29 @@ def events_benford_digit_profile(spark, sf_dir):
 # ONE IEEE division of exact integers via inclusion-exclusion.
 
 
+# agg='auto' gate for orders_brand_audience_jaccard: the bitmask path wins
+# where the per-customer set-buffer population is large (measured 1.5-1.6×
+# at sf10, a wash at sf1) but its wider plan — id-mapping relation, two
+# bounded checkpoints, per-bit expansions — costs ~0.3 s of tiny-stage
+# overhead under the lean small-SF profile where the whole op is sub-second
+# (measured 0.8 → 1.0-1.3 s at sf0.1).  Gate on the driving table's parquet
+# size, the tpch_q5 precedent: past ~512 MiB of lineitem the buffer
+# population dominates and the mask path is strictly better; below it the
+# narrow sets plan is.  Unknown size → sets (the semantics-identical,
+# domain-unbounded path).
+_BRAND_MASK_MIN_BYTES = 512 * 1024 * 1024
+
+
+def _brand_audience_agg(sf_dir: str) -> str:
+    import os
+
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
+    except OSError:
+        return "sets"
+    return "mask" if size >= _BRAND_MASK_MIN_BYTES else "sets"
+
+
 @register(
     "orders_brand_audience_jaccard",
     oracle="""
@@ -2435,49 +2458,142 @@ SELECT brand_a, brand_b, n_both,
   JOIN tot tb ON brand_b = tb.b
 """,
     description="brand-pair audience Jaccard at the customer grain "
-    "(cross-sell / cannibalization table): per-customer sorted brand sets "
-    "(≤|catalog brands|), posexplode+slice pair fan-out bounded by the "
-    "catalog, audience totals emitted in the SAME exploded stream via a "
-    "sentinel token so the two-join upstream runs exactly once; the "
-    "bounded (≤|brands|²) aggregate is checkpointed for its three "
-    "consumers, totals re-attach broadcast; Jaccard = ONE IEEE division "
-    "of exact integers (inclusion-exclusion)",
+    "(cross-sell / cannibalization table): per-customer brand sets over "
+    "the bounded catalog domain (≤|brands| = 25) — at scale (size-gated "
+    "agg='auto', r13) ONE bit_or bitmask HashAggregate keyed on custkey "
+    "whose idempotent OR replaces the distinct() exchange AND the "
+    "collect_set ObjectHashAggregate, with pair + audience counts "
+    "expanded from the distinct-mask count relation (bit ids are "
+    "brand-string-rank, so i < j bit pairs are the sorted string pairs; "
+    "raise_error past 64 bits); below the gate the narrow sets plan "
+    "(sorted collect_set + sentinel-token exploded stream) stays — both "
+    "paths output-identical (tested); Jaccard = ONE IEEE division of "
+    "exact integers (inclusion-exclusion)",
 )
-def orders_brand_audience_jaccard(spark, sf_dir):
+def orders_brand_audience_jaccard(spark, sf_dir, agg="auto"):
+    from pyspark.sql.window import Window
+
+    if agg == "auto":
+        agg = _brand_audience_agg(sf_dir)
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    cb = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(p, li.l_partkey == p.p_partkey)
-        .select("o_custkey", "p_brand")
-        .distinct()
-    )
-    sets = cb.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_set("p_brand")).alias("brands")
-    )
-    # one exploded stream carries BOTH the (a, tail) pairs and a
-    # ''-sentinel single per element — the upstream runs exactly once
-    tok = sets.select(
-        F.posexplode("brands").alias("i", "a"), "brands"
-    ).select(
-        "a",
-        F.explode(
-            F.concat(
-                F.array(F.lit("")),
-                F.expr("slice(brands, i + 2, size(brands))"),
+    # r13 (guide §2.3/§2.4 — cheaper aggregation, remove a shuffle
+    # outright): the per-customer brand-set aggregation is BITMASK-based
+    # at scale (``agg='auto'`` resolves via the parquet-size gate above;
+    # ``agg='mask'``/``'sets'`` force a path).  The r8-r12 path (the
+    # >64-brand fallback and regression surface) ran
+    # distinct() over (custkey, brand) — one full exchange — then
+    # collect_set per customer (ObjectHashAggregate, ~1.5M resident set
+    # buffers at sf1) and exploded pairs per customer.  Brands are a
+    # bounded catalog domain (25), so each brand gets a dense bit id in
+    # BRAND-STRING SORT ORDER and the whole set build is ONE
+    # bit_or(1L << bid) HashAggregate keyed on o_custkey: OR is
+    # idempotent, so the distinct() exchange is gone (the partial agg
+    # dedups for free), the agg is declarative codegen, and pair + single
+    # counts expand from the DISTINCT-MASK count relation (≤ 2^|brands|
+    # but in practice ≤ |customers| rows, tiny) instead of per customer.
+    # The sentinel-token trick becomes unnecessary — singles are the
+    # per-bit sums over the same mask counts.  Outputs identical ints;
+    # the mask path raise_errors past 64 brands — never a silent wrap.
+    if agg == "sets":
+        cb = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(p, li.l_partkey == p.p_partkey)
+            .select("o_custkey", "p_brand")
+            .distinct()
+        )
+        sets = cb.groupBy("o_custkey").agg(
+            F.sort_array(F.collect_set("p_brand")).alias("brands")
+        )
+        # one exploded stream carries BOTH the (a, tail) pairs and a
+        # ''-sentinel single per element — the upstream runs exactly once
+        tok = sets.select(
+            F.posexplode("brands").alias("i", "a"), "brands"
+        ).select(
+            "a",
+            F.explode(
+                F.concat(
+                    F.array(F.lit("")),
+                    F.expr("slice(brands, i + 2, size(brands))"),
+                )
+            ).alias("b"),
+        )
+        g = tok.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+        g = g.localCheckpoint(eager=True)  # bounded: ≤ |brands|² rows
+        singles = g.filter(F.col("b") == "").select(
+            F.col("a").alias("brand"), F.col("n").alias("n_single")
+        )
+        pairs = g.filter(F.col("b") != "").select(
+            F.col("a").alias("brand_a"), F.col("b").alias("brand_b"),
+            F.col("n").alias("n_both"),
+        )
+    elif agg == "mask":
+        bid = F.row_number().over(Window.orderBy("brand")) - 1
+        bids = (
+            p.select(F.col("p_brand").alias("brand"))
+            .distinct()
+            .select(
+                "brand",
+                F.when(bid < 64, bid)
+                .otherwise(
+                    F.raise_error(
+                        F.lit(
+                            "orders_brand_audience_jaccard agg='mask' "
+                            "supports at most 64 brands; use agg='sets'"
+                        )
+                    ).cast("int")
+                )
+                .alias("bid"),
             )
-        ).alias("b"),
-    )
-    g = tok.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
-    g = g.localCheckpoint(eager=True)  # bounded: ≤ |brands|² rows
-    singles = g.filter(F.col("b") == "").select(
-        F.col("a").alias("brand"), F.col("n").alias("n_single")
-    )
-    pairs = g.filter(F.col("b") != "").select(
-        F.col("a").alias("brand_a"), F.col("b").alias("brand_b"),
-        F.col("n").alias("n_both"),
-    )
+            # bounded (≤|brands| rows) with FOUR consumers (pb join, the
+            # singles name re-attach, na, nb) — without the checkpoint each
+            # consumer re-runs the distinct over the part scan
+            .localCheckpoint(eager=True)
+        )
+        pb = p.join(
+            F.broadcast(bids), p.p_brand == bids.brand
+        ).select("p_partkey", "bid")
+        stream = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(pb, li.l_partkey == pb.p_partkey)
+            .select("o_custkey", "bid")
+        )
+        masks = stream.groupBy("o_custkey").agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bid)")).alias("m")
+        )
+        mask_counts = (
+            masks.groupBy("m")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=True)  # bounded: ≤ distinct masks
+        )
+        bits = F.expr("filter(sequence(0, 63), b -> ((m >> b) & 1) = 1)")
+        bp = mask_counts.select("cnt", bits.alias("bits"))
+        singles = (
+            bp.select("cnt", F.explode("bits").alias("bid"))
+            .groupBy("bid")
+            .agg(F.sum("cnt").alias("n_single"))
+            .join(F.broadcast(bids), "bid")
+            .select("brand", "n_single")
+        )
+        id_pairs = bp.select(
+            "cnt", F.posexplode("bits").alias("i", "ba"), "bits"
+        ).select(
+            "cnt",
+            "ba",
+            F.explode(F.expr("slice(bits, i + 2, size(bits))")).alias("bb"),
+        )
+        na = bids.select(F.col("brand").alias("brand_a"), F.col("bid").alias("ba"))
+        nb = bids.select(F.col("brand").alias("brand_b"), F.col("bid").alias("bb"))
+        pairs = (
+            id_pairs.groupBy("ba", "bb")
+            .agg(F.sum("cnt").alias("n_both"))
+            .join(F.broadcast(na), "ba")
+            .join(F.broadcast(nb), "bb")
+            .select("brand_a", "brand_b", "n_both")
+        )
+    else:
+        raise ValueError(f"Unknown agg: {agg!r}")
     ta = singles.select(
         F.col("brand").alias("brand_a"), F.col("n_single").alias("n_a")
     )

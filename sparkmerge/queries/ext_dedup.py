@@ -940,6 +940,10 @@ def dedup_cross_source_matrix(spark, sf_dir, shingle_key="raw", agg="mask"):
             )
             .alias("sid"),
         )
+        # bounded (≤|sources| rows) with THREE consumers (the exi join,
+        # na, nb) — without the checkpoint each consumer re-runs the
+        # distinct over the documents scan
+        .localCheckpoint(eager=True)
     )
     # attach the bit id per DOC (pre-explode — ~|docs| probes, not
     # ~|shingles|); the shingle stream then carries only (h, sid)

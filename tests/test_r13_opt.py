@@ -142,3 +142,36 @@ def test_cross_source_mask_and_sets_output_identical(spark):
 
     with pytest.raises(ValueError):
         fn(spark, SF_DIR, agg="nope")
+
+
+def test_brand_audience_auto_gate_and_path_identity(spark, monkeypatch):
+    """r13 session-3: agg='auto' resolves via the lineitem parquet-size
+    gate (sets below, mask at scale); mask and sets are row-identical; the
+    mask path's set build is a bit_or HashAggregate, never an
+    ObjectHashAggregate."""
+    import pytest
+
+    from sparkmerge.queries import ext_analysis as ea
+
+    fn = registry()["orders_brand_audience_jaccard"].fn
+
+    def rows(**kw):
+        return sorted(tuple(r) for r in fn(spark, SF_DIR, **kw).collect())
+
+    ref = rows()  # auto -> sets at sf0.001
+    assert ea._brand_audience_agg(SF_DIR) == "sets"
+    assert ref == rows(agg="mask") == rows(agg="sets")
+    assert len(ref) > 0
+    with pytest.raises(ValueError):
+        fn(spark, SF_DIR, agg="nope")
+    # gate opens past the threshold, closes on unknown dirs (fail-safe)
+    monkeypatch.setattr(ea, "_BRAND_MASK_MIN_BYTES", 0)
+    assert ea._brand_audience_agg(SF_DIR) == "mask"
+    assert ea._brand_audience_agg("/nonexistent") == "sets"
+    monkeypatch.undo()
+    # the mask build aggregates bitmasks declaratively (codegen HashAggregate)
+    df = fn(spark, SF_DIR, agg="mask")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ObjectHashAggregate" not in plan
