@@ -108,6 +108,13 @@ _FORCE_REVERIFY = {
     # lineitem, so the small-SF plan is unchanged):
     "dedup_cross_source_matrix",
     "orders_brand_audience_jaccard",
+    # --- r13 session-3: _edges pair generation is Generate-based (arrays)
+    # — every co-occurrence-graph consumer re-verified (all 15 hash-green
+    # at sf0.01 pre-commit, key ops also at sf0.1); the three driver-bench
+    # visible ones queued:
+    "graph_cooccurrence_edges",
+    "graph_kcore_peel",
+    "graph_degree_profile",
     # --- r11 rewrite confirmations still owed (q1 decimal shift /
     # cumulative-share guard / q9 long-cents / funnel min-chain):
     "tpch_q1",

@@ -25,7 +25,9 @@ rules shared with the rest of the registry apply:
 Scale notes (100 TB): the edge builder groups per (hour, type) bucket,
 CAPS bucket membership at ``_BUCKET_CAP`` members (deterministic
 integer-mix ranking — a uniform sample, not head-of-id bias), then
-self-joins inside buckets, so per-bucket pair cost is bounded by cap² at
+expands pairs map-side from each bucket's ≤cap-element sorted member
+array (r13; the r4-r12 bucket-local self-join is kept as
+``pairgen='join'``), so per-bucket pair cost is bounded by cap² at
 ANY corpus density.  The r4/r5 uncapped builder (pair cost Θ(Σ occupancy²)
 on a corpus that densifies with scale: 43 s at sf1 for the builder alone,
 SCALING.md) was the repo's last super-linear surface; the whole family
@@ -90,22 +92,33 @@ edges AS (
 _EDGES_SQL = _edges_sql(_BUCKET_CAP)
 
 
-def _edges(spark, sf_dir, cap: int = _BUCKET_CAP) -> DataFrame:
+def _edges(
+    spark, sf_dir, cap: int = _BUCKET_CAP, pairgen: str = "arrays"
+) -> DataFrame:
     """Undirected weighted edges (u < v) from (hour, event_type) bucket
     co-occurrence, bucket membership capped at ``cap`` members (one
-    bucket-keyed rank window, deterministic integer-mix order).  The
-    self-join is bucket-local: Spark shuffles both sides on
-    (b, event_type) once and pairs within buckets, ≤ cap²/2 pairs each.
+    bucket-keyed rank window, deterministic integer-mix order).
 
     ONE data shuffle end-to-end before the pair aggregation: the explicit
     repartition on the bucket key satisfies the distinct (HashPartitioning
     on a subset of the grouping key co-locates equal rows), the rank
-    window, AND the self-join's required distribution, so Catalyst inserts
-    no further Exchange until the final (u, v) count — without it the
+    window, AND the per-bucket pair generation, so Catalyst inserts no
+    further Exchange until the final (u, v) count — without it the
     distinct partitions by all three columns and the window re-shuffles
     everything by bucket (A/B at sf1: 1.65 s → 1.39 s, two Exchanges
     removed; at cluster scale that is a full network pass of the distinct
-    rows saved)."""
+    rows saved).
+
+    r13 (guide §2.3 — the basket/cross-source Generate idiom): pairs
+    expand MAP-SIDE from each bucket's ≤``cap``-element sorted member
+    array (posexplode + slice, fully codegen, u < v by array order)
+    instead of the r4-r12 bucket-local self-join — the join re-read the
+    capped relation twice and paid join machinery per pair where the
+    Generate pays an array slice (interleaved fresh-session A/B, noop
+    sink, median-of-3/5: sf0.1 0.52-0.62 → 0.42 s, sf10 3.4-4.0 →
+    1.9-2.7 s, sf1 wash; output identity verified row-for-row at sf0.1's
+    765,742 edges and by the family oracle sweep).  ``pairgen='join'``
+    keeps the self-join as the regression/identity surface."""
     from pyspark.sql.window import Window
 
     ev = (
@@ -124,20 +137,34 @@ def _edges(spark, sf_dir, cap: int = _BUCKET_CAP) -> DataFrame:
         )
     )
     capped = ev.withColumn("rn", rn).filter(F.col("rn") <= cap).drop("rn")
-    l, r = capped.alias("l"), capped.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.b") == F.col("r.b"))
-            & (F.col("l.event_type") == F.col("r.event_type"))
-            & (F.col("l.user_id") < F.col("r.user_id")),
+    if pairgen == "join":
+        l, r = capped.alias("l"), capped.alias("r")
+        return (
+            l.join(
+                r,
+                (F.col("l.b") == F.col("r.b"))
+                & (F.col("l.event_type") == F.col("r.event_type"))
+                & (F.col("l.user_id") < F.col("r.user_id")),
+            )
+            .groupBy(
+                F.col("l.user_id").alias("u"),
+                F.col("r.user_id").alias("v"),
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
         )
-        .groupBy(
-            F.col("l.user_id").alias("u"),
-            F.col("r.user_id").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
+    if pairgen != "arrays":
+        raise ValueError(f"Unknown pairgen: {pairgen!r}")
+    # per-bucket sorted member arrays (bounded at ``cap``, so the
+    # collect_set buffers are small and die with their partition), then
+    # the i < j Generate expansion — ascending user_id array order makes
+    # u < v by construction, exactly the join predicate's pair set
+    members = capped.groupBy("b", "event_type").agg(
+        F.sort_array(F.collect_set("user_id")).alias("us")
     )
+    pairs = members.select(F.posexplode("us").alias("i", "u"), "us").select(
+        "u", F.explode(F.expr("slice(us, i + 2, size(us))")).alias("v")
+    )
+    return pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
 
 
 def _degrees(edges: DataFrame) -> DataFrame:

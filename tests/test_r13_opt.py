@@ -175,3 +175,24 @@ def test_brand_audience_auto_gate_and_path_identity(spark, monkeypatch):
         df._jdf.queryExecution(), "formatted"
     )
     assert "ObjectHashAggregate" not in plan
+
+
+def test_edges_pairgen_arrays_and_join_identical(spark):
+    """r13 session-3: the Generate-based per-bucket pair expansion
+    (pairgen='arrays', default) must produce the identical weighted edge
+    multiset as the r4-r12 bucket-local self-join, at both the family cap
+    and the tight cap."""
+    import pytest
+
+    from sparkmerge.queries.ext_graph import _BUCKET_CAP, _TIGHT_CAP, _edges
+
+    for cap in (_BUCKET_CAP, _TIGHT_CAP):
+        a = sorted(tuple(r) for r in _edges(spark, SF_DIR, cap=cap).collect())
+        j = sorted(
+            tuple(r)
+            for r in _edges(spark, SF_DIR, cap=cap, pairgen="join").collect()
+        )
+        assert a == j
+        assert len(a) > 0
+    with pytest.raises(ValueError):
+        _edges(spark, SF_DIR, pairgen="nope")
