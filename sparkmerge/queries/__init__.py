@@ -115,6 +115,10 @@ _FORCE_REVERIFY = {
     "graph_cooccurrence_edges",
     "graph_kcore_peel",
     "graph_degree_profile",
+    # --- r13 session-3: type-co-occurrence bitmask core (size-gated;
+    # hash-verified sf0.01 + sf0.1 pre-commit, determinism stable):
+    "events_type_lift_matrix",
+    "events_type_cooccurrence_daily",
     # --- r11 rewrite confirmations still owed (q1 decimal shift /
     # cumulative-share guard / q9 long-cents / funnel min-chain):
     "tpch_q1",

@@ -1602,6 +1602,152 @@ def orders_fulfillment_latency(spark, sf_dir):
 # sf10's ~1e8 buckets — safe in int64.
 
 
+# agg='auto' gate for the type-co-occurrence pair (the brand_audience
+# precedent): the bitmask path wins where the bucket population is large
+# (interleaved fresh-session A/B at sf10, 112 MiB events: lift matrix
+# 3.9-4.3 → 1.9-2.0 s, daily 2.0 → 1.6 s) but its wider plan costs
+# ~0.15-0.2 s of tiny-stage overhead under the lean small-SF profile
+# (sf0.1: 0.61 → 0.76 s / 0.36 → 0.56 s).  Unknown size → sets (the
+# semantics-identical, domain-unbounded path).
+_TYPE_MASK_MIN_BYTES = 64 * 1024 * 1024
+
+
+def _type_cooccurrence_agg(sf_dir: str) -> str:
+    import os
+
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        return "sets"
+    return "mask" if size >= _TYPE_MASK_MIN_BYTES else "sets"
+
+
+def _type_bucket_cooccurrence(spark, sf_dir, bucket, agg):
+    """Shared (user, bucket) × event-type co-occurrence core for the lift
+    matrix and its daily-grain companion: returns (pairs, ma, mb, n_total)
+    — the i < j type-pair presence counts, both marginal legs, and the
+    bucket-population count.
+
+    r13 (guide §2.3/§2.4 — the cross-source/brand-audience bitmask idiom):
+    ``agg='mask'`` (what ``'auto'`` resolves to past the size gate above)
+    aggregates each (user, bucket)'s type set as
+    ONE bit_or long keyed on the bucket — the idempotent OR replaces the
+    distinct() exchange AND the collect_set ObjectHashAggregate — and the
+    pair counts, marginals, and bucket total all derive from the
+    DISTINCT-MASK count relation (≤ 2^|types| rows), so the expensive
+    stream is shuffled exactly once and aggregated once.  Bit ids are
+    type-string-rank, so i < j bit pairs are exactly the sorted string
+    pairs the r8 path produced; raise_error past 64 types — never a
+    silent wrap.  ``agg='sets'`` keeps the r8-r12 distinct + collect_set
+    path (the >64-type fallback and regression/identity surface).
+    Measured at sf10 (fresh-session warm protocol, interleaved):
+    lift matrix 6.5 → see OPTIMIZATION_r13.md."""
+    from pyspark.sql.window import Window
+
+    if agg == "auto":
+        agg = _type_cooccurrence_agg(sf_dir)
+    e = load(spark, sf_dir, "events")
+    if agg == "sets":
+        pres = (
+            e.select("user_id", bucket.alias("b"), "event_type")
+            .repartition("user_id", "b")
+            .distinct()
+        )
+        per_bucket = pres.groupBy("user_id", "b").agg(
+            F.sort_array(F.collect_set("event_type")).alias("types")
+        )
+        n_total = per_bucket.agg(F.count(F.lit(1)).alias("n"))
+        marg = pres.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+        pairs = (
+            per_bucket.select(
+                F.posexplode("types").alias("i", "type_a"), "types"
+            )
+            .select(
+                "type_a",
+                F.explode(F.expr("slice(types, i + 2, size(types))")).alias(
+                    "type_b"
+                ),
+            )
+            .groupBy("type_a", "type_b")
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+        )
+        ma = marg.select(
+            F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+        )
+        mb = marg.select(
+            F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+        )
+        return pairs, ma, mb, n_total
+    if agg != "mask":
+        raise ValueError(f"Unknown agg: {agg!r}")
+    tid = F.row_number().over(Window.orderBy("event_type")) - 1
+    tids = (
+        e.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.when(tid < 64, tid)
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "events type-co-occurrence agg='mask' supports at "
+                        "most 64 event types; use agg='sets'"
+                    )
+                ).cast("int")
+            )
+            .alias("tid"),
+        )
+        # bounded (≤|types| rows) with THREE consumers (the stream join,
+        # ma, mb) — each would re-run the distinct over the events scan
+        .localCheckpoint(eager=True)
+    )
+    stream = e.select("user_id", bucket.alias("b"), "event_type").join(
+        F.broadcast(tids), "event_type"
+    )
+    masks = stream.groupBy("user_id", "b").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), tid)")).alias("m")
+    )
+    mask_counts = (
+        masks.groupBy("m")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # bounded: ≤ 2^|types| rows, 3 consumers
+    )
+    n_total = mask_counts.agg(F.sum("cnt").alias("n"))
+    bits = F.expr("filter(sequence(0, 63), b -> ((m >> b) & 1) = 1)")
+    bp = mask_counts.select("cnt", bits.alias("bits"))
+    marg = (
+        bp.select("cnt", F.explode("bits").alias("tid"))
+        .groupBy("tid")
+        .agg(F.sum("cnt").alias("n_t"))
+    )
+    id_pairs = bp.select(
+        "cnt", F.posexplode("bits").alias("i", "ta"), "bits"
+    ).select(
+        "cnt",
+        "ta",
+        F.explode(F.expr("slice(bits, i + 2, size(bits))")).alias("tb"),
+    )
+    na = tids.select(F.col("event_type").alias("type_a"), F.col("tid").alias("ta"))
+    nb = tids.select(F.col("event_type").alias("type_b"), F.col("tid").alias("tb"))
+    pairs = (
+        id_pairs.groupBy("ta", "tb")
+        .agg(F.sum("cnt").alias("n_ab"))
+        .join(F.broadcast(na), "ta")
+        .join(F.broadcast(nb), "tb")
+        .select("type_a", "type_b", "n_ab")
+    )
+    ma = (
+        marg.join(F.broadcast(tids), "tid")
+        .select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    )
+    mb = (
+        marg.join(F.broadcast(tids), "tid")
+        .select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    )
+    return pairs, ma, mb, n_total
+
+
+
 @register(
     "events_type_lift_matrix",
     oracle="""
@@ -1632,46 +1778,20 @@ SELECT p.type_a, p.type_b, ma.n_t AS n_a, mb.n_t AS n_b, p.n_ab,
 """,
     description="event-type co-occurrence lift matrix (market-basket "
     "association for streams): (user, hour) bucket presences dedup in ONE "
-    "map-side-combined shuffle, each bucket's sorted ≤|types| set expands "
-    "to i < j pairs MAP-SIDE (posexplode+slice — never a bucket self-"
-    "join), pair domain |types|², marginals broadcast back; lift = ONE "
-    "IEEE division of cross-multiplied exact integers (log-free PMI "
-    "surrogate; n_ab·N ≤ N² safe in int64 at sf10)",
+    "map-side-combined shuffle — at scale (size-gated agg='auto', r13) as "
+    "a bit_or type BITMASK per bucket whose idempotent OR replaces the "
+    "distinct() exchange and the collect_set ObjectHashAggregate, with "
+    "pairs, marginals AND the bucket total all derived from the "
+    "distinct-mask count relation (≤2^|types| rows; bit ids are "
+    "type-string-rank, raise_error past 64); below the gate the narrow "
+    "sets plan stays (sorted ≤|types| sets, posexplode+slice pairs) — "
+    "both paths output-identical (tested); lift = ONE IEEE division of "
+    "cross-multiplied exact integers (log-free PMI surrogate; n_ab·N ≤ N² "
+    "safe in int64 at sf10)",
 )
-def events_type_lift_matrix(spark, sf_dir):
-    e = load(spark, sf_dir, "events")
-    pres = (
-        e.select(
-            "user_id",
-            F.date_trunc("hour", F.col("ts")).alias("b"),
-            "event_type",
-        )
-        .repartition("user_id", "b")
-        .distinct()
-    )
-    per_bucket = pres.groupBy("user_id", "b").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types")
-    )
-    n_total = per_bucket.agg(F.count(F.lit(1)).alias("n"))
-    marg = pres.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
-    pairs = (
-        per_bucket.select(
-            F.posexplode("types").alias("i", "type_a"), "types"
-        )
-        .select(
-            "type_a",
-            F.explode(F.expr("slice(types, i + 2, size(types))")).alias(
-                "type_b"
-            ),
-        )
-        .groupBy("type_a", "type_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-    )
-    ma = marg.select(
-        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
-    )
-    mb = marg.select(
-        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+def events_type_lift_matrix(spark, sf_dir, agg="auto"):
+    pairs, ma, mb, n_total = _type_bucket_cooccurrence(
+        spark, sf_dir, F.date_trunc("hour", F.col("ts")), agg
     )
     return (
         pairs.join(F.broadcast(ma), "type_a")
@@ -2912,38 +3032,19 @@ SELECT type_a, type_b, ma.n_t AS n_a, mb.n_t AS n_b, n_ab,
   JOIN marg mb ON mb.event_type = type_b
 """,
     description="daily event-type co-occurrence: (user, day) presences "
-    "dedup in ONE map-side-combined shuffle, sorted ≤|types| sets expand "
-    "to i < j pairs MAP-SIDE (posexplode+slice), pair domain |types|², "
-    "marginals broadcast back; per-mille reach into the rarer type's "
-    "audience ((1000·n_ab) DIV min(n_a,n_b), exact non-negative integers) "
-    "— the daily-grain companion of the hour-bucket lift matrix",
+    "dedup in ONE map-side-combined shuffle — at scale (size-gated "
+    "agg='auto', r13) as a bit_or type BITMASK per bucket (the lift-"
+    "matrix core, shared helper; pairs and marginals derive from the "
+    "distinct-mask counts), below the gate the sorted-set posexplode+"
+    "slice plan — both paths output-identical (tested); per-mille reach "
+    "into the rarer type's audience ((1000·n_ab) DIV min(n_a,n_b), exact "
+    "non-negative integers) — the daily-grain companion of the "
+    "hour-bucket lift matrix",
 )
-def events_type_cooccurrence_daily(spark, sf_dir):
-    e = load(spark, sf_dir, "events")
-    pres = (
-        e.select(
-            "user_id",
-            F.col("ts").cast("date").alias("d"),
-            "event_type",
-        )
-        .repartition("user_id", "d")
-        .distinct()
+def events_type_cooccurrence_daily(spark, sf_dir, agg="auto"):
+    pairs, ma, mb, _ = _type_bucket_cooccurrence(
+        spark, sf_dir, F.col("ts").cast("date"), agg
     )
-    per_bucket = pres.groupBy("user_id", "d").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types")
-    )
-    marg = pres.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
-    pairs = (
-        per_bucket.select(F.posexplode("types").alias("i", "type_a"), "types")
-        .select(
-            "type_a",
-            F.explode(F.expr("slice(types, i + 2, size(types))")).alias("type_b"),
-        )
-        .groupBy("type_a", "type_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-    )
-    ma = marg.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
-    mb = marg.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
     return (
         pairs.join(F.broadcast(ma), "type_a")
         .join(F.broadcast(mb), "type_b")

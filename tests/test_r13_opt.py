@@ -196,3 +196,28 @@ def test_edges_pairgen_arrays_and_join_identical(spark):
         assert len(a) > 0
     with pytest.raises(ValueError):
         _edges(spark, SF_DIR, pairgen="nope")
+
+
+def test_events_type_cooccurrence_auto_gate_and_path_identity(spark, monkeypatch):
+    """r13 session-3: both type-co-occurrence ops resolve agg='auto' via the
+    events parquet-size gate and are row-identical across mask/sets."""
+    import pytest
+
+    from sparkmerge.queries import ext_analysis as ea
+
+    assert ea._type_cooccurrence_agg(SF_DIR) == "sets"
+    monkeypatch.setattr(ea, "_TYPE_MASK_MIN_BYTES", 0)
+    assert ea._type_cooccurrence_agg(SF_DIR) == "mask"
+    assert ea._type_cooccurrence_agg("/nonexistent") == "sets"
+    monkeypatch.undo()
+    for op in ("events_type_lift_matrix", "events_type_cooccurrence_daily"):
+        fn = registry()[op].fn
+
+        def rows(**kw):
+            return sorted(tuple(r) for r in fn(spark, SF_DIR, **kw).collect())
+
+        ref = rows()  # auto -> sets at sf0.001
+        assert ref == rows(agg="mask") == rows(agg="sets")
+        assert len(ref) > 0
+        with pytest.raises(ValueError):
+            fn(spark, SF_DIR, agg="nope")
