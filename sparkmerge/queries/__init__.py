@@ -119,6 +119,10 @@ _FORCE_REVERIFY = {
     # hash-verified sf0.01 + sf0.1 pre-commit, determinism stable):
     "events_type_lift_matrix",
     "events_type_cooccurrence_daily",
+    # --- r13 session-3: triangle kernel regenerates oriented edges from
+    # the adjacency arrays (hash-verified sf0.01 + sf0.1 pre-commit):
+    "graph_triangle_count",
+    "graph_clustering_coefficient",
     # --- r11 rewrite confirmations still owed (q1 decimal shift /
     # cumulative-share guard / q9 long-cents / funnel min-chain):
     "tpch_q1",

@@ -282,18 +282,25 @@ def _triangle_participation(edges: DataFrame) -> DataFrame:
         .join(deg.withColumnRenamed("user_id", "v").withColumnRenamed("degree", "dv"), "v")
     )
     u_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
-    # the oriented edge list is referenced three times below (adjacency
-    # build + both join probes) — truncate lineage once
     o = j.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dstn"),
-    ).localCheckpoint(eager=True)
-    adj = o.groupBy("src").agg(F.array_sort(F.collect_set("dstn")).alias("nbrs"))
+    )
+    # r13 (guide §2.4 — remove shuffles outright): the adjacency relation
+    # IS the oriented edge list (each oriented edge appears exactly once
+    # in exactly one src's neighbor array), so exploding it regenerates
+    # (src, dstn) with nbrs_src attached MAP-SIDE — the r6-r12
+    # ``o ⋈ adj ON src`` shuffle join was re-deriving rows adj already
+    # held.  adj replaces o as the once-materialized intermediate (two
+    # consumers: the Generate probe side and the dstn join build side).
+    adj = (
+        o.groupBy("src")
+        .agg(F.array_sort(F.collect_set("dstn")).alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
     e = (
-        o.join(
-            adj.withColumnRenamed("src", "jk").withColumnRenamed("nbrs", "nbrs_src"),
-            o["src"] == F.col("jk"),
-        ).drop("jk")
+        adj.withColumnRenamed("nbrs", "nbrs_src")
+        .select("src", "nbrs_src", F.explode("nbrs_src").alias("dstn"))
         .join(
             adj.withColumnRenamed("src", "jk").withColumnRenamed("nbrs", "nbrs_dst"),
             F.col("dstn") == F.col("jk"),

@@ -221,3 +221,44 @@ def test_events_type_cooccurrence_auto_gate_and_path_identity(spark, monkeypatch
         assert len(ref) > 0
         with pytest.raises(ValueError):
             fn(spark, SF_DIR, agg="nope")
+
+
+def test_triangle_adjacency_generate_replaces_src_join(spark):
+    """r13 session-3: the triangle kernel regenerates the oriented edge
+    list map-side from the adjacency arrays (Generate), so the final plan
+    carries exactly ONE adjacency join (the dstn re-key) — the r6-r12
+    src-side shuffle join is gone — and the counts still match the naive
+    per-node triangle enumeration on a small corpus."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sparkmerge.queries.ext_graph import (
+        _TRI_MIN_W, _edges, _triangle_participation,
+    )
+
+    edges = (
+        _edges(spark, SF_DIR).filter(F.col("w") >= _TRI_MIN_W).select("u", "v")
+    )
+    tri = _triangle_participation(edges)
+    plan = tri._sc._jvm.PythonSQLUtils.explainString(
+        tri._jdf.queryExecution(), "formatted"
+    )
+    joins = re.findall(r"\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)
+    assert len(joins) == 1, plan
+    # ground truth: brute-force id-ordered triangle enumeration
+    e = [(r["u"], r["v"]) for r in edges.collect()]
+    es = set(e)
+    from collections import Counter
+
+    truth = Counter()
+    nbrs = {}
+    for u, v in e:
+        nbrs.setdefault(u, set()).add(v)
+    for u, v in e:
+        for w in nbrs.get(u, set()) & nbrs.get(v, set()):
+            truth[u] += 1
+            truth[v] += 1
+            truth[w] += 1
+    got = {r["user_id"]: r["n_triangles"] for r in tri.collect()}
+    assert got == dict(truth)
