@@ -123,6 +123,10 @@ _FORCE_REVERIFY = {
     # the adjacency arrays (hash-verified sf0.01 + sf0.1 pre-commit):
     "graph_triangle_count",
     "graph_clustering_coefficient",
+    # --- r13 session-4: per-token source-set aggregation is bitmask-based
+    # (the cross-source recipe on tokens; output-identical to agg='sets',
+    # hash-verified sf0.01 + sf0.1 pre-commit):
+    "text_source_vocab_overlap",
     # --- r11 rewrite confirmations still owed (q1 decimal shift /
     # cumulative-share guard / q9 long-cents / funnel min-chain):
     "tpch_q1",

@@ -262,3 +262,28 @@ def test_triangle_adjacency_generate_replaces_src_join(spark):
             truth[w] += 1
     got = {r["user_id"]: r["n_triangles"] for r in tri.collect()}
     assert got == dict(truth)
+
+
+def test_vocab_overlap_mask_and_sets_output_identical(spark):
+    """r13 session-4: text_source_vocab_overlap's bitmask source-set
+    aggregation (agg='mask', default) must be row-identical to the
+    collect_set path (agg='sets'), and the mask plan must carry no
+    ObjectHashAggregate (the per-token resident-buffer profile the
+    rewrite removes)."""
+    fn = registry()["text_source_vocab_overlap"].fn
+
+    def rows(**kw):
+        return sorted(tuple(r) for r in fn(spark, SF_DIR, **kw).collect())
+
+    ref = rows()  # default: agg='mask'
+    assert ref == rows(agg="sets")
+    assert len(ref) > 0
+    df = fn(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ObjectHashAggregate" not in plan
+    import pytest
+
+    with pytest.raises(ValueError):
+        fn(spark, SF_DIR, agg="nope")
