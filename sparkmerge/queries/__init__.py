@@ -127,6 +127,10 @@ _FORCE_REVERIFY = {
     # (the cross-source recipe on tokens; output-identical to agg='sets',
     # hash-verified sf0.01 + sf0.1 pre-commit):
     "text_source_vocab_overlap",
+    # --- r13 session-4: pagerank's adjacency checkpoint records its
+    # hashpartitioning (AQE-off materialization) and r0 derives from the
+    # checkpoint (hash-verified sf0.01 + sf0.1 pre-commit):
+    "graph_pagerank_fixedpoint",
     # --- r11 rewrite confirmations still owed (q1 decimal shift /
     # cumulative-share guard / q9 long-cents / funnel min-chain):
     "tpch_q1",

@@ -402,6 +402,25 @@ _PR_BASE = 150_000  # (1 - 0.85) * SCALE
 _ITERS = 3
 
 
+def _partitioned_checkpoint(df):
+    """``localCheckpoint(eager=True)`` with AQE disabled for the
+    materializing job, construct-then-restore.  A localCheckpoint taken
+    under AQE records UnknownPartitioning on the checkpointed RDD (the
+    r13 basket-build discovery), which silently re-introduces downstream
+    exchanges that an explicit ``repartition(key)`` above the checkpoint
+    was meant to pay for exactly once.  With AQE off the recorded
+    partitioning is the repartition's hashpartitioning, so every
+    downstream join/agg keyed the same way reuses it shuffle-free."""
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.enabled"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(key, saved)
+
+
 def _pr_iter_sql(prev: str, out: str) -> str:
     return f"""{out} AS (
   SELECT a.dst AS user_id,
@@ -449,14 +468,24 @@ def graph_pagerank_fixedpoint(spark, sf_dir):
     # only the (node-sized) rank table against a stationary edge layout —
     # without this each of the 4 joins re-executes the bucket self-join
     # lineage AND re-shuffles the full edge set; same truncation
-    # discipline as dedup_cluster_survivors
-    adj = (
-        adj0.join(degs, "src")
-        .repartition(F.col("src"))
-        .localCheckpoint(eager=True)
+    # discipline as dedup_cluster_survivors.  r13: the checkpoint is
+    # taken with AQE off (_partitioned_checkpoint) — under AQE it
+    # recorded UnknownPartitioning and every iteration re-shuffled the
+    # full edge set anyway (3 adj-side Exchanges in the before-plan).
+    adj = _partitioned_checkpoint(
+        adj0.join(degs, "src").repartition(F.col("src"))
     )
-    ranks = degs.select(
-        F.col("src").alias("user_id"), F.lit(_PR_SCALE).cast("long").alias("rank")
+    # r13: the initial ranks derive from the CHECKPOINTED adj (distinct
+    # src — same key set as degs, and the groupBy reuses the recorded
+    # hashpartitioning shuffle-free); reading degs here re-ran the whole
+    # _edges lineage a second time for the r0 relation.
+    ranks = (
+        adj.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("user_id"),
+            F.lit(_PR_SCALE).cast("long").alias("rank"),
+        )
     )
     for _ in range(_ITERS):
         contrib = adj.join(ranks, adj["src"] == ranks["user_id"]).select(

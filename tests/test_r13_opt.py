@@ -287,3 +287,31 @@ def test_vocab_overlap_mask_and_sets_output_identical(spark):
 
     with pytest.raises(ValueError):
         fn(spark, SF_DIR, agg="nope")
+
+
+def test_pagerank_checkpoint_partitioning_and_single_lineage(spark):
+    """r13 session-4: the degree-annotated adjacency checkpoint must record
+    its hashpartitioning(src) (taken via _partitioned_checkpoint with AQE
+    off — under AQE it recorded UnknownPartitioning and every iteration
+    re-shuffled the full edge set), the initial ranks must derive from the
+    checkpointed relation (no second run of the _edges lineage: zero
+    parquet scans in the final plan), and only the per-iteration
+    groupBy(dst) exchanges may remain."""
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        df = registry()["graph_pagerank_fixedpoint"].fn(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "UnknownPartitioning" not in plan
+        assert "hashpartitioning(src" in plan  # the recorded checkpoint layout
+        assert "Scan parquet" not in plan  # lineage fully truncated
+        import re
+
+        n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_exchange == 3, plan  # one groupBy(dst) per iteration only
+        # conf untouched by construction (the flip is inside the checkpoint)
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
