@@ -131,6 +131,11 @@ _FORCE_REVERIFY = {
     # hashpartitioning (AQE-off materialization) and r0 derives from the
     # checkpoint (hash-verified sf0.01 + sf0.1 pre-commit):
     "graph_pagerank_fixedpoint",
+    # --- r13 session-5: the CC round budget covers the sf10 minhash
+    # graph's 18-round chain (max_iters 8 → 32; converged corpora exit on
+    # the sum fixed point unchanged — hash-verified sf0.01 + sf0.1
+    # pre-commit, determinism stable):
+    "dedup_cluster_survivors",
     # --- r11 rewrite confirmations still owed (q1 decimal shift /
     # cumulative-share guard / q9 long-cents / funnel min-chain):
     "tpch_q1",

@@ -309,7 +309,20 @@ HAVING min(r) <> node
     "exact components via a recursive CTE",
 )
 def dedup_cluster_survivors(spark, sf_dir):
-    return dedup_survivors(_minhash_pairs(spark, sf_dir), max_iters=8)
+    # r13: 32 rounds, not 8 — the sf10 minhash pair graph (3.6M symmetric
+    # edges, 491k nodes) carries a near-dup CHAIN of min-label eccentricity
+    # 17 and needs 18 propagation rounds, so the old budget RAISED the
+    # non-convergence error at sf10.  The budget only bounds the worst
+    # case: the loop exits on the label-sum fixed point, so every corpus
+    # that converged before converges in the same rounds with identical
+    # labels (oracle hashes unchanged at sf0.001-sf0.1; completion at sf10
+    # measured ~35 s library-level).  Path compression (label(label(n))
+    # jumps) was A/B'd and REJECTED: it trims 18 → only 15 rounds here —
+    # min-labels are not pointers toward the component min, so the
+    # pointer-doubling argument does not apply — while its extra
+    # node-sized self-join per round cost +0.7-0.8 s on EVERY consumer at
+    # sf0.1 (receipts in OPTIMIZATION_r13.md).
+    return dedup_survivors(_minhash_pairs(spark, sf_dir), max_iters=32)
 
 
 # --- dedup_ngram_jaccard: exact token-set Jaccard, blocked by language ---

@@ -315,3 +315,25 @@ def test_pagerank_checkpoint_partitioning_and_single_lineage(spark):
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", saved)
+
+
+def test_dedup_survivors_covers_deep_chains(spark):
+    """r13 session-5: the sf10 minhash pair graph carries a near-dup chain
+    of min-label eccentricity 17 (18 propagation rounds), so
+    dedup_cluster_survivors' old max_iters=8 RAISED at sf10.  The consumer
+    now passes 32; this pins the failure mode at library level — a 25-deep
+    chain must raise under the old budget and resolve to the single min
+    survivor under the new one (the loop exits on the label-sum fixed
+    point, so converged corpora pay nothing for the larger bound)."""
+    import pytest as _pytest
+
+    from sparkmerge.ext.dedup import dedup_survivors
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 125)], "a_id int, b_id int"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_survivors(chain, max_iters=8).collect()
+    rows = dedup_survivors(chain, max_iters=32).collect()
+    assert {r["survivor_id"] for r in rows} == {100}
+    assert {r["doc_id"] for r in rows} == set(range(101, 126))
