@@ -136,6 +136,11 @@ _FORCE_REVERIFY = {
     # the sum fixed point unchanged — hash-verified sf0.01 + sf0.1
     # pre-commit, determinism stable):
     "dedup_cluster_survivors",
+    # --- r13 session-6: the recall certifier is the inverted-index
+    # intersection count over text-grain classes (truth set proven
+    # identical to the nlj certifier at 3 SFs pre-commit; hash-verified
+    # sf0.01 + sf0.1, determinism stable):
+    "dedup_lsh_recall_eval",
     # --- r11 rewrite confirmations still owed (q1 decimal shift /
     # cumulative-share guard / q9 long-cents / funnel min-chain):
     "tpch_q1",

@@ -677,6 +677,12 @@ def dedup_sorted_neighborhood(spark, sf_dir):
 
 _EVAL_MOD = 20  # evaluation sample: doc_id % 20 == 0 (the ngram-op sample)
 
+# certifier='count' broadcast gate: force the sampled-side broadcast only
+# while the documents table is provably small (~512 MiB parquet ≈ well
+# within executor memory for the 1/20-sampled shingle explode); past it the
+# scale profile's AQE picks the join from runtime stats (tpch_q5 precedent)
+_RECALL_BCAST_MAX_BYTES = 512 * 1024 * 1024
+
 
 def _lsh_recall_oracle_sql() -> str:
     ctes, final = _minhash_oracle_parts()
@@ -722,46 +728,156 @@ SELECT CAST(count(*) FILTER (is_true) AS BIGINT) AS n_true,
     "recall/precision (each ONE division of exact counts).  This is how a "
     "100 TB dedup deployment ships with a MEASURED recall instead of a "
     "hoped-for one: the approximate pipeline runs at full scale, the exact "
-    "all-pairs certifier runs only on the bounded sample (a deliberate "
-    "broadcast nested-loop over sample² pairs — the one place quadratic "
-    "cost is the point, same discipline as the spatial oracles); truth "
-    "threshold tested as the integer inequality 3·inter ≥ |A|+|B|",
+    "certifier (inverted-index intersection counting over the SAME "
+    "5-shingle sets — exact, independent of the MinHash machinery under "
+    "test) runs only on pairs with a sampled endpoint; truth threshold "
+    "J ≥ 0.5 tested as the integer inequality 3·inter ≥ |A|+|B|",
 )
-def dedup_lsh_recall_eval(spark, sf_dir):
+def dedup_lsh_recall_eval(spark, sf_dir, certifier="count"):
     d = load(spark, sf_dir, "documents")
     # exact side: the SAME normalize + 5-shingle definition the MinHash
-    # signatures use (sparkmerge/ext/dedup.py minhash_signatures); truth
-    # pairs have at least one SAMPLED endpoint (the ngram-op sampling
-    # style: probe side sampled, build side full corpus), so the exact
-    # certifier costs sample x corpus, never corpus².
-    norm = d.select(
-        "doc_id",
-        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").alias("_norm"),
-    )
-    idx = F.sequence(F.lit(1), F.greatest(F.length("_norm") - 4, F.lit(1)))
-    sets = norm.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(idx, lambda i: F.substring(F.col("_norm"), i, 5))
-        ).alias("ss"),
-    )  # probe AND build side below — map-side lineage, cheap to recompute;
-    # checkpointing would pin O(corpus) shingle arrays on the heap
-    a = sets.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
-        F.col("doc_id").alias("p_id"), F.col("ss").alias("sa")
-    )
-    b = sets.select(F.col("doc_id").alias("c_id"), F.col("ss").alias("sb"))
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    truth = (
-        F.broadcast(a)
-        .join(b, F.col("p_id") != F.col("c_id"))
-        .filter(3 * inter >= F.size("sa") + F.size("sb"))
-        .select(
-            F.least(F.col("p_id"), F.col("c_id")).alias("a_id"),
-            F.greatest(F.col("p_id"), F.col("c_id")).alias("b_id"),
+    # signatures use (sparkmerge/ext/dedup.py shingles/minhash_signatures);
+    # truth pairs have at least one SAMPLED endpoint (the ngram-op sampling
+    # style: probe side sampled, build side full corpus).
+    if certifier == "count":
+        # r13 (guide §2.3/§3): the brute-force certifier below is a
+        # broadcast nested-loop evaluating array_intersect on every
+        # (sample × corpus) pair — measured 60.9 s at sf0.1 on a plan
+        # that can't parallelize past the tiny scan's splits, and
+        # quadratic in the corpus at fixed sample rate.  (A PPJoin
+        # prefix-filter rewrite was measured first and rejected: at
+        # threshold 0.5 over CHARACTER shingles the prefix join emits
+        # 2.67M candidate rows — MORE than the 1.25M brute-force pairs —
+        # because 5-gram sets are large and diffuse; 32.9 s.)  The landed
+        # certifier is the inverted-index intersection COUNT: explode
+        # each class's distinct shingles, equi-join sampled × corpus
+        # classes on the shingle string (exact — the raw string is the
+        # join key), and |A∩B| is the matched-row count per class pair —
+        # no per-pair array_intersect ever runs, the join mass is
+        # Σ|A∩B| (76M rows at sf0.1, map-side partial-agg'd), and every
+        # stage parallelizes.  Classes first — but on NORMALIZED TEXT
+        # (the _minhash_pairs collapse, a plain string group key), NOT on
+        # the shingle-set array: identical text ⟹ identical set, and a
+        # groupBy keyed on the ~280-element string ARRAY was measured at
+        # 16.5-18 s for 5k rows (complex-type keys fall off the fast
+        # hash-agg path) vs 0.9 s for the string key.  Two distinct texts
+        # with an identical shingle set simply stay distinct classes —
+        # their cross pair is counted exactly (inter=|A| ⟹ J=1 ≥ 0.5),
+        # so the truth set is unchanged.  Within-class pairs are J=1 by
+        # identity, emitted by the member expansion; the truth threshold
+        # stays the integer inequality 3·inter ≥ |A|+|B|.
+        #
+        # Join-side discipline (the tpch_q5 size-gate precedent): the
+        # SAMPLED-classes explode is the build side, but its size grows
+        # with the corpus, so the broadcast hint is gated on the
+        # documents parquet size — without it the lean profile's
+        # checkpoint-blind stats pick BuildRight on the CORPUS explode
+        # (measured: a ~1M-row string-keyed broadcast, 25-37 s; hinted
+        # build + spread corpus stream: 1.8-3.4 s).  Past the gate no
+        # hint is forced and the scale profile's AQE plans the join from
+        # runtime stats.  The corpus repartition is gated the same way:
+        # under the lean profile the checkpointed classes sit on fewer
+        # partitions than cores and the 76M-row join+partial-agg would
+        # serialize (the _spread rationale).
+        from sparkmerge.ext.dedup import _expand_pairs, _spread, shingles
+
+        norm = _spread(d.select("doc_id", "text")).select(
+            "doc_id",
+            F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").alias("_norm"),
         )
-        .distinct()  # both-sampled pairs are found from each endpoint
-        .withColumn("is_true", F.lit(True))
-    )
+        # NULL-text docs never pair (array_intersect(NULL, ·) fails the
+        # brute-force filter); drop them before the collapse so a NULL
+        # class can't emit within-class pairs
+        classes = (
+            norm.filter(F.col("_norm").isNotNull())
+            .groupBy("_norm")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+            .localCheckpoint(eager=True)
+        )
+        # shingles() re-normalizes its input — idempotent on _norm (the
+        # _minhash_pairs argument); sets are per-CLASS, computed once
+        cb = classes.select(
+            F.col("_ids")[0].alias("_id"),
+            F.array_distinct(shingles(F.col("_norm"), 5)).alias("_toks"),
+            F.exists("_ids", lambda i: i % _EVAL_MOD == 0).alias("_probe"),
+        )
+        try:
+            import os as _os
+
+            small = _os.path.getsize(
+                _os.path.join(sf_dir, "documents.parquet")
+            ) <= _RECALL_BCAST_MAX_BYTES
+        except OSError:
+            small = False  # unknown size: never force a broadcast
+        bsrc = (
+            cb.repartition(spark.sparkContext.defaultParallelism)
+            if small
+            else cb
+        )
+        a = cb.filter(F.col("_probe")).select(
+            F.col("_id").alias("a_id"),
+            F.size("_toks").alias("_an"),
+            F.explode("_toks").alias("_tok"),
+        )
+        b = bsrc.select(
+            F.col("_id").alias("b_id"),
+            F.size("_toks").alias("_bn"),
+            F.explode("_toks").alias("_tok"),
+        )
+        qual = (
+            (F.broadcast(a) if small else a).join(b, "_tok")
+            .filter(F.col("a_id") != F.col("b_id"))
+            .groupBy("a_id", "_an", "b_id", "_bn")
+            .agg(F.count(F.lit(1)).alias("_i"))
+            .filter(3 * F.col("_i") >= F.col("_an") + F.col("_bn"))
+            .select(
+                F.least("a_id", "b_id").alias("a_id"),
+                F.greatest("a_id", "b_id").alias("b_id"),
+            )
+            .dropDuplicates(["a_id", "b_id"])  # both-sampled class pairs
+            .withColumn("_v", F.lit(1.0))  # expansion carrier, dropped below
+        )
+        truth = (
+            _expand_pairs(classes, qual, "_v", directed=False)
+            .filter(
+                (F.col("a_id") % _EVAL_MOD == 0)
+                | (F.col("b_id") % _EVAL_MOD == 0)
+            )
+            .select("a_id", "b_id")
+            .withColumn("is_true", F.lit(True))
+        )
+    elif certifier == "nlj":
+        # the pre-r13 brute-force certifier — kept as the regression
+        # surface for test_recall_eval_certifiers_output_identical
+        norm = d.select(
+            "doc_id",
+            F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").alias("_norm"),
+        )
+        idx = F.sequence(F.lit(1), F.greatest(F.length("_norm") - 4, F.lit(1)))
+        sets = norm.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(idx, lambda i: F.substring(F.col("_norm"), i, 5))
+            ).alias("ss"),
+        )
+        a = sets.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
+            F.col("doc_id").alias("p_id"), F.col("ss").alias("sa")
+        )
+        b = sets.select(F.col("doc_id").alias("c_id"), F.col("ss").alias("sb"))
+        inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+        truth = (
+            F.broadcast(a)
+            .join(b, F.col("p_id") != F.col("c_id"))
+            .filter(3 * inter >= F.size("sa") + F.size("sb"))
+            .select(
+                F.least(F.col("p_id"), F.col("c_id")).alias("a_id"),
+                F.greatest(F.col("p_id"), F.col("c_id")).alias("b_id"),
+            )
+            .distinct()  # both-sampled pairs are found from each endpoint
+            .withColumn("is_true", F.lit(True))
+        )
+    else:
+        raise ValueError(f"unknown certifier {certifier!r}")
     cand = (
         _minhash_pairs(spark, sf_dir)
         .filter(
