@@ -65,7 +65,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # keep catalog-table data (bucketed tables) out of the repo cwd
         .config("spark.sql.warehouse.dir", "/tmp/sparkmerge_warehouse")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # r13: default 8g → 16g.  The basket build peaks 5.5-6.7 GB on both
+        # variants (OPTIMIZATION_r13.md #1), and an 8g ceiling left so
+        # little margin that the r13 session-6 bench cut lost a task to a
+        # heap OOM in the sf10 tail (orders_basket_lift, first tail op
+        # after the two lsh levers) while the identical run passed minutes
+        # later — a coin-flip failure mode, not a perf knob.  The sandbox
+        # has 128 GiB; sizing the one local JVM to its host is the guide
+        # §5/§9 posture ("size to your workers"), stays env-overridable,
+        # and changes no plan (broadcast/split thresholds are separate).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # Broadcast threshold: under the lean profile every table in a
         # <64 MiB corpus is dimension-sized, so broadcasting everything is
